@@ -1,0 +1,203 @@
+"""Sharded URL-seen set — the engine's core stateful stage (SURVEY.md ST2).
+
+The reference's dedup identity lives in MongoDB unique indexes probed
+before every write (``crawler_service.go:433-457``,
+``block_repository_impl.go:135-148``). Here it is a pool of Ray actors,
+each owning one :class:`~.cuckoo.CuckooFilter` shard; URLs route to the
+shard ``url_hash % n_shards`` so each URL has exactly one authority —
+an anti-join of candidates against crawl history with no shuffle of the
+big side (SURVEY.md J5).
+
+Two interchangeable implementations share the routing logic:
+
+* :class:`LocalSeenSet` — plain in-process shards (golden single-threaded
+  simulator + unit tests);
+* :class:`ActorSeenSet` — ``@ray.remote`` shard actors; handles are
+  serializable, so ``map_batches`` UDFs can probe shards from any worker.
+
+Per-round checkpointing: each shard dumps its table to
+``seen/round=<r>/shard_<j>.npz`` and its sha256 digest goes into the
+lineage row — resume reloads shards bit-identically
+(analog of resume-from-last-processed, ``crawler_service.go:199-226``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+def shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    return (hashes.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+
+
+def _scatter_gather(hashes: np.ndarray, n_shards: int, call) -> np.ndarray:
+    """Split ``hashes`` by owning shard, apply ``call(shard_id, sub)`` →
+    bool array per shard, reassemble in input order."""
+    out = np.zeros(len(hashes), dtype=bool)
+    if len(hashes) == 0:
+        return out
+    sid = shard_of(hashes, n_shards)
+    for j in range(n_shards):
+        ix = np.flatnonzero(sid == j)
+        if ix.size:
+            out[ix] = call(j, hashes[ix])
+    return out
+
+
+class LocalSeenSet:
+    """In-process reference implementation (shared by tests + golden)."""
+
+    def __init__(self, n_shards: int, capacity_per_shard: int):
+        self.n_shards = n_shards
+        self.shards = [CuckooFilter(capacity_per_shard, seed=j) for j in range(n_shards)]
+
+    def check_and_insert(self, hashes: np.ndarray) -> np.ndarray:
+        return _scatter_gather(
+            hashes, self.n_shards, lambda j, h: self.shards[j].check_and_insert_many(h)
+        )
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return _scatter_gather(
+            hashes, self.n_shards, lambda j, h: self.shards[j].contains_many(h)
+        )
+
+    def digests(self) -> list[bytes]:
+        return [s.digest() for s in self.shards]
+
+    def counts(self) -> list[int]:
+        return [s.count for s in self.shards]
+
+
+@ray.remote(num_cpus=0, max_restarts=0)
+class SeenShard:
+    """One shard actor. num_cpus=0: shards are memory-bound point lookups
+    that must never starve the fetch/extract pools of CPU slots
+    (stage-sizing note, SURVEY.md §4); their real footprint is the filter
+    table's memory, which Ray tracks via the object store anyway."""
+
+    def __init__(self, shard_id: int, capacity: int):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity, seed=shard_id)
+
+    def check_and_insert(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.check_and_insert_many(hashes)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains_many(hashes)
+
+    def digest(self) -> bytes:
+        return self.filter.digest()
+
+    def count(self) -> int:
+        return self.filter.count
+
+    def dump_npz(self, path: str) -> bytes:
+        """Persist shard state; returns the digest for the lineage row."""
+        tmp = path + ".tmp.npz"  # np.savez appends .npz unless present
+        np.savez_compressed(tmp, table=self.filter.table, count=self.filter.count)
+        os.replace(tmp, path)
+        return self.filter.digest()
+
+    def load_npz(self, path: str) -> bytes:
+        z = np.load(path)
+        self.filter = CuckooFilter.restore(
+            {"table": z["table"], "count": int(z["count"]), "seed": self.shard_id}
+        )
+        return self.filter.digest()
+
+
+class ActorSeenSet:
+    """Driver-side bundle of shard actor handles."""
+
+    def __init__(self, n_shards: int, capacity_per_shard: int):
+        self.n_shards = n_shards
+        self.handles = [
+            SeenShard.remote(j, capacity_per_shard) for j in range(n_shards)
+        ]
+
+    def check_and_insert(self, hashes: np.ndarray) -> np.ndarray:
+        sid = shard_of(hashes, self.n_shards)
+        out = np.zeros(len(hashes), dtype=bool)
+        refs, ixs = [], []
+        for j in range(self.n_shards):
+            ix = np.flatnonzero(sid == j)
+            if ix.size:
+                refs.append(self.handles[j].check_and_insert.remote(hashes[ix]))
+                ixs.append(ix)
+        for ix, res in zip(ixs, ray.get(refs)):
+            out[ix] = res
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        sid = shard_of(hashes, self.n_shards)
+        out = np.zeros(len(hashes), dtype=bool)
+        refs, ixs = [], []
+        for j in range(self.n_shards):
+            ix = np.flatnonzero(sid == j)
+            if ix.size:
+                refs.append(self.handles[j].contains.remote(hashes[ix]))
+                ixs.append(ix)
+        for ix, res in zip(ixs, ray.get(refs)):
+            out[ix] = res
+        return out
+
+    def digests(self) -> list[bytes]:
+        return ray.get([h.digest.remote() for h in self.handles])
+
+    def counts(self) -> list[int]:
+        return ray.get([h.count.remote() for h in self.handles])
+
+    def save(self, dirpath: str) -> list[bytes]:
+        os.makedirs(dirpath, exist_ok=True)
+        return ray.get(
+            [
+                h.dump_npz.remote(os.path.join(dirpath, f"shard_{j}.npz"))
+                for j, h in enumerate(self.handles)
+            ]
+        )
+
+    def load(self, dirpath: str) -> list[bytes]:
+        return ray.get(
+            [
+                h.load_npz.remote(os.path.join(dirpath, f"shard_{j}.npz"))
+                for j, h in enumerate(self.handles)
+            ]
+        )
+
+    def kill(self) -> None:
+        for h in self.handles:
+            ray.kill(h)
+        self.handles = []
+
+
+class SeenFilterBatch:
+    """``map_batches`` UDF: keep only rows whose ``url_hash`` is novel,
+    claiming them in the seen shards as a side effect (the distributed
+    equivalent of exists-probe-then-insert-with-E11000-as-success,
+    ``crawler_service.go:433-457``). Actor handles serialize into the UDF
+    closure; each batch task scatter-gathers to the owning shards."""
+
+    def __init__(self, handles: list):
+        self.handles = handles
+        self.n_shards = len(handles)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        hashes = np.asarray(batch["url_hash"].to_pandas(), dtype=np.uint64)
+        sid = shard_of(hashes, self.n_shards)
+        novel = np.zeros(len(hashes), dtype=bool)
+        refs, ixs = [], []
+        for j in range(self.n_shards):
+            ix = np.flatnonzero(sid == j)
+            if ix.size:
+                refs.append(self.handles[j].check_and_insert.remote(hashes[ix]))
+                ixs.append(ix)
+        for ix, res in zip(ixs, ray.get(refs)):
+            novel[ix] = res
+        return batch.filter(pa.array(novel))

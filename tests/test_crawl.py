@@ -1,0 +1,216 @@
+"""End-to-end crawl pipeline tests (FIXTURES.md test cases 2,3,5,6,7 —
+the reference's per-block fetch→parse→store tests recast as
+frontier-round completeness, seen-set equality and checkpoint-resume).
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ethereum_raw_data_crawler_ray.config import CrawlConfig
+from ethereum_raw_data_crawler_ray.pipelines.crawl import (
+    CrawlPipeline,
+    events_output,
+    lineage_output,
+    pages_output,
+)
+from ethereum_raw_data_crawler_ray.pipelines.golden import GoldenCrawl
+from ethereum_raw_data_crawler_ray.state.politeness import ORDER_COLS, load_robots
+
+ERR_PERMILLE = 40  # inject deterministic transient fetch errors → retry path
+
+
+def make_cfg(corpus_dir: str, tag: str) -> CrawlConfig:
+    return CrawlConfig(
+        pages_path=corpus_dir + "/pages.parquet",
+        index_dir=f"/tmp/crawl_test_idx",  # index is corpus-derived: share
+        out_dir=f"/tmp/crawl_test_out_{tag}",
+        n_fetch_buckets=8,
+        n_seen_shards=4,
+        seen_shard_capacity=1 << 16,
+        fetch_concurrency=2,
+        cpus_per_fetch_actor=0.5,
+        extra={
+            "robots_path": corpus_dir + "/robots.parquet",
+            "seeds_path": corpus_dir + "/seeds.parquet",
+            "error_permille": ERR_PERMILLE,
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_run(corpus_dir, ray_session):
+    """One uninterrupted crawl; most tests assert against its outputs."""
+    cfg = make_cfg(corpus_dir, "main")
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    pipe = CrawlPipeline(cfg)
+    totals = pipe.run(max_rounds=60)
+    return cfg, pipe, totals
+
+
+@pytest.fixture(scope="module")
+def golden_run(corpus_dir):
+    cfg = make_cfg(corpus_dir, "golden-unused")
+    g = GoldenCrawl(
+        cfg.pages_path,
+        load_robots(cfg.extra["robots_path"]),
+        n_seen_shards=cfg.n_seen_shards,
+        seen_shard_capacity=cfg.seen_shard_capacity,
+        round_ms=cfg.round_ms,
+        default_crawl_delay_ms=cfg.default_crawl_delay_ms,
+        max_per_host_round=cfg.max_per_host_round,
+        max_retries=cfg.max_retries,
+        skip_rounds=cfg.skip_rounds,
+        error_permille=ERR_PERMILLE,
+    )
+    import pyarrow.parquet as pq
+
+    return g.run(pq.read_table(corpus_dir + "/seeds.parquet"), max_rounds=60)
+
+
+def _rounds_df(out_dir: str) -> pd.DataFrame:
+    return pages_output(out_dir).to_pandas()
+
+
+class TestRoundCompleteness:
+    def test_every_url_accounted(self, crawl_run):
+        # every frontier URL lands in exactly one of
+        # {fetched, error→retry, deferred, skipped, robots_denied}
+        cfg, _, totals = crawl_run
+        lin = lineage_output(cfg.out_dir).to_pandas()
+        per_round = lin.groupby("round")[
+            ["urls_scheduled", "urls_fetched", "errors"]
+        ].sum()
+        assert (
+            per_round["urls_scheduled"]
+            == per_round["urls_fetched"] + per_round["errors"]
+        ).all()
+        assert totals["fetched"] > 1000  # the bulk of the 1500-page corpus
+
+    def test_transient_errors_retried_to_success(self, crawl_run):
+        cfg, _, totals = crawl_run
+        assert totals["errors"] > 0  # injection actually fired
+        lin = lineage_output(cfg.out_dir).to_pandas()
+        assert lin["errors"].sum() > 0
+
+
+class TestDedup:
+    def test_no_duplicate_pages(self, crawl_run):
+        # mirror of E11000-duplicate-key-as-success: each URL stored once
+        cfg, _, _ = crawl_run
+        df = _rounds_df(cfg.out_dir)
+        assert not df["url"].duplicated().any()
+
+    def test_seen_membership_equals_stored_plus_failed(self, crawl_run):
+        cfg, pipe, _ = crawl_run
+        from ethereum_raw_data_crawler_ray.functions.hashing import hash_strings
+
+        df = _rounds_df(cfg.out_dir)
+        hashes = hash_strings(df["url"].to_numpy())
+        assert pipe.seen.contains(hashes).all()
+
+
+class TestExtractionOracle:
+    def test_text_byte_identical(self, crawl_run, corpus_dir):
+        cfg, _, _ = crawl_run
+        pages = pq.read_table(corpus_dir + "/pages.parquet", columns=["url", "text"])
+        oracle = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+        df = _rounds_df(cfg.out_dir)
+        assert len(df) > 0
+        for u, t in zip(df["url"], df["text"]):
+            assert oracle[u] == t
+
+
+class TestGoldenParity:
+    """The parallel engine reproduces the single-threaded golden crawl
+    bit-for-bit: same per-round crawl order, same pages, same seen set."""
+
+    def test_fetch_order(self, crawl_run, golden_run):
+        # crawl order = (round, priority, depth, warc_ts, url) — the
+        # analog of strict block-number order within each range
+        cfg, _, _ = crawl_run
+        import pyarrow.dataset as pads
+
+        for r, golden_order in enumerate(golden_run["fetch_order"]):
+            d = os.path.join(cfg.out_dir, "rounds", f"round_{r:05d}")
+            t = pads.dataset(d, format="parquet").to_table(
+                columns=["url", "gate"] + ORDER_COLS[:-1]
+            )
+            g = t.to_pandas()
+            g = g[g["gate"] == "fetch"].sort_values(ORDER_COLS, kind="mergesort")
+            assert list(g["url"]) == golden_order, f"round {r} order differs"
+
+    def test_pages_and_text(self, crawl_run, golden_run):
+        cfg, _, _ = crawl_run
+        df = _rounds_df(cfg.out_dir)
+        eng = {u: t for u, t in zip(df["url"], df["text"])}
+        gold = {u: p["text"] for u, p in golden_run["pages"].items()}
+        assert eng == gold
+
+    def test_seen_counts(self, crawl_run, golden_run):
+        cfg, pipe, _ = crawl_run
+        assert pipe.seen.counts() == golden_run["seen_counts"]
+
+    def test_events(self, crawl_run, golden_run):
+        cfg, _, _ = crawl_run
+        ev = events_output(cfg.out_dir).to_pandas()
+        eng = set(zip(ev["url"], ev["n_bytes"], ev["lang"], ev["round"]))
+        gold = set(
+            (e["url"], e["n_bytes"], e["lang"], e["round"]) for e in golden_run["events"]
+        )
+        assert eng == gold
+
+
+class TestEventsGating:
+    def test_events_iff_stored(self, crawl_run):
+        # mirror of publish-only-after-DB-success (crawler_service.go:592-607)
+        cfg, _, _ = crawl_run
+        ev = events_output(cfg.out_dir).to_pandas()
+        pages = _rounds_df(cfg.out_dir)
+        assert set(ev["url"]) == set(pages["url"])
+        assert not ev["url"].duplicated().any()
+
+
+class TestRobots:
+    def test_disallowed_never_fetched(self, crawl_run):
+        cfg, _, _ = crawl_run
+        df = _rounds_df(cfg.out_dir)
+        assert not df["url"].str.contains("/private/").any()
+
+
+class TestResume:
+    def test_bit_identical_resume(self, crawl_run, corpus_dir):
+        # FIXTURES.md case 6: kill after round 2, resume, outputs and
+        # lineage (incl. seen-shard digests) identical to uninterrupted
+        cfg_main, _, _ = crawl_run
+        cfg = make_cfg(corpus_dir, "resume")
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+
+        p1 = CrawlPipeline(cfg)
+        p1.run(max_rounds=3)  # "crash" after round 2
+        p1.close()
+        assert os.path.exists(
+            os.path.join(cfg.out_dir, "lineage", "round_00002", "_COMPLETE")
+        )
+        p2 = CrawlPipeline(cfg)  # fresh pipeline object = new process
+        p2.run(max_rounds=60)
+        p2.close()
+
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["url", "text", "lang", "round", "depth", "n_bytes"]],
+            b[["url", "text", "lang", "round", "depth", "n_bytes"]],
+        )
+        la = lineage_output(cfg_main.out_dir).to_pandas().sort_values(
+            ["round", "partition_id"]
+        ).reset_index(drop=True)
+        lb = lineage_output(cfg.out_dir).to_pandas().sort_values(
+            ["round", "partition_id"]
+        ).reset_index(drop=True)
+        cols = [c for c in la.columns if c != "wall_s"]
+        pd.testing.assert_frame_equal(la[cols], lb[cols])

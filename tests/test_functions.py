@@ -1,0 +1,105 @@
+"""Unit tests for URL normalization, hashing and extraction — the analog
+of the reference's message-parse unit tests
+(websocket_scheduler_test.go:94-168: valid parse, malformed robustness).
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ethereum_raw_data_crawler_ray.functions.extract import (
+    extract_batch,
+    extract_outlinks_one,
+    extract_text_one,
+    render_html,
+)
+from ethereum_raw_data_crawler_ray.functions.hashing import hash_one, hash_strings
+from ethereum_raw_data_crawler_ray.functions.urlnorm import (
+    host_of,
+    normalize_many,
+    normalize_url,
+)
+
+
+class TestUrlNorm:
+    def test_canonical(self):
+        assert (
+            normalize_url("HTTPS://Example.COM/Path?q=1#frag")
+            == "https://example.com/Path?q=1"
+        )
+
+    def test_default_ports(self):
+        assert normalize_url("http://a.com:80/x") == "http://a.com/x"
+        assert normalize_url("https://a.com:443/x") == "https://a.com/x"
+        assert normalize_url("https://a.com:8443/x") == "https://a.com:8443/x"
+
+    def test_empty_path(self):
+        assert normalize_url("https://a.com") == "https://a.com/"
+
+    @pytest.mark.parametrize(
+        "bad",
+        ["", "notaurl", "ftp://a.com/x", "https://", "http:///path", None, "https://#f"],
+    )
+    def test_malformed_dropped(self, bad):
+        # mirror of the malformed-message robustness tests
+        # (websocket_scheduler_test.go:137-168): bad input → None, no raise
+        if bad is None:
+            u, h, ok = normalize_many([bad])
+            assert not ok[0]
+        else:
+            assert normalize_url(bad) is None
+
+    def test_host_of(self):
+        assert host_of("https://example.com/a/b") == "example.com"
+
+    def test_vector_matches_scalar(self):
+        urls = ["https://A.com/x#f", "bad", "http://b.org"]
+        u, h, ok = normalize_many(urls)
+        assert list(ok) == [True, False, True]
+        assert u[0] == "https://a.com/x"
+        assert h[2] == "b.org"
+
+
+class TestHashing:
+    def test_deterministic_across_calls(self):
+        a = hash_strings(["x", "y"])
+        b = hash_strings(["x", "y"])
+        assert a.dtype == np.uint64
+        assert (a == b).all()
+        assert hash_one("x") == int(a[0])
+
+    def test_distinct(self):
+        h = hash_strings([f"u{i}" for i in range(1000)])
+        assert len(set(h.tolist())) == 1000
+
+
+class TestExtract:
+    def test_roundtrip_byte_identical(self):
+        text = 'words & <tags> "quoted" — ünïcode'
+        html = render_html(text, "t", ["https://a.com/1", "https://b.com/2?x=1&y=2"])
+        out, parser = extract_text_one(html)
+        assert parser == "strict"
+        assert out == text
+
+    def test_outlinks(self):
+        links = ["https://a.com/1", "https://b.com/2?x=1&y=2"]
+        html = render_html("t", "title", links)
+        assert extract_outlinks_one(html) == links
+
+    def test_fallback_lenient(self):
+        raw = b"<html><body><div>some <b>bold</b> text</div></body></html>"
+        out, parser = extract_text_one(raw)
+        assert parser == "lenient"
+        assert "bold" in out and "<" not in out
+
+    def test_fallback_raw(self):
+        out, parser = extract_text_one(b"just plain bytes")
+        assert parser == "raw"
+        assert out == "just plain bytes"
+        assert extract_text_one(None) == ("", "empty")
+
+    def test_corpus_oracle(self, corpus_dir):
+        # FIXTURES.md test case 4: extract(html) == text for ALL rows
+        t = pq.read_table(corpus_dir + "/pages.parquet", columns=["html", "text"])
+        texts, _ = extract_batch(t["html"].to_pylist())
+        assert list(texts) == t["text"].to_pylist()

@@ -1,0 +1,117 @@
+"""Unit tests for the cuckoo filter, seen-set sharding and politeness
+budgets (SURVEY.md §5 target strategy: cuckoo insert/contains/FP bound,
+token-bucket budgets, priority ordering)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ethereum_raw_data_crawler_ray.state.cuckoo import CuckooFilter
+from ethereum_raw_data_crawler_ray.state.politeness import (
+    ORDER_COLS,
+    budget_for,
+    path_of,
+    robots_denied,
+    salt_budget,
+)
+from ethereum_raw_data_crawler_ray.state.seen import LocalSeenSet
+
+
+def _hashes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**64, size=n, dtype=np.uint64)
+
+
+class TestCuckoo:
+    def test_insert_contains(self):
+        f = CuckooFilter(10_000)
+        h = _hashes(5_000)
+        novel = f.check_and_insert_many(h)
+        assert novel.all()
+        assert f.count == 5_000
+        assert f.contains_many(h).all()
+
+    def test_duplicates_within_batch(self):
+        f = CuckooFilter(1_000)
+        h = np.array([7, 7, 8, 7, 8], dtype=np.uint64)
+        novel = f.check_and_insert_many(h)
+        assert list(novel) == [True, False, True, False, False]
+        assert f.count == 2
+
+    def test_false_positive_bound(self):
+        f = CuckooFilter(100_000)
+        f.check_and_insert_many(_hashes(80_000, seed=1))
+        probe = _hashes(100_000, seed=2)
+        fp = f.contains_many(probe).mean()
+        # 16-bit fingerprints, 2 buckets x 4 slots: expect ~0.012%, allow 0.1%
+        assert fp < 1e-3
+
+    def test_digest_insert_order_independent(self):
+        h = _hashes(2_000, seed=3)
+        a, b = CuckooFilter(100_000), CuckooFilter(100_000)
+        a.check_and_insert_many(h)
+        b.check_and_insert_many(h[::-1].copy())
+        assert a.digest() == b.digest()
+
+    def test_dump_restore(self):
+        f = CuckooFilter(10_000)
+        h = _hashes(1_000, seed=4)
+        f.check_and_insert_many(h)
+        g = CuckooFilter.restore(f.dump())
+        assert g.digest() == f.digest()
+        assert g.contains_many(h).all()
+        assert not g.check_and_insert_many(h).any()
+
+
+class TestSeenSet:
+    def test_sharded_membership(self):
+        s = LocalSeenSet(4, 10_000)
+        h = _hashes(3_000, seed=5)
+        assert s.check_and_insert(h).all()
+        assert not s.check_and_insert(h).any()
+        assert s.contains(h).all()
+        assert sum(s.counts()) == 3_000
+
+    def test_shard_routing_stable(self):
+        s1, s2 = LocalSeenSet(4, 10_000), LocalSeenSet(4, 10_000)
+        h = _hashes(1_000, seed=6)
+        s1.check_and_insert(h)
+        s2.check_and_insert(h[::-1].copy())
+        assert s1.digests() == s2.digests()
+
+
+class TestPoliteness:
+    ROBOTS = {"slow.com": (1000, ("/private/",)), "fast.com": (0, ())}
+
+    def test_budget(self):
+        # analog of ETHEREUM_RATE_LIMIT: 60s round / 1000ms delay = 60 slots
+        assert budget_for("slow.com", self.ROBOTS, 60_000, 100, 1000) == 60
+        assert budget_for("fast.com", self.ROBOTS, 60_000, 100, 1000) == 1000
+        # unknown host → default delay
+        assert budget_for("x.com", self.ROBOTS, 60_000, 100, 1000) == 600
+        assert budget_for("slow.com", self.ROBOTS, 60_000, 100, 10) == 10
+
+    def test_salt_budget_sums_exactly(self):
+        for b in (1, 7, 10, 999):
+            for s in (1, 2, 4):
+                assert sum(salt_budget(b, s, i) for i in range(s)) == b
+
+    def test_robots_denied(self):
+        assert robots_denied("https://slow.com/private/x", "slow.com", self.ROBOTS)
+        assert not robots_denied("https://slow.com/page/x", "slow.com", self.ROBOTS)
+        assert not robots_denied("https://fast.com/private/x", "fast.com", self.ROBOTS)
+        assert path_of("https://a.com") == "/"
+
+    def test_ordering_comparator(self):
+        # priority ties broken by depth, then warc_ts, then url — the
+        # frontier-order analog of strict block-number order
+        df = pd.DataFrame(
+            {
+                "priority": [1, 0, 0, 0],
+                "depth": [0, 2, 1, 1],
+                "warc_ts": [0, 0, 5, 5],
+                "url": ["d", "c", "b", "a"],
+            }
+        )
+        got = df.sort_values(ORDER_COLS)["url"].tolist()
+        assert got == ["a", "b", "c", "d"]
