@@ -1,0 +1,727 @@
+"""The engine's query surface: every operator family from SURVEY.md §2
+expressed as a Ray Data pipeline over the driver's parquet tables, plus
+the training-data operators (dedup / similarity / text analysis /
+multimodal) — each with a DuckDB oracle where SQL can express it.
+
+Contract: ``QUERIES[name](sf_dir) -> Dataset | DataFrame | Table`` and
+``ORACLE_SQL[name]`` produce identical row multisets (names matched
+column-for-column). Non-SQL-expressible entries (crawl rounds, LSH
+approximations, fingerprints) have no oracle → rows-only checks.
+
+Float policy: aggregate money sums round to 2 (the data has 2-decimal
+prices, so true sums sit far from the .005 boundary); means/rates round
+to 6 on BOTH sides. Integer-only outputs are preferred where possible.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.hashing import hash_strings
+from ..functions.textstats import (
+    fingerprint64,
+    lang_id,
+    quality_stats,
+    token_count_bpe,
+    token_count_simple,
+)
+from ..stages import ann, dedup, multimodal
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ==========================================================================
+# relational core (SURVEY.md §2.3, §2.5-2.7 mappings)
+# ==========================================================================
+def q01_pricing_summary(sf_dir: str):
+    """A5/A1 multi-aggregate per group (metrics_repository_impl.go:254-304
+    analog): partial per-batch pre-aggregation then a tiny groupby — the
+    combiner pattern that keeps the shuffle small at 100 TB."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["n"]).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q02_count_by_type(sf_dir: str):
+    """A1 counts-by-filter (block_repository_impl.go:278-290 analog)."""
+    out = (
+        _t(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q03_filter_range_sum(sf_dir: str):
+    """A2 + F7 range predicate → global sum (volume-by-range,
+    transaction_repository_impl.go:392-433): predicate pushed into the
+    parquet read, no full-table scan."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1998-01-01")))
+        ),
+    )
+    agg = ds.aggregate(Sum("l_extendedprice", alias_name="total"), Count(alias_name="n"))
+    return pd.DataFrame(
+        {"total": [round(agg["total"], 2)], "n": [np.int64(agg["n"])]}
+    )
+
+
+def q04_global_stats(sf_dir: str):
+    """A3 global averages (metrics_repository_impl.go:160-198)."""
+    agg = _t(sf_dir, "events", ["value"]).aggregate(
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Count(alias_name="n"),
+    )
+    return pd.DataFrame(
+        {
+            "avg_value": [round(agg["avg_value"], 6)],
+            "min_value": [round(agg["min_value"], 6)],
+            "max_value": [round(agg["max_value"], 6)],
+            "n": [np.int64(agg["n"])],
+        }
+    )
+
+
+def q05_error_rate(sf_dir: str):
+    """A4 error rate with divide-by-zero guard
+    (metrics_repository_impl.go:201-251): conditional partial counts per
+    batch, integer-exact division at the end."""
+    ds = _t(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        n_err = pc.sum(pc.equal(et, pa.scalar("error"))).as_py() or 0
+        return pa.table({"errors": pa.array([n_err], type=pa.int64()),
+                         "total": pa.array([len(t)], type=pa.int64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("errors", alias_name="errors"), Sum("total", alias_name="total")
+    )
+    errors, total = int(p["errors"]), int(p["total"])
+    rate = errors / total if total else 0.0  # the $cond guard
+    return pd.DataFrame(
+        {"errors": [np.int64(errors)], "total": [np.int64(total)], "error_rate": [round(rate, 6)]}
+    )
+
+
+def q06_topk_orders(sf_dir: str):
+    """O3 top-k by value (transaction_repository_impl.go:436-457)."""
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q07_latest_event(sf_dir: str):
+    """O4 latest-1 (metrics_repository_impl.go:40-54)."""
+    return (
+        _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(1)
+    )
+
+
+def q08_history_limit(sf_dir: str):
+    """O5 history limit-n (metrics_repository_impl.go:86-108)."""
+    return (
+        _t(sf_dir, "events", ["event_id", "ts"])
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(100)
+    )
+
+
+def q09_customer_filter(sf_dir: str):
+    """F6 address predicate + sort + limit
+    (transaction_repository_impl.go:237-266): host/address filter analog."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=(pc.field("c_nationkey") == pa.scalar(7)),
+    )
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(50)
+
+
+def q10_revenue_by_nation(sf_dir: str):
+    """J1-shaped broadcast join (small dims fetched once per actor via
+    ray.put, no shuffle of the fact table) + grouped aggregate."""
+    import ray
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nat_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((cust_map, nat_map))
+
+    class Enrich:
+        def __init__(self):
+            self.cust_map, self.nat_map = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            names = [self.nat_map[self.cust_map[int(c)]] for c in ck]
+            return pa.table(
+                {"n_name": pa.array(names, type=pa.string()),
+                 "o_totalprice": t["o_totalprice"]}
+            )
+
+    out = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+def q11_orders_per_status(sf_dir: str):
+    """F5 status filter family (block_repository_impl.go:216-238)."""
+    out = (
+        _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Mean("o_totalprice", alias_name="avg_price"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["avg_price"] = out["avg_price"].round(6)
+    return out
+
+
+def q12_lines_of_order(sf_dir: str):
+    """O6 within-unit ordering (transaction_repository_impl.go:193):
+    lines of one order sorted by line number."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filter=(pc.field("l_orderkey") == pa.scalar(1)),
+    )
+    return ds.sort("l_linenumber")
+
+
+def q13_distinct_langs(sf_dir: str):
+    """§2.8 distinct (set op)."""
+    vals = sorted(_t(sf_dir, "documents", ["lang"]).unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+def q14_max_date(sf_dir: str):
+    """J3 resume lookup: max over an ordering column
+    (block_repository_impl.go:195-213)."""
+    m = _t(sf_dir, "orders", ["o_orderdate"]).aggregate(Max("o_orderdate", alias_name="last_date"))
+    return pd.DataFrame({"last_date": [m["last_date"]]})
+
+
+def q15_union_counts(sf_dir: str):
+    """§2.8 union: two filtered streams unioned then re-aggregated
+    (frontier-append = union + dedup analog)."""
+    a = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'click'"
+    )
+    b = _t(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="event_type == 'view'"
+    )
+    out = (
+        a.union(b)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+def q16_pagination(sf_dir: str):
+    """O7 limit (transaction_repository_impl.go:245-248)."""
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).sort("o_orderkey").limit(20)
+    )
+
+
+# ==========================================================================
+# training-data operators
+# ==========================================================================
+def q20_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition + per-group first (guide's canonical
+    exact-dedup shape; E11000-as-success analog)."""
+    out = (
+        dedup.exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+        .to_pandas()[["keep_id", "dups"]]
+    )
+    out["dups"] = out["dups"].astype(np.int64)
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def q21_token_count(sf_dir: str):
+    """Token counting (whitespace), vectorized per batch."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [token_count_simple(x) for x in t["text"].to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q22_quality_stats(sf_dir: str):
+    """Integer quality raw stats (oracle-matched)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        stats = [quality_stats(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array([s[0] for s in stats], type=pa.int64()),
+                "n_tokens": pa.array([s[1] for s in stats], type=pa.int64()),
+                "n_punct": pa.array([s[2] for s in stats], type=pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q23_quality_score(sf_dir: str):
+    """Full quality scoring + heuristic language ID (no SQL oracle —
+    the heuristics aren't SQL-expressible)."""
+
+    class Score:
+        def __init__(self):
+            pass  # regexes compiled at module import, once per worker
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            rows = []
+            for x in texts:
+                n_chars, n_tok, n_punct, n_stop = quality_stats(x)
+                score = min(1.0, n_tok / 64.0) * (1.0 - n_punct / max(1, n_chars))
+                score *= 0.5 + 0.5 * min(1.0, n_stop / max(1, n_tok) * 5)
+                rows.append((lang_id(x), round(score, 6), token_count_bpe(x)))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "lang_guess": pa.array([r[0] for r in rows], type=pa.string()),
+                    "quality": pa.array([r[1] for r in rows], type=pa.float64()),
+                    "n_tokens_bpe": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q24_fingerprint(sf_dir: str):
+    """FNV-1a rolling-hash document fingerprints (no oracle)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    np.array([fingerprint64(x) for x in t["text"].to_pylist()], dtype=np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q25_simhash(sf_dir: str):
+    """SimHash + banded keys (no oracle)."""
+    return dedup.simhash_table(_t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+def q26_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs (no oracle — approximate by design)."""
+    return dedup.minhash_candidates(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+
+
+def q27_dedup_groups(sf_dir: str):
+    """Near-dup groups: LSH candidates → n-gram-Jaccard verify →
+    union-find (no oracle)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    pairs = q26_minhash_pairs(sf_dir).to_pandas()
+    return dedup.minhash_dedup_groups(docs, pairs, "text", "doc_id")
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") == pa.scalar(0)),
+    ).to_pandas()
+    return np.asarray([t["embedding"].iloc[0]], dtype=np.float32)
+
+
+def q28_knn_brute(sf_dir: str):
+    """Exact cosine top-10 (brute-force baseline: broadcast query matrix,
+    per-batch matmul, partial top-k merge)."""
+    out = ann.knn_bruteforce(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    ).to_pandas()
+    return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
+def q29_knn_ivf(sf_dir: str):
+    """Approximate top-10 via IVF coarse quantization — the scale path
+    (no oracle; recall vs brute force asserted in tests)."""
+    out = ann.knn_ivf(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    ).to_pandas()
+    return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
+def q30_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact; threshold 0.4 — the
+    synthetic embeddings top out near cosine 0.48)."""
+    out = dedup.embedding_dedup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ==========================================================================
+# stream-shaped (guide §streaming: ordered log + per-key windows)
+# ==========================================================================
+def q31_window_tumbling(sf_dir: str):
+    """Tumbling 1-hour event-time window per user (ordered-log recipe)."""
+
+    def win(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "win": pa.array(us // 3_600_000_000, type=pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        _t(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(win, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q32_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user via groupby.map_groups over
+    the ts-sorted group — incremental-state window shape."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        new_s = np.ones(len(us), dtype=np.int64)
+        if len(us) > 1:
+            new_s[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(new_s.sum())]}
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+# ==========================================================================
+# multimodal (stubbed codec, real Ray plumbing)
+# ==========================================================================
+def q33_multimodal_decode(sf_dir: str):
+    """Binary payload → decode metadata via actor pool (codec stubbed —
+    see stages/multimodal.py)."""
+    blobs = multimodal.attach_blobs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+    out = multimodal.decode_pipeline(blobs, with_features=False)
+    return out.select_columns(["doc_id", "n_bytes", "width", "height", "format"])
+
+
+# ==========================================================================
+# crawl pipeline (flagship; no SQL oracle — checked by golden parity tests)
+# ==========================================================================
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _crawl_out(sf_dir: str) -> str:
+    """Run the flagship crawl once per sf_dir (cached) over a corpus
+    whose size scales with the sf tier."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    n_pages = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 12000}.get(base, 2000)
+    from ..config import CrawlConfig
+    from ..testdata import ensure_corpus
+    from .crawl import CrawlPipeline
+
+    corpus = ensure_corpus(n_pages, n_hosts=40, n_seeds=16, base_dir="/tmp/q_corpus")
+    out_dir = f"/tmp/q_crawl_out/{base}_{n_pages}"
+    idx_dir = f"/tmp/q_crawl_idx/{base}_{n_pages}"
+    cfg = CrawlConfig(
+        pages_path=corpus + "/pages.parquet",
+        index_dir=idx_dir,
+        out_dir=out_dir,
+        n_fetch_buckets=16,
+        n_seen_shards=4,
+        seen_shard_capacity=1 << 18,
+        fetch_concurrency=4,
+        extra={
+            "robots_path": corpus + "/robots.parquet",
+            "seeds_path": corpus + "/seeds.parquet",
+        },
+    )
+    pipe = CrawlPipeline(cfg)
+    pipe.run(max_rounds=100)
+    pipe.close()
+    _CRAWL_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+def q40_crawl_pages(sf_dir: str):
+    """Flagship: full frontier crawl; returns the stored pages."""
+    from .crawl import pages_output
+
+    ds = pages_output(_crawl_out(sf_dir))
+    return ds.select_columns(["url", "host", "depth", "round", "lang", "n_bytes", "text"])
+
+
+def q41_crawl_events(sf_dir: str):
+    from .crawl import events_output
+
+    return events_output(_crawl_out(sf_dir)).select_columns(
+        ["url", "host", "n_bytes", "lang", "round"]
+    )
+
+
+def q42_crawl_lineage(sf_dir: str):
+    from .crawl import lineage_output
+
+    return lineage_output(_crawl_out(sf_dir)).select_columns(
+        ["round", "partition_id", "urls_scheduled", "urls_fetched",
+         "urls_deferred", "urls_failed", "errors"]
+    )
+
+
+# ==========================================================================
+# registry + oracles
+# ==========================================================================
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_count_by_type": q02_count_by_type,
+    "q03_filter_range_sum": q03_filter_range_sum,
+    "q04_global_stats": q04_global_stats,
+    "q05_error_rate": q05_error_rate,
+    "q06_topk_orders": q06_topk_orders,
+    "q07_latest_event": q07_latest_event,
+    "q08_history_limit": q08_history_limit,
+    "q09_customer_filter": q09_customer_filter,
+    "q10_revenue_by_nation": q10_revenue_by_nation,
+    "q11_orders_per_status": q11_orders_per_status,
+    "q12_lines_of_order": q12_lines_of_order,
+    "q13_distinct_langs": q13_distinct_langs,
+    "q14_max_date": q14_max_date,
+    "q15_union_counts": q15_union_counts,
+    "q16_pagination": q16_pagination,
+    "q20_exact_dedup": q20_exact_dedup,
+    "q21_token_count": q21_token_count,
+    "q22_quality_stats": q22_quality_stats,
+    "q23_quality_score": q23_quality_score,
+    "q24_fingerprint": q24_fingerprint,
+    "q25_simhash": q25_simhash,
+    "q26_minhash_pairs": q26_minhash_pairs,
+    "q27_dedup_groups": q27_dedup_groups,
+    "q28_knn_brute": q28_knn_brute,
+    "q29_knn_ivf": q29_knn_ivf,
+    "q30_embedding_dedup": q30_embedding_dedup,
+    "q31_window_tumbling": q31_window_tumbling,
+    "q32_sessionize": q32_sessionize,
+    "q33_multimodal_decode": q33_multimodal_decode,
+    "q40_crawl_pages": q40_crawl_pages,
+    "q41_crawl_events": q41_crawl_events,
+    "q42_crawl_lineage": q42_crawl_lineage,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_count_by_type": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+    """,
+    "q03_filter_range_sum": """
+        SELECT ROUND(SUM(l_extendedprice), 2) AS total, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    "q04_global_stats": """
+        SELECT ROUND(AVG(value), 6) AS avg_value, ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+    """,
+    "q05_error_rate": """
+        SELECT CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total,
+               ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS error_rate
+        FROM events
+    """,
+    "q06_topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q07_latest_event": """
+        SELECT event_id, ts, event_type FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    "q08_history_limit": """
+        SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    "q09_customer_filter": """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_nationkey = 7 ORDER BY c_acctbal DESC, c_custkey LIMIT 50
+    """,
+    "q10_revenue_by_nation": """
+        SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q11_orders_per_status": """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q12_lines_of_order": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey = 1 ORDER BY l_linenumber
+    """,
+    "q13_distinct_langs": """
+        SELECT DISTINCT lang FROM documents ORDER BY lang
+    """,
+    "q14_max_date": """
+        SELECT MAX(o_orderdate) AS last_date FROM orders
+    """,
+    "q15_union_counts": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value
+        FROM (SELECT * FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT * FROM events WHERE event_type = 'view')
+        GROUP BY event_type
+    """,
+    "q16_pagination": """
+        SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20
+    """,
+    "q20_exact_dedup": """
+        SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dups
+        FROM documents GROUP BY text
+    """,
+    "q21_token_count": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+    """,
+    "q22_quality_stats": """
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    """,
+    "q28_knn_brute": """
+        SELECT vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                   vec_id) - 1 AS BIGINT) AS rank
+        FROM embeddings
+        ORDER BY rank LIMIT 10
+    """,
+    "q30_embedding_dedup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+    "q31_window_tumbling": """
+        SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS win,
+               ROUND(SUM(value), 6) AS sum_value, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q32_sessionize": """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+    """,
+}

@@ -1,0 +1,265 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths, per the engine spec:
+* :func:`knn_bruteforce` — exact cosine top-k: the query matrix is
+  broadcast (``ray.put`` once, read in every actor), each batch does one
+  numpy matmul and emits its partial top-k, and a final tiny sort+limit
+  merges partials. Per-batch work is O(batch × q × d); the corpus
+  streams, nothing materializes.
+* :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets
+  (sign bits of V·H). Probing searches only the query's bucket ring
+  (exact bucket + single-bit flips), so the candidate set is a tiny
+  fraction of the corpus. Recall is tunable via n_bits / n_probe; the
+  test asserts recall ≥ 0.6 vs brute force at the default setting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BruteTopK:
+    def __init__(self, q_ref, k: int):
+        import ray
+
+        self.q = ray.get(q_ref)  # (nq, d), L2-normalized
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        sims = self.q @ vecs.T  # (nq, batch)
+        q_out, id_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            k = min(self.k, sims.shape[1])
+            part = np.argpartition(-sims[qi], k - 1)[:k]
+            for j in part:
+                q_out.append(qi)
+                id_out.append(int(ids[j]))
+                s_out.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "vec_id": pa.array(id_out, type=pa.int64()),
+                "cosine": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+
+def knn_bruteforce(ds: rd.Dataset, queries: np.ndarray, k: int = 10) -> rd.Dataset:
+    """Exact top-k by cosine for each query row. Result: (query_id,
+    vec_id, cosine, rank), rank 0-based, ties broken by vec_id."""
+    import ray
+    import pandas as pd
+
+    q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
+    partials = ds.map_batches(
+        _BruteTopK,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0  # (n, n_bits)
+    return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
+        axis=1
+    )
+
+
+class _LshTopK:
+    def __init__(self, q_ref, planes_ref, k: int, n_probe_bits: int):
+        import ray
+
+        self.q = ray.get(q_ref)
+        self.planes = ray.get(planes_ref)
+        self.k = k
+        qb = _bucket_of(self.q, self.planes)
+        # probe ring: exact bucket + all single-bit flips
+        n_bits = self.planes.shape[0]
+        self.probe: list[set] = []
+        for b in qb:
+            s = {int(b)}
+            for j in range(min(n_bits, n_probe_bits)):
+                s.add(int(np.uint64(b) ^ (np.uint64(1) << np.uint64(j))))
+            self.probe.append(s)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        buckets = _bucket_of(vecs, self.planes)
+        q_out, id_out, s_out = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.isin(buckets, list(self.probe[qi]))
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ self.q[qi]
+            cand_ids = ids[mask]
+            k = min(self.k, len(sims))
+            part = np.argpartition(-sims, k - 1)[:k]
+            for j in part:
+                q_out.append(qi)
+                id_out.append(int(cand_ids[j]))
+                s_out.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "vec_id": pa.array(id_out, type=pa.int64()),
+                "cosine": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_cells: int, n_iter: int = 5, seed: int = 23
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a (small) driver-side sample —
+    the IVF coarse quantizer training step. Spherical variant: centroids
+    re-normalized each iteration (cosine geometry)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float32))
+    init_ix = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    cent = sample[np.sort(init_ix)].copy()
+    for _ in range(n_iter):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IvfTopK:
+    """Per-batch IVF search: assign batch rows to cells, keep only rows
+    in the query's n_probe nearest cells, exact-rescore those."""
+
+    def __init__(self, q_ref, cent_ref, k: int, n_probe: int):
+        import ray
+
+        self.q = ray.get(q_ref)
+        self.cent = ray.get(cent_ref)
+        self.k = k
+        probe = np.argsort(-(self.q @ self.cent.T), axis=1)[:, :n_probe]
+        self.probe = [set(map(int, row)) for row in probe]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        cells = (vecs @ self.cent.T).argmax(axis=1)
+        q_out, id_out, s_out = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.isin(cells, list(self.probe[qi]))
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ self.q[qi]
+            cand_ids = ids[mask]
+            k = min(self.k, len(sims))
+            part = np.argpartition(-sims, k - 1)[:k]
+            for j in part:
+                q_out.append(qi)
+                id_out.append(int(cand_ids[j]))
+                s_out.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "vec_id": pa.array(id_out, type=pa.int64()),
+                "cosine": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 23,
+) -> rd.Dataset:
+    """IVF approximate top-k — the scale path: train a coarse quantizer
+    on a bounded sample, then each batch checks only rows whose cell is
+    in the query's probe list (≈ n_probe/n_cells of the corpus scanned).
+    At real scale the cell assignment is precomputed once and stored as a
+    partition column so probing prunes at the READ (Parquet filter), not
+    per batch; this streaming variant keeps the same math."""
+    import ray
+    import pandas as pd
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    sample = ds.limit(train_sample).to_pandas()
+    mat = np.asarray(sample["embedding"].to_list(), dtype=np.float32)
+    cent = kmeans_centroids(mat, n_cells, seed=seed)
+    q_ref = ray.put(qn)
+    c_ref = ray.put(cent)
+    partials = ds.map_batches(
+        _IvfTopK,
+        fn_constructor_args=(q_ref, c_ref, k, n_probe),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_lsh(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_bits: int = 8,
+    n_probe_bits: int = 8,
+    seed: int = 17,
+) -> rd.Dataset:
+    """Approximate top-k: random-hyperplane buckets, probe ring of the
+    query bucket, exact rescoring within candidates. NOTE: hyperplane LSH
+    needs genuinely high-cosine neighbors to hit good recall; for
+    weakly-correlated corpora prefer :func:`knn_ivf`."""
+    import ray
+    import pandas as pd
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, qn.shape[1])).astype(np.float32)
+    q_ref = ray.put(qn)
+    p_ref = ray.put(planes)
+    partials = ds.map_batches(
+        _LshTopK,
+        fn_constructor_args=(q_ref, p_ref, k, n_probe_bits),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata columns beside them (the Arrow-native replacement for the
+reference's hex-sanitized binary handling, ``sanitizeData``,
+``ethereum_service.go:317-325``, which is dropped — Arrow binary needs
+no escaping).
+
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the codec step is STUBBED: :class:`DecodeStage` does all the real
+Ray-side work (actor-pool lifecycle, batch sizing for wide binary rows,
+schema in/out) and calls a codec hook that is either the deterministic
+fake (default — parses the fake payload header) or raises
+``NotImplementedError`` when a real codec is requested. Swapping in a
+real decoder is a one-function change; the distributed plumbing is
+exercised by tests either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_MAGIC = b"FAKEIMG1"
+
+
+def make_fake_blob(seed_text: str, width: int, height: int) -> bytes:
+    """Deterministic fake 'image': 16-byte header + pseudo-pixel bytes.
+    Stands in for real media payloads in tests/benches."""
+    import pandas as pd
+
+    h = int(
+        pd.util.hash_array(np.asarray([seed_text], dtype=object), categorize=False)[0]
+    )
+    rng = np.random.default_rng(h % (2**32))
+    body = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8)
+    return _MAGIC + struct.pack("<II", width, height) + body.tobytes()
+
+
+def attach_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """documents → (id, blob, n_bytes): derive a deterministic binary
+    payload per row (the fixture generator for multimodal pipelines)."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        blobs = [
+            make_fake_blob(x, 32 + (len(x) % 64), 32 + (len(x) % 48)) for x in texts
+        ]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "blob": pa.array(blobs, type=pa.binary()),
+                "n_bytes": pa.array([len(b) for b in blobs], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=1024)
+
+
+class DecodeStage:
+    """map_batches actor: decode binary payloads → typed metadata
+    (+ optionally a feature vector). Codec state is 'loaded' once per
+    actor in __init__ — the real-codec analog would open the model /
+    library handle here.
+
+    codec="fake"  → parse the fake header (deterministic, no deps)
+    codec="pil" / "ffmpeg" / ... → NotImplementedError (not in container)
+    """
+
+    def __init__(self, codec: str = "fake", with_features: bool = False):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r} requires media libraries not present in "
+                "this environment; only the deterministic 'fake' codec runs here"
+            )
+        self.codec = codec
+        self.with_features = with_features
+
+    def _decode_one(self, blob: bytes) -> tuple[int, int, str]:
+        if blob[:8] != _MAGIC:
+            return -1, -1, "unknown"
+        w, h = struct.unpack("<II", blob[8:16])
+        return int(w), int(h), "fakeimg"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = t["blob"].to_pylist()
+        meta = [self._decode_one(b) for b in blobs]
+        cols = dict(zip(t.schema.names, t.columns))
+        cols["width"] = pa.array([m[0] for m in meta], type=pa.int32())
+        cols["height"] = pa.array([m[1] for m in meta], type=pa.int32())
+        cols["format"] = pa.array([m[2] for m in meta], type=pa.string())
+        if self.with_features:
+            # stand-in feature extractor: mean/std of payload bytes
+            feats = []
+            for b in blobs:
+                arr = np.frombuffer(b[16:], dtype=np.uint8).astype(np.float32)
+                feats.append(
+                    [float(arr.mean()), float(arr.std())] if arr.size else [0.0, 0.0]
+                )
+            cols["features"] = pa.array(feats, type=pa.list_(pa.float32()))
+        return pa.table(cols)
+
+
+def decode_pipeline(ds: rd.Dataset, with_features: bool = False) -> rd.Dataset:
+    """Standard multimodal decode shape: small batches (wide binary
+    rows), bounded actor pool."""
+    return ds.map_batches(
+        DecodeStage,
+        fn_constructor_args=("fake", with_features),
+        batch_format="pyarrow",
+        batch_size=256,  # binary payloads are wide — keep batches small
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -1,0 +1,80 @@
+"""Query-surface tests: every oracle-checked query matches DuckDB on the
+same tables (the local mirror of the driver's correctness gate), and the
+rows-only queries hold their own invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ethereum_raw_data_crawler_ray.pipelines.oracle_check import check_all, to_pandas
+from ethereum_raw_data_crawler_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+
+def test_every_oracle_key_has_query():
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_oracle_parity_sf0001(sf_dir, ray_session):
+    res = check_all(sf_dir)
+    bad = {k: v for k, v in res.items() if v}
+    assert not bad, f"oracle mismatches: {bad}"
+
+
+class TestRowsOnly:
+    def test_quality_score_bounds(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q23_quality_score"](sf_dir))
+        assert len(df) == 500
+        assert df["quality"].between(0, 1).all()
+        assert (df["n_tokens_bpe"] > 0).all()
+
+    def test_fingerprint_stable_and_distinct(self, sf_dir, ray_session):
+        a = to_pandas(QUERIES["q24_fingerprint"](sf_dir)).sort_values("doc_id")
+        b = to_pandas(QUERIES["q24_fingerprint"](sf_dir)).sort_values("doc_id")
+        assert (a["fingerprint"].to_numpy() == b["fingerprint"].to_numpy()).all()
+        # all 500 docs distinct → all fingerprints distinct
+        assert a["fingerprint"].nunique() == len(a)
+
+    def test_simhash_determinism(self, sf_dir, ray_session):
+        a = to_pandas(QUERIES["q25_simhash"](sf_dir)).sort_values("doc_id")
+        b = to_pandas(QUERIES["q25_simhash"](sf_dir)).sort_values("doc_id")
+        assert (a["simhash"].to_numpy() == b["simhash"].to_numpy()).all()
+        # band keys really are the 16-bit slices
+        sh = a["simhash"].to_numpy().astype(np.uint64)
+        assert (a["band0"].to_numpy().astype(np.uint64) == (sh & np.uint64(0xFFFF))).all()
+
+    def test_minhash_pairs_sane(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q26_minhash_pairs"](sf_dir))
+        assert (df["id_a"] < df["id_b"]).all()
+        assert df["est_sim"].between(0, 1).all()
+
+    def test_dedup_groups_partition(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q27_dedup_groups"](sf_dir))
+        assert len(df) == 500
+        # group representative is a member id
+        assert set(df["group_id"]).issubset(set(df["doc_id"]))
+
+    def test_knn_ivf_recall(self, sf_dir, ray_session):
+        brute = to_pandas(QUERIES["q28_knn_brute"](sf_dir))
+        approx = to_pandas(QUERIES["q29_knn_ivf"](sf_dir))
+        recall = len(set(brute["vec_id"]) & set(approx["vec_id"])) / len(brute)
+        assert recall >= 0.6, f"IVF recall {recall}"
+
+    def test_multimodal_decode(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q33_multimodal_decode"](sf_dir))
+        assert (df["format"] == "fakeimg").all()
+        assert (df["width"] >= 32).all() and (df["height"] >= 32).all()
+
+    def test_multimodal_real_codec_stubbed(self):
+        from ethereum_raw_data_crawler_ray.stages.multimodal import DecodeStage
+
+        with pytest.raises(NotImplementedError):
+            DecodeStage(codec="pil")
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30
