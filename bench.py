@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline pipeline: the URL-frontier crawl (politeness + robots + seen-set
+dedup + fetch + extract + checkpointing) over a deterministic synthetic
+pages corpus sized for $GRAFT_SF_DIR, plus timings for representative
+query pipelines over the sf tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline crawl seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the same bench twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox evidence for the N→4N cluster
+criterion, see BASELINE.md) and reports both throughputs + efficiency.
+
+Round shape: bench rounds use a larger simulated round (round_ms) and a
+bounded number of rounds — the metric is frontier THROUGHPUT
+(URLs scheduled+fetched per second of crawl-loop time), not
+time-to-exhaustion; the long politeness tail of a zipf-skewed corpus is
+measured by the tail rounds included in the cap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_PAGES = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 400_000}
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    n_pages = SF_PAGES.get(sf, 30_000)
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=ncpu, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ethereum_raw_data_crawler_ray.config import CrawlConfig
+    from ethereum_raw_data_crawler_ray.pipelines.crawl import CrawlPipeline
+    from ethereum_raw_data_crawler_ray.stages.fetch import build_fetch_index
+    from ethereum_raw_data_crawler_ray.testdata import ensure_corpus
+
+    # heavier pages (60-180 words) + a wide seed list: the bench measures
+    # steady-state frontier throughput, so BFS warmup is kept short
+    corpus = ensure_corpus(
+        n_pages, n_hosts=100, n_seeds=max(100, n_pages // 200),
+        base_dir="/tmp/bench_corpus", min_words=60, max_words=180,
+    )
+    index_dir = f"/tmp/bench_index/n{n_pages}"
+    build_fetch_index(corpus + "/pages.parquet", index_dir, 32)  # cached
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    pq.read_table(corpus + "/pages.parquet", columns=["url"])
+
+    out_dir = f"/tmp/bench_out/{sf}_c{ncpu}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        pages_path=corpus + "/pages.parquet",
+        index_dir=index_dir,
+        out_dir=out_dir,
+        n_fetch_buckets=32,
+        n_seen_shards=8,
+        seen_shard_capacity=1 << 19,
+        round_ms=600_000,           # 10-minute simulated rounds → big budgets
+        max_per_host_round=5_000,
+        extra={
+            "robots_path": corpus + "/robots.parquet",
+            "seeds_path": corpus + "/seeds.parquet",
+            "checkpoint_every": 5,
+            "n_store_shards": 8,
+            "host_salt": 2,         # exercise the skew-salting path
+            "enrich": True,         # in-flight page analytics (real work/URL)
+        },
+    )
+    pipe = CrawlPipeline(cfg)
+    t_setup = time.perf_counter()
+    pipe.prepare()  # store actors load the corpus once
+    setup_s = time.perf_counter() - t_setup
+
+    t0 = time.perf_counter()
+    totals = pipe.run(max_rounds=10)
+    crawl_s = time.perf_counter() - t0
+    pipe.close()
+
+    urls_per_s = totals["scheduled"] / crawl_s if crawl_s > 0 else 0.0
+
+    # representative query pipelines over the sf tables
+    from ethereum_raw_data_crawler_ray.pipelines.oracle_check import to_pandas
+    from ethereum_raw_data_crawler_ray.pipelines.queries import QUERIES
+
+    qnames = [
+        "q01_pricing_summary", "q10_revenue_by_nation", "q20_exact_dedup",
+        "q26_minhash_pairs", "q28_knn_brute", "q31_window_tumbling",
+    ]
+    qtimes = {}
+    for name in qnames:
+        tq = time.perf_counter()
+        to_pandas(QUERIES[name](sf_dir))
+        qtimes[name] = round(time.perf_counter() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "frontier crawl wall time (synthetic Common-Crawl-style corpus)",
+        "value": round(crawl_s, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "corpus_pages": n_pages,
+        "urls_fetched": totals["fetched"],
+        "urls_scheduled": totals["scheduled"],
+        "rounds": totals["rounds"],
+        "urls_per_sec": round(urls_per_s, 1),
+        "setup_s": round(setup_s, 3),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs → scaling efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = (t32 / t8) / (32 / 8) if t8 > 0 else 0.0
+    return {
+        "metric": "scaling efficiency (urls/sec at 32 cpus vs 8 cpus, fresh sessions)",
+        "urls_per_sec_8": t8,
+        "urls_per_sec_32": t32,
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[8]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -41,23 +41,30 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
-
 from ..config import CrawlConfig
 from ..functions.hashing import hash_strings
 from ..functions.urlnorm import normalize_many
 from ..schema import FRONTIER, LINEAGE
-from ..stages.fetch import STATUS_ERROR, STATUS_FETCHED, FetchSim, build_fetch_index
+from ..stages.fetch import (
+    STATUS_ERROR,
+    STATUS_FETCHED,
+    FetchSim,
+    build_fetch_index,
+    fetch_via_store,
+)
 from ..state.politeness import (
     GATE_DEFER,
     GATE_FETCH,
     GATE_ROBOTS,
     GATE_SKIPPED,
-    PolitenessFinal,
-    PolitenessPhase1,
+    CutoffPool,
+    cutoff_gate,
+    final_gate,
     load_robots,
+    phase1_gate,
 )
 from ..state.seen import ActorSeenSet, SeenFilterBatch
+from ..state.store import ActorPageStore
 
 EPOCH0 = pa.scalar(0, type=pa.timestamp("us"))
 
@@ -103,6 +110,86 @@ def frontier_from_seeds(seeds: pa.Table) -> pa.Table:
     return t.filter(pa.array(ok))
 
 
+def _carry_rows(t: pa.Table, *, round_no: int, max_retries: int, skip_rounds: int) -> pa.Table:
+    """Carry rows into the next frontier: deferred / skipped rows
+    unchanged; errored rows retry, sit out a skip window at max_retries,
+    get one final chance, then drop permanently (mirror of
+    handleBlockProcessingError's failedBlocks→skippedBlocks,
+    scheduler_service.go:324-357, made terminating)."""
+    frontier_cols = [f.name for f in FRONTIER]
+    gate = np.asarray(t["gate"].to_pandas(), dtype=object)
+    status = np.asarray(t["status"].to_pandas(), dtype=object)
+    attempts = np.asarray(t["attempts"].to_pandas(), dtype=np.int32).copy()
+    skip_until = np.asarray(t["skip_until_round"].to_pandas(), dtype=np.int32).copy()
+    keep = (gate == GATE_DEFER) | (gate == GATE_SKIPPED)
+    err = (gate == GATE_FETCH) & (status == STATUS_ERROR)
+    attempts[err] += 1
+    skip_now = err & (attempts == max_retries)
+    skip_until[skip_now] = round_no + 1 + skip_rounds
+    dropped = err & (attempts > max_retries)  # permanent failure
+    keep |= err & ~dropped
+    t = t.set_column(
+        t.schema.get_field_index("attempts"), "attempts",
+        pa.array(attempts, type=pa.int32()),
+    ).set_column(
+        t.schema.get_field_index("skip_until_round"), "skip_until_round",
+        pa.array(skip_until, type=pa.int32()),
+    )
+    return t.select(frontier_cols).filter(pa.array(keep))
+
+
+# discovered-row attributes are PURE FUNCTIONS of (url, discovery round):
+#   depth    := round + 1   (discovery depth — frontier enters in BFS waves)
+#   priority := 0           (base priority; reprioritization is a frontier rewrite)
+#   warc_ts  := BASE + url_hash-derived jitter (deterministic enqueue-time analog)
+# Consequence: duplicates of a URL discovered by many parents in the same
+# round are IDENTICAL rows, so the seen-shard first-claim IS the dedup —
+# no per-round groupby(url) shuffle (the sort-based aggregate was the
+# dominant per-round cost; this removes the all-to-all entirely,
+# SURVEY.md §7.3 "minimize shuffles").
+_TS_JITTER_US = np.int64(30 * 86400) * np.int64(1_000_000)
+_TS_BASE_US = np.int64(1753401600000000)  # 2025-07-25T00:00:00Z
+
+
+def _explode_outlinks(t: pa.Table, *, round_no: int) -> pa.Table:
+    """fetched rows → one frontier row per distinct valid outlink in the
+    batch (normalized; invalid URLs dropped — the malformed-input
+    robustness mirror). Cross-batch duplicates are handled by the seen
+    filter (identical rows, order-independent)."""
+    links = t["outlinks"].to_pylist()
+    urls: list[str] = []
+    for ls in links:
+        if ls:
+            urls.extend(ls)
+    norm, hosts, ok = normalize_many(urls)
+    # within-batch dedup (cheap; reduces seen-actor traffic)
+    seen_local: set = set()
+    for i in range(len(norm)):
+        if ok[i]:
+            if norm[i] in seen_local:
+                ok[i] = False
+            else:
+                seen_local.add(norm[i])
+    norm = norm[ok]
+    hosts = hosts[ok]
+    n = len(norm)
+    h = hash_strings(norm)
+    ts = _TS_BASE_US + (h % np.uint64(_TS_JITTER_US)).astype(np.int64)
+    return pa.table(
+        {
+            "url": pa.array(norm, type=pa.string()),
+            "url_hash": pa.array(h, type=pa.uint64()),
+            "host": pa.array(hosts, type=pa.string()),
+            "priority": pa.array(np.zeros(n, dtype=np.int32)),
+            "depth": pa.array(np.full(n, round_no + 1, dtype=np.int32)),
+            "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "attempts": pa.array(np.zeros(n, dtype=np.int32)),
+            "skip_until_round": pa.array(np.full(n, -1, dtype=np.int32)),
+        },
+        schema=FRONTIER,
+    )
+
+
 class CrawlPipeline:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
@@ -125,10 +212,17 @@ class CrawlPipeline:
 
     # --- setup ------------------------------------------------------------
     def close(self) -> None:
-        """Release the seen-shard actors (state is on disk in seen/)."""
+        """Release the seen-shard + page-store actors (seen state is on
+        disk in seen/; the store is rebuilt from the index)."""
         if self.seen is not None:
             self.seen.kill()
             self.seen = None
+        if getattr(self, "store", None) is not None:
+            self.store.kill()
+            self.store = None
+        if getattr(self, "cutoff_pool", None) is not None:
+            self.cutoff_pool.kill()
+            self.cutoff_pool = None
 
     def prepare(self) -> None:
         cfg = self.cfg
@@ -137,6 +231,21 @@ class CrawlPipeline:
         robots = load_robots(cfg.extra["robots_path"]) if "robots_path" in cfg.extra else {}
         self.robots_ref = ray.put(robots)
         self.seen = ActorSeenSet(cfg.n_seen_shards, cfg.seen_shard_capacity)
+        self.store = None
+        if cfg.extra.get("fetch_mode", "store") == "store":
+            n_store = int(cfg.extra.get("n_store_shards", min(8, cfg.n_fetch_buckets)))
+            self.store = ActorPageStore(cfg.index_dir, cfg.n_fetch_buckets, n_store)
+            self.store.wait_ready()  # corpus loads ONCE per run, not per round
+        self.cutoff_pool = None
+        if cfg.extra.get("politeness_mode", "cutoff") == "cutoff":
+            self.cutoff_pool = CutoffPool(
+                int(cfg.extra.get("n_cutoff_actors", 4)),
+                self.robots_ref,
+                cfg.round_ms,
+                cfg.default_crawl_delay_ms,
+                cfg.max_per_host_round,
+                max(1, int(cfg.extra.get("host_salt", 1))),
+            )
 
     def bootstrap(self, seeds: pa.Table) -> None:
         """Write frontier/round=0 from the seed list, claiming seeds in
@@ -152,7 +261,10 @@ class CrawlPipeline:
         pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
         shutil.rmtree(d, ignore_errors=True)
         os.rename(tmp, d)
-        self.seen.save(self._p("seen", "bootstrap"))
+        bdir = self._p("seen", "bootstrap")
+        self.seen.save(bdir)
+        with open(os.path.join(bdir, "_COMPLETE"), "w") as f:
+            f.write("ok")
 
     # --- one round --------------------------------------------------------
     def run_round(self, r: int) -> dict:
@@ -162,40 +274,76 @@ class CrawlPipeline:
         rounds_dir = self._p("rounds", f"round_{r:05d}")
 
         n_salt = int(cfg.extra.get("host_salt", 1))
-        phase1_args = (
-            self.robots_ref, r, cfg.round_ms, cfg.default_crawl_delay_ms,
-            cfg.max_per_host_round, n_salt,
-        )
-        final_args = (
-            self.robots_ref, cfg.round_ms, cfg.default_crawl_delay_ms,
-            cfg.max_per_host_round, n_salt,
+        err = int(cfg.extra.get("error_permille", 0))
+        enrich = bool(cfg.extra.get("enrich", False))
+        pol = dict(
+            robots_ref=self.robots_ref,
+            round_ms=cfg.round_ms,
+            default_delay_ms=cfg.default_crawl_delay_ms,
+            max_per_host=cfg.max_per_host_round,
+            n_salt=n_salt,
         )
 
-        ds = (
-            rd.read_parquet(frontier_dir)
-            .map_batches(
-                PolitenessPhase1,
-                fn_constructor_args=phase1_args,
+        # split the frontier read so phase1 parallelizes even when the
+        # previous round wrote few files (blocks are the unit of
+        # map-task parallelism in Ray Data)
+        n_frontier = _count_rows(frontier_dir)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        blocks = max(1, min(2 * ncpu, -(-n_frontier // 8192)))
+        frontier = rd.read_parquet(frontier_dir, override_num_blocks=blocks)
+
+        if self.cutoff_pool is not None:
+            # cutoff mode (default): phase 1 streams partial top-k offers
+            # to the politeness-bucket actors; the materialize() barrier
+            # guarantees every candidate was offered; then a stateless
+            # pass gates by the broadcast per-key cutoffs. NO shuffle of
+            # the frontier (the groupby-based sort barrier cost seconds
+            # per round for milliseconds of compute).
+            self.cutoff_pool.reset()
+            gated = frontier.map_batches(
+                phase1_gate,
+                fn_kwargs=dict(
+                    pol, round_no=r, cutoff_handles=self.cutoff_pool.handles
+                ),
                 batch_format="pandas",
                 batch_size=8192,
-                concurrency=(1, 4),
-                num_cpus=0.5,
-            )
-            .groupby("pkey")
-            .map_groups(
-                PolitenessFinal,
-                fn_constructor_args=final_args,
+            ).materialize()
+            cutoffs_ref = ray.put(self.cutoff_pool.collect())
+            gated = gated.map_batches(
+                cutoff_gate,
+                fn_kwargs={"cutoffs_ref": cutoffs_ref},
                 batch_format="pandas",
-                concurrency=(1, 4),
-                num_cpus=0.5,
+                batch_size=8192,
             )
-            .map_batches(
+        else:
+            # groupby mode (politeness_mode="groupby"): the host-keyed
+            # shuffle + per-group final top-k — semantically identical,
+            # kept for cross-validation
+            gated = frontier.map_batches(
+                phase1_gate,
+                fn_kwargs=dict(pol, round_no=r),
+                batch_format="pandas",
+                batch_size=8192,
+            ).groupby("pkey").map_groups(
+                final_gate, fn_kwargs=pol, batch_format="pandas"
+            )
+        if self.store is not None:
+            # store mode: stateless tasks scatter-gather to the resident
+            # page-store shard actors — no per-round pool spin-up
+            fetched = gated.map_batches(
+                fetch_via_store,
+                fn_kwargs={
+                    "store_handles": self.store.handles,
+                    "error_permille": err,
+                    "enrich": enrich,
+                },
+                batch_format="pandas",
+                batch_size=cfg.extract_batch_size,
+            )
+        else:
+            fetched = gated.map_batches(
                 FetchSim,
-                fn_constructor_args=(
-                    cfg.index_dir,
-                    cfg.n_fetch_buckets,
-                    int(cfg.extra.get("error_permille", 0)),
-                ),
+                fn_constructor_args=(cfg.index_dir, cfg.n_fetch_buckets, err, enrich),
                 batch_format="pandas",
                 batch_size=cfg.extract_batch_size,
                 # autoscaling (min,max): a fixed pool sized to the node
@@ -203,7 +351,9 @@ class CrawlPipeline:
                 concurrency=(1, cfg.fetch_concurrency),
                 num_cpus=cfg.cpus_per_fetch_actor,
             )
-            .drop_columns(["pkey"])
+        t_m0 = time.perf_counter()
+        ds = (
+            fetched.drop_columns(["pkey"])
             .map_batches(
                 lambda t, r=r: t.append_column(
                     "round", pa.array(np.full(len(t), r, dtype=np.int32))
@@ -212,25 +362,62 @@ class CrawlPipeline:
             )
         )
         _atomic_write(ds, rounds_dir)
+        t_main = time.perf_counter() - t_m0
 
+        t_e0 = time.perf_counter()
         # --- events (gated: written only after the rounds rename) --------
-        ev = (
-            rd.read_parquet(
+        # per-round events are bounded (≤ the round's fetch budget), so
+        # the projection is a driver-side pyarrow write by default; set
+        # extra["events_via_ray"]=True for giant-round configurations
+        if cfg.extra.get("events_via_ray"):
+            ev = rd.read_parquet(
                 rounds_dir,
                 columns=["url", "url_hash", "host", "page_ts", "n_bytes", "lang", "status"],
                 filter=(pc.field("status") == STATUS_FETCHED),
+            ).map_batches(self._event_project, batch_format="pyarrow", fn_kwargs={"r": r})
+            _atomic_write(ev, self._p("events", f"round_{r:05d}"))
+        else:
+            t = pads.dataset(rounds_dir, format="parquet").to_table(
+                columns=["url", "url_hash", "host", "page_ts", "n_bytes", "lang", "status"],
+                filter=(pc.field("status") == STATUS_FETCHED),
             )
-            .map_batches(self._event_project, batch_format="pyarrow", fn_kwargs={"r": r})
-        )
-        _atomic_write(ev, self._p("events", f"round_{r:05d}"))
+            d = self._p("events", f"round_{r:05d}")
+            tmp = d + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(self._event_project(t, r), os.path.join(tmp, "part-0.parquet"))
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
+
+        t_events = time.perf_counter() - t_e0
 
         # --- next frontier ------------------------------------------------
+        t_f0 = time.perf_counter()
         n_next = self._build_next_frontier(r, rounds_dir)
+        t_frontier = time.perf_counter() - t_f0
 
         # --- checkpoint: seen dumps + per-shard lineage -------------------
-        digests = self.seen.save(self._p("seen", f"round_{r:05d}"))
+        # seen-shard state persists every checkpoint_every rounds (resume
+        # replays the rounds since the last dump — deterministic, so the
+        # replay is bit-identical); digests go into lineage every round
+        t_c0 = time.perf_counter()
+        ckpt_every = int(cfg.extra.get("checkpoint_every", 1))
+        if r % ckpt_every == ckpt_every - 1 or n_next == 0:
+            seen_dir = self._p("seen", f"round_{r:05d}")
+            digests = self.seen.save(seen_dir)
+            with open(os.path.join(seen_dir, "_COMPLETE"), "w") as f:
+                f.write("ok")  # all shards dumped (partial dumps unsafe to load)
+        else:
+            digests = self.seen.digests()
+        t_ckpt = time.perf_counter() - t_c0
+        t_l0 = time.perf_counter()
         stats = self._lineage(r, rounds_dir, digests, time.perf_counter() - t0)
+        stats["t_lineage"] = round(time.perf_counter() - t_l0, 2)
+        stats["t_events"] = round(t_events, 2)
+        stats["t_ckpt"] = round(t_ckpt, 2)
         stats["next_frontier"] = n_next
+        stats["t_main"] = round(t_main, 2)
+        stats["t_frontier"] = round(t_frontier, 2)
         return stats
 
     @staticmethod
@@ -248,97 +435,52 @@ class CrawlPipeline:
         )
 
     def _build_next_frontier(self, r: int, rounds_dir: str) -> int:
+        """Hybrid: small rounds derive the next frontier driver-side
+        (bounded pandas/numpy work — a Ray execution's fixed startup cost
+        would dominate); big rounds run the distributed pipeline. Both
+        paths share the same primitive functions, so content is
+        identical (tested by resume bit-identity with mixed paths)."""
+        threshold = int(self.cfg.extra.get("frontier_driver_threshold", 30_000))
+        if _count_rows(rounds_dir) <= threshold:
+            return self._build_next_frontier_driver(r, rounds_dir)
+        return self._build_next_frontier_ray(r, rounds_dir)
+
+    def _build_next_frontier_ray(self, r: int, rounds_dir: str) -> int:
         cfg = self.cfg
         frontier_cols = [f.name for f in FRONTIER]
-
-        # carry: deferred / skipped rows unchanged; errored rows retry,
-        # then sit out a skip window at max_retries, then get one final
-        # chance before permanent drop (mirror of
-        # handleBlockProcessingError's failedBlocks→skippedBlocks,
-        # scheduler_service.go:324-357, made terminating)
-        def carry_fn(t: pa.Table) -> pa.Table:
-            gate = np.asarray(t["gate"].to_pandas(), dtype=object)
-            status = np.asarray(t["status"].to_pandas(), dtype=object)
-            attempts = np.asarray(t["attempts"].to_pandas(), dtype=np.int32).copy()
-            skip_until = np.asarray(
-                t["skip_until_round"].to_pandas(), dtype=np.int32
-            ).copy()
-            keep = (gate == GATE_DEFER) | (gate == GATE_SKIPPED)
-            err = (gate == GATE_FETCH) & (status == STATUS_ERROR)
-            attempts[err] += 1
-            skip_now = err & (attempts == cfg.max_retries)
-            skip_until[skip_now] = r + 1 + cfg.skip_rounds
-            dropped = err & (attempts > cfg.max_retries)  # permanent failure
-            keep |= err & ~dropped
-            t = t.set_column(
-                t.schema.get_field_index("attempts"), "attempts",
-                pa.array(attempts, type=pa.int32()),
-            ).set_column(
-                t.schema.get_field_index("skip_until_round"), "skip_until_round",
-                pa.array(skip_until, type=pa.int32()),
-            )
-            return t.select(frontier_cols).filter(pa.array(keep))
+        n_rows = _count_rows(rounds_dir)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        blocks = max(1, min(2 * ncpu, -(-n_rows // 8192)))
 
         carry = (
-            rd.read_parquet(rounds_dir, columns=frontier_cols + ["gate", "status"])
-            .map_batches(carry_fn, batch_format="pyarrow")
+            rd.read_parquet(
+                rounds_dir,
+                columns=frontier_cols + ["gate", "status"],
+                override_num_blocks=blocks,
+            )
+            .map_batches(
+                _carry_rows,
+                fn_kwargs=dict(
+                    round_no=r, max_retries=cfg.max_retries, skip_rounds=cfg.skip_rounds
+                ),
+                batch_format="pyarrow",
+            )
         )
 
-        # discovered: explode outlinks of fetched pages, normalize, dedup
-        # per round (min over parents — deterministic), seen-filter (the
-        # anti-join vs crawl history, SURVEY.md J5)
-        def explode(t: pa.Table) -> pa.Table:
-            parents_p = t["priority"].to_numpy()
-            parents_d = t["depth"].to_numpy()
-            parents_ts = t["page_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            links = t["outlinks"].to_pylist()
-            urls, prio, depth, ts = [], [], [], []
-            for i, ls in enumerate(links):
-                for u in ls or ():
-                    urls.append(u)
-                    prio.append(parents_p[i])
-                    depth.append(parents_d[i] + 1)
-                    ts.append(parents_ts[i])
-            norm, hosts, ok = normalize_many(urls)
-            t2 = pa.table(
-                {
-                    "url": pa.array(norm, type=pa.string()),
-                    "host": pa.array(hosts, type=pa.string()),
-                    "priority": pa.array(np.array(prio, dtype=np.int32)),
-                    "depth": pa.array(np.array(depth, dtype=np.int32)),
-                    "warc_ts_us": pa.array(np.array(ts, dtype=np.int64)),
-                }
-            )
-            return t2.filter(pa.array(ok))
-
-        def finish_discovered(t: pa.Table) -> pa.Table:
-            n = len(t)
-            urls = t["url"]
-            return pa.table(
-                {
-                    "url": urls.cast(pa.string()),
-                    "url_hash": pa.array(hash_strings(urls), type=pa.uint64()),
-                    "host": t["host"].cast(pa.string()),
-                    "priority": t["min(priority)"].cast(pa.int32()),
-                    "depth": t["min(depth)"].cast(pa.int32()),
-                    "warc_ts": t["min(warc_ts_us)"].cast(pa.int64()).cast(pa.timestamp("us")),
-                    "attempts": pa.array(np.zeros(n, dtype=np.int32)),
-                    "skip_until_round": pa.array(np.full(n, -1, dtype=np.int32)),
-                },
-                schema=FRONTIER,
-            )
-
+        # discovered: explode outlinks of fetched pages, normalize,
+        # seen-filter (the anti-join vs crawl history, SURVEY.md J5).
+        # No shuffle: discovered rows are pure functions of (url, round),
+        # so the seen-shard first-claim is the round dedup.
         discovered = (
             rd.read_parquet(
                 rounds_dir,
-                columns=["priority", "depth", "page_ts", "outlinks", "status"],
+                columns=["outlinks", "status"],
                 filter=(pc.field("status") == STATUS_FETCHED),
+                override_num_blocks=blocks,
             )
-            .map_batches(explode, batch_format="pyarrow")
-            .groupby("url")
-            .aggregate(Min("priority"), Min("depth"), Min("warc_ts_us"))
-            .map_batches(self._first_host_fix, batch_format="pyarrow")
-            .map_batches(finish_discovered, batch_format="pyarrow")
+            .map_batches(
+                _explode_outlinks, fn_kwargs={"round_no": r}, batch_format="pyarrow"
+            )
             .map_batches(
                 SeenFilterBatch(self.seen.handles),
                 batch_format="pyarrow",
@@ -347,15 +489,35 @@ class CrawlPipeline:
         )
         return _atomic_write(carry.union(discovered), self._p("frontier", f"round_{r + 1:05d}"))
 
-    @staticmethod
-    def _first_host_fix(t: pa.Table) -> pa.Table:
-        """groupby.aggregate drops non-aggregated cols; host is re-derived
-        from the url (cheap, deterministic)."""
-        urls = t["url"].to_pylist()
-        hosts = [u.split("/", 3)[2] for u in urls]
-        if "host" in t.schema.names:
-            t = t.drop_columns(["host"])
-        return t.append_column("host", pa.array(hosts, type=pa.string()))
+    def _build_next_frontier_driver(self, r: int, rounds_dir: str) -> int:
+        cfg = self.cfg
+        frontier_cols = [f.name for f in FRONTIER]
+        t = pads.dataset(rounds_dir, format="parquet").to_table(
+            columns=frontier_cols + ["gate", "status", "outlinks"]
+        )
+        carry = _carry_rows(
+            t, round_no=r, max_retries=cfg.max_retries, skip_rounds=cfg.skip_rounds
+        )
+
+        fetched = t.filter(pc.equal(t["status"], pa.scalar(STATUS_FETCHED)))
+        disc = _explode_outlinks(fetched.select(["outlinks"]), round_no=r)
+        if len(disc):
+            hashes = np.asarray(disc["url_hash"].to_pandas(), dtype=np.uint64)
+            novel = self.seen.check_and_insert(hashes)
+            disc = disc.filter(pa.array(novel))
+            nxt = pa.concat_tables([carry, disc.select([f.name for f in FRONTIER])])
+        else:
+            nxt = carry
+
+        d = self._p("frontier", f"round_{r + 1:05d}")
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        if len(nxt):
+            pq.write_table(nxt, os.path.join(tmp, "part-0.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        return len(nxt)
 
     def _lineage(self, r: int, rounds_dir: str, digests: list[bytes], wall_s: float) -> dict:
         cfg = self.cfg
@@ -416,11 +578,18 @@ class CrawlPipeline:
         cfg = self.cfg
         self.prepare()
         last = self.last_complete_round()
+        # resume needs seen-shard state: rewind to the newest round with a
+        # seen dump (checkpoint_every may skip rounds); the replayed
+        # rounds are deterministic → outputs overwrite bit-identically
+        while last >= 0 and not os.path.exists(
+            self._p("seen", f"round_{last:05d}", "_COMPLETE")
+        ):
+            last -= 1
         if last >= 0:
             self.seen.load(self._p("seen", f"round_{last:05d}"))
             start = last + 1
         elif os.path.exists(self._p("frontier", "round_00000")) and os.path.exists(
-            self._p("seen", "bootstrap", "shard_0.npz")
+            self._p("seen", "bootstrap", "_COMPLETE")
         ):
             self.seen.load(self._p("seen", "bootstrap"))
             start = 0

@@ -183,38 +183,34 @@ class GoldenCrawl:
         carry = carry[~(cerr & (att > self.max_retries))]
         carry = carry.drop(columns=["gate", "salt"])
 
-        # discovered: normalize, per-round dedup with independent mins,
-        # then seen-filter
+        # discovered: normalize + dedup; attributes are pure functions of
+        # (url, round) — same rule as the engine's _explode_outlinks
+        # (depth = discovery round + 1, priority = 0, warc_ts =
+        # deterministic per-url jitter), so no parent-merge is needed
         next_rows = []
         if discovered:
+            from .crawl import _TS_BASE_US, _TS_JITTER_US
+
             d_urls = [d[0] for d in discovered]
             norm, hosts, ok = normalize_many(d_urls)
-            dd = pd.DataFrame(
-                {
-                    "url": norm[ok],
-                    "host": hosts[ok],
-                    "priority": np.array([d[1] for d in discovered], dtype=np.int32)[ok],
-                    "depth": np.array([d[2] for d in discovered], dtype=np.int32)[ok],
-                    "warc_ts": np.array([d[3] for d in discovered], dtype=np.int64)[ok],
-                }
-            )
+            dd = pd.DataFrame({"url": norm[ok], "host": hosts[ok]})
             if len(dd):
-                agg = dd.groupby("url", as_index=False).agg(
-                    host=("host", "first"),
-                    priority=("priority", "min"),
-                    depth=("depth", "min"),
-                    warc_ts=("warc_ts", "min"),
-                )
-                agg["url_hash"] = hash_strings(agg["url"].to_numpy())
-                novel = self.seen.check_and_insert(agg["url_hash"].to_numpy(dtype=np.uint64))
-                agg = agg[novel]
-                agg = agg.assign(
-                    attempts=np.zeros(len(agg), dtype=np.int32),
-                    skip_until_round=np.full(len(agg), -1, dtype=np.int32),
+                dd = dd.drop_duplicates(subset=["url"])
+                dd["url_hash"] = hash_strings(dd["url"].to_numpy())
+                novel = self.seen.check_and_insert(dd["url_hash"].to_numpy(dtype=np.uint64))
+                dd = dd[novel]
+                n = len(dd)
+                dd = dd.assign(
+                    priority=np.zeros(n, dtype=np.int32),
+                    depth=np.full(n, r + 1, dtype=np.int32),
+                    warc_ts=_TS_BASE_US
+                    + (dd["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(_TS_JITTER_US)).astype(np.int64),
+                    attempts=np.zeros(n, dtype=np.int32),
+                    skip_until_round=np.full(n, -1, dtype=np.int32),
                 )
                 next_rows.append(
-                    agg[["url", "url_hash", "host", "priority", "depth",
-                         "warc_ts", "attempts", "skip_until_round"]]
+                    dd[["url", "url_hash", "host", "priority", "depth",
+                        "warc_ts", "attempts", "skip_until_round"]]
                 )
 
         parts = []

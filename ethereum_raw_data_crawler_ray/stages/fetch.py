@@ -3,20 +3,20 @@
 The reference fetches one block per RPC call with 3 retries and
 reconnect-on-error (``ethereum_service.go:142-185``), then its
 transactions (``:256-315``). The sandbox has no network, so "fetching" a
-URL means looking its payload up in a **hash-bucketed fetch index** built
-once from the input pages table: pages are partitioned by
-``url_hash % n_buckets`` into per-bucket Parquet files, and each fetch
-actor reads only the bucket files its batch's URLs map to, with an
-``url ∈ {...}`` predicate pushed into the Parquet read. That is the
-honest scale shape of a KV/content-store lookup: per-batch I/O is
-O(batch), never O(corpus).
+URL is a lookup against the pages corpus, via one of two modes:
 
-The stage is an actor pool (callable class): the bucket → fragment-paths
-map is resolved once in ``__init__``; per batch it fetches, extracts
-(strict→lenient→raw fallback chain, :mod:`..functions.extract`), and
-stamps ``status`` — ``fetched`` or ``error`` (missing URL or injected
-deterministic transient failure, the analog of RPC errors driving the
-retry path, ``scheduler_service.go:324-357``).
+* **store mode** (default): scatter-gather point lookups against the
+  long-lived :class:`..state.store.PageStoreShard` actor pool — the
+  honest shape of a distributed content store; per-batch cost is
+  O(batch), the corpus is loaded once per run, never per round.
+* **parquet mode**: probe the hash-bucketed fetch index directly with an
+  ``url ∈ {...}`` predicate pushed into the Parquet read — no resident
+  state, pays read amplification per round; kept as the no-memory path.
+
+Both modes share error injection (deterministic transient failures — the
+analog of RPC errors driving the retry path,
+``scheduler_service.go:324-357``) and the extraction step
+(strict→lenient→raw fallback chain, :mod:`..functions.extract`).
 """
 
 from __future__ import annotations
@@ -66,28 +66,139 @@ def build_fetch_index(pages_path: str, index_dir: str, n_buckets: int) -> str:
     return index_dir
 
 
+def transient_fail_mask(hashes: np.ndarray, attempts: np.ndarray, permille: int) -> np.ndarray:
+    """Deterministic transient error injection (first attempt only)."""
+    if permille <= 0:
+        return np.zeros(len(hashes), dtype=bool)
+    with np.errstate(over="ignore"):
+        z = (hashes.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & _M64
+    transient = ((z >> np.uint64(40)) % np.uint64(1000)) < np.uint64(permille)
+    return transient & (attempts == 0)
+
+
+def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
+              fail_now: np.ndarray, enrich: bool = False) -> pa.Table:
+    """Common output builder: frontier batch + per-url payload lookups
+    (None = miss) → the round-table Arrow batch (extraction inline)."""
+    n = len(df)
+    status = np.full(n, None, dtype=object)
+    page_ts = np.zeros(n, dtype=np.int64)
+    has_page = np.zeros(n, dtype=bool)
+    lang = np.full(n, None, dtype=object)
+    text = np.full(n, None, dtype=object)
+    n_bytes = np.zeros(n, dtype=np.int64)
+    outlinks: list = [[] for _ in range(n)]
+
+    htmls, html_rows = [], []
+    for k, row in enumerate(fetch_ix):
+        p = payloads[k]
+        if fail_now[k] or p is None:
+            status[row] = STATUS_ERROR
+        else:
+            status[row] = STATUS_FETCHED
+            htmls.append(p[1])
+            html_rows.append((row, p))
+    texts, links = extract_batch(htmls)
+    for pos, (row, p) in enumerate(html_rows):
+        ts, raw, lg = p
+        page_ts[row] = ts
+        has_page[row] = True
+        lang[row] = lg
+        text[row] = texts[pos]
+        n_bytes[row] = len(raw)
+        outlinks[row] = links[pos]
+
+    cols = {name: pa.Array.from_pandas(df[name]) for name in df.columns}
+    cols["warc_ts"] = pa.Array.from_pandas(df["warc_ts"]).cast(pa.timestamp("us"))
+    cols["url_hash"] = pa.array(
+        df["url_hash"].to_numpy().astype(np.uint64), type=pa.uint64()
+    )
+    cols.update(
+        {
+            "status": pa.array(status, type=pa.string()),
+            "page_ts": pa.array(page_ts, type=pa.int64(), mask=~has_page).cast(
+                pa.timestamp("us")
+            ),
+            "lang": pa.array(lang, type=pa.string()),
+            "text": pa.array(text, type=pa.large_string()),
+            "n_bytes": pa.array(n_bytes, type=pa.int64()),
+            "n_outlinks": pa.array(
+                np.array([len(x) for x in outlinks], dtype=np.int32)
+            ),
+            "outlinks": pa.array(outlinks, type=pa.list_(pa.string())),
+        }
+    )
+    if enrich:
+        # in-flight page analytics (the training-data-crawl work a real
+        # pipeline does per page): language ID, quality score, BPE-ish
+        # token count, SimHash — computed where the text already is,
+        # avoiding a second pass over the corpus
+        from ..functions.textstats import (
+            lang_id,
+            quality_stats,
+            simhash64,
+            token_count_bpe,
+        )
+
+        lg = np.full(n, None, dtype=object)
+        qual = np.zeros(n, dtype=np.float64)
+        ntok = np.zeros(n, dtype=np.int64)
+        sh = np.zeros(n, dtype=np.uint64)
+        for row in np.flatnonzero(has_page):
+            x = text[row]
+            n_chars, n_t, n_punct, n_stop = quality_stats(x)
+            score = min(1.0, n_t / 64.0) * (1.0 - n_punct / max(1, n_chars))
+            score *= 0.5 + 0.5 * min(1.0, n_stop / max(1, n_t) * 5)
+            lg[row] = lang_id(x)
+            qual[row] = round(score, 6)
+            ntok[row] = token_count_bpe(x)
+            sh[row] = simhash64(x)
+        cols["lang_guess"] = pa.array(lg, type=pa.string())
+        cols["quality"] = pa.array(qual, type=pa.float64())
+        cols["n_tokens_bpe"] = pa.array(ntok, type=pa.int64())
+        cols["simhash"] = pa.array(sh, type=pa.uint64())
+    return pa.table(cols)
+
+
+def fetch_via_store(
+    df: pd.DataFrame, *, store_handles: list, error_permille: int = 0,
+    enrich: bool = False,
+) -> pa.Table:
+    """Store-mode fetch: stateless task, scatter-gather to the page-store
+    shard actors (closure-serialized handles), extract inline."""
+    from ..state.store import fetch_scatter
+
+    fetch_mask = (df["gate"] == GATE_FETCH).to_numpy()
+    fetch_ix = np.flatnonzero(fetch_mask)
+    urls = df["url"].to_numpy()[fetch_mask]
+    hashes = df["url_hash"].to_numpy().astype(np.uint64)[fetch_mask]
+    attempts = df["attempts"].to_numpy()[fetch_mask]
+    fail_now = transient_fail_mask(hashes, attempts, error_permille)
+    payloads: list = [None] * len(urls)
+    if (~fail_now).any():
+        got = fetch_scatter(store_handles, urls[~fail_now], hashes[~fail_now])
+        for k, i in enumerate(np.flatnonzero(~fail_now)):
+            payloads[i] = got[k]
+    return _assemble(df, payloads, fetch_ix, fail_now, enrich=enrich)
+
+
 class FetchSim:
-    """map_batches actor: simulated fetch + extraction.
+    """Parquet-probe fetch mode: map_batches actor holding the bucket →
+    fragment-paths map (resolved once per actor in __init__)."""
 
-    Rows with gate != 'fetch' pass through untouched (payload columns
-    null). ``error_permille`` injects deterministic transient failures:
-    a URL fails on its first attempt iff mix(url_hash) lands under the
-    rate, and succeeds on retry — exercising the reference's
-    retry-then-skip path (scheduler_service.go:84-93) without randomness.
-    """
-
-    def __init__(self, index_dir: str, n_buckets: int, error_permille: int = 0):
+    def __init__(self, index_dir: str, n_buckets: int, error_permille: int = 0,
+                 enrich: bool = False):
         self.n_buckets = n_buckets
         self.error_permille = error_permille
+        self.enrich = enrich
         self.bucket_files: dict[int, list[str]] = {}
         for j in range(n_buckets):
             files = sorted(glob.glob(os.path.join(index_dir, f"bucket={j}", "*.parquet")))
             self.bucket_files[j] = files
 
     def _lookup(self, urls: np.ndarray, hashes: np.ndarray) -> dict:
-        """url → (warc_ts_us:int, html:bytes, lang:str) for urls present in
-        the store, read only from the owning buckets with an isin filter
-        pushed into the Parquet scan."""
+        """url → (warc_ts_us, html, lang) for urls present, read only from
+        the owning buckets with an isin filter pushed into the scan."""
         buckets = (hashes % np.uint64(self.n_buckets)).astype(np.int64)
         out: dict = {}
         for j in np.unique(buckets):
@@ -110,73 +221,14 @@ class FetchSim:
         return out
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
-        n = len(df)
-        status = np.full(n, None, dtype=object)
-        page_ts = np.zeros(n, dtype=np.int64)
-        has_page = np.zeros(n, dtype=bool)
-        lang = np.full(n, None, dtype=object)
-        text = np.full(n, None, dtype=object)
-        n_bytes = np.zeros(n, dtype=np.int64)
-        outlinks: list = [[] for _ in range(n)]
-
         fetch_mask = (df["gate"] == GATE_FETCH).to_numpy()
-        if fetch_mask.any():
-            urls = df["url"].to_numpy()[fetch_mask]
-            hashes = df["url_hash"].to_numpy().astype(np.uint64)[fetch_mask]
-            attempts = df["attempts"].to_numpy()[fetch_mask]
-
-            # deterministic transient error injection (first attempt only)
-            if self.error_permille > 0:
-                with np.errstate(over="ignore"):
-                    z = (hashes * np.uint64(0x9E3779B97F4A7C15)) & _M64
-                transient = ((z >> np.uint64(40)) % np.uint64(1000)) < np.uint64(
-                    self.error_permille
-                )
-                fail_now = transient & (attempts == 0)
-            else:
-                fail_now = np.zeros(len(urls), dtype=bool)
-
-            by_url = self._lookup(urls[~fail_now], hashes[~fail_now])
-
-            fetch_ix = np.flatnonzero(fetch_mask)
-            htmls, html_rows = [], []
-            for k, u in enumerate(urls):
-                row = fetch_ix[k]
-                if fail_now[k] or u not in by_url:
-                    status[row] = STATUS_ERROR
-                else:
-                    status[row] = STATUS_FETCHED
-                    htmls.append(by_url[u][1])
-                    html_rows.append((row, u))
-
-            texts, links = extract_batch(htmls)
-            for pos, (row, u) in enumerate(html_rows):
-                ts, raw, lg = by_url[u]
-                page_ts[row] = ts
-                has_page[row] = True
-                lang[row] = lg
-                text[row] = texts[pos]
-                n_bytes[row] = len(raw)
-                outlinks[row] = links[pos]
-
-        cols = {name: pa.Array.from_pandas(df[name]) for name in df.columns}
-        cols["warc_ts"] = pa.Array.from_pandas(df["warc_ts"]).cast(pa.timestamp("us"))
-        cols["url_hash"] = pa.array(
-            df["url_hash"].to_numpy().astype(np.uint64), type=pa.uint64()
-        )
-        cols.update(
-            {
-                "status": pa.array(status, type=pa.string()),
-                "page_ts": pa.array(page_ts, type=pa.int64(), mask=~has_page).cast(
-                    pa.timestamp("us")
-                ),
-                "lang": pa.array(lang, type=pa.string()),
-                "text": pa.array(text, type=pa.large_string()),
-                "n_bytes": pa.array(n_bytes, type=pa.int64()),
-                "n_outlinks": pa.array(
-                    np.array([len(x) for x in outlinks], dtype=np.int32)
-                ),
-                "outlinks": pa.array(outlinks, type=pa.list_(pa.string())),
-            }
-        )
-        return pa.table(cols)
+        fetch_ix = np.flatnonzero(fetch_mask)
+        urls = df["url"].to_numpy()[fetch_mask]
+        hashes = df["url_hash"].to_numpy().astype(np.uint64)[fetch_mask]
+        attempts = df["attempts"].to_numpy()[fetch_mask]
+        fail_now = transient_fail_mask(hashes, attempts, self.error_permille)
+        by_url = self._lookup(urls[~fail_now], hashes[~fail_now])
+        payloads = [
+            None if fail_now[k] else by_url.get(u) for k, u in enumerate(urls)
+        ]
+        return _assemble(df, payloads, fetch_ix, fail_now, enrich=self.enrich)

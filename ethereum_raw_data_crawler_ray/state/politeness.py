@@ -96,107 +96,276 @@ def robots_denied(url: str, host: str, robots: dict) -> bool:
     return any(p.startswith(pref) for pref in prefixes)
 
 
-class PolitenessPhase1:
-    """Stateless-per-batch gate (actor pool so the robots dict is fetched
-    from the object store once per actor, not once per batch).
+def phase1_gate(
+    df: pd.DataFrame,
+    *,
+    robots_ref,
+    round_no: int,
+    round_ms: int,
+    default_delay_ms: int,
+    max_per_host: int,
+    n_salt: int,
+    cutoff_handles: list | None = None,
+) -> pd.DataFrame:
+    """Per-batch gate — a stateless map_batches task; the robots table is
+    a ray.put broadcast resolved once per worker process (no per-round
+    actor-pool spin-up — that fixed cost would cap scaling efficiency).
 
-    Input: pandas frontier batch (+ current round). Output: same rows with
-    ``gate`` ∈ {candidate, defer, robots_denied, skipped} and a ``pkey``
-    politeness-shuffle key. Per-batch partial top-k caps each host's
-    candidate rows at its full budget."""
+    Output: same rows with ``gate`` ∈ {candidate, defer, robots_denied,
+    skipped} and a ``pkey`` politeness-shuffle key. Per-batch partial
+    top-k caps each salted key at its budget share (a combiner: the
+    global per-key top-k is a subset of the union of per-batch top-ks,
+    so cutting here never cuts a row the final stage would select)."""
+    from ..functions.broadcast import get_broadcast
 
-    def __init__(self, robots_ref, round_no: int, round_ms: int,
+    robots = get_broadcast(robots_ref)
+    n_salt = max(1, n_salt)
+    n = len(df)
+    gate = np.full(n, GATE_CANDIDATE, dtype=object)
+
+    urls = df["url"].to_numpy()
+    hosts = df["host"].to_numpy()
+    # robots gate (analog of skip-set filter F4, scheduler_service.go:291-303
+    # — but content-based: disallowed prefixes never fetch)
+    for i in range(n):
+        if robots_denied(urls[i], hosts[i], robots):
+            gate[i] = GATE_ROBOTS
+    # retry skip-window: rows sitting out their skip_rounds penalty
+    skipped = df["skip_until_round"].to_numpy() > round_no
+    gate[skipped & (gate == GATE_CANDIDATE)] = GATE_SKIPPED
+
+    df = df.assign(gate=gate)
+    if n_salt > 1:
+        salt = (
+            df["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(n_salt)
+        ).astype(np.int64)
+        df["pkey"] = df["host"] + "#" + salt.astype(str)
+    else:
+        df["pkey"] = df["host"]
+
+    cand = df[df["gate"] == GATE_CANDIDATE]
+    if len(cand):
+        ranked = cand.sort_values(ORDER_COLS, kind="mergesort")
+        keep_ix = []
+        offers: dict[str, pd.DataFrame] = {}
+        for pkey, g in ranked.groupby("pkey", sort=False):
+            host, salt_no = (pkey.rsplit("#", 1) if n_salt > 1 else (pkey, 0))
+            b = salt_budget(
+                budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
+                n_salt,
+                int(salt_no),
+            )
+            keep_ix.append(g.index[:b].to_numpy())
+            if cutoff_handles is not None:
+                offers[pkey] = g.iloc[:b]
+        keep = pd.Index(np.concatenate(keep_ix))
+        over = cand.index.difference(keep)
+        df.loc[over, "gate"] = GATE_DEFER
+        if cutoff_handles is not None and offers:
+            _scatter_offers(offers, cutoff_handles)
+    return df
+
+
+def _scatter_offers(offers: dict, handles: list) -> None:
+    """Send each pkey's partial top-k order-keys to its owning cutoff
+    actor (hash routing); ray.get ensures delivery before the task ends,
+    so the barrier at the end of the phase-1 execution means every
+    candidate has been offered."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    k = len(handles)
+    pkeys = list(offers)
+    owner = hash_strings(pkeys) % np.uint64(k)
+    refs = []
+    for j in range(k):
+        batch = {
+            pk: (
+                offers[pk]["priority"].to_numpy(dtype=np.int64),
+                offers[pk]["depth"].to_numpy(dtype=np.int64),
+                offers[pk]["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+                offers[pk]["url"].to_numpy(dtype=object),
+            )
+            for i, pk in enumerate(pkeys)
+            if owner[i] == j
+        }
+        if batch:
+            refs.append(handles[j].offer.remote(batch))
+    ray.get(refs)
+
+
+class _CutoffState:
+    """Per-key running top-budget of order keys. The retained set is the
+    unique global top-budget (total order — url tie-break — no dups), so
+    the result is independent of offer arrival order."""
+
+    def __init__(self):
+        self.keys: dict[str, list] = {}
+
+    def offer(self, batch: dict, budgets: dict) -> None:
+        for pk, (prio, depth, ts, urls) in batch.items():
+            rows = list(zip(prio.tolist(), depth.tolist(), ts.tolist(), urls.tolist()))
+            cur = self.keys.get(pk)
+            if cur is None:
+                cur = []
+                self.keys[pk] = cur
+            cur.extend(rows)
+            b = budgets[pk]
+            if len(cur) > b:
+                cur.sort()
+                del cur[b:]
+
+    def cutoffs(self, budgets: dict) -> dict:
+        out = {}
+        for pk, rows in self.keys.items():
+            rows.sort()
+            b = budgets[pk]
+            if len(rows) >= b:
+                out[pk] = rows[b - 1]  # budget-th smallest order key
+            # fewer candidates than budget → no cutoff (all selected)
+        return out
+
+
+def make_budget_fn(robots: dict, round_ms: int, default_delay_ms: int,
+                   max_per_host: int, n_salt: int):
+    def f(pkey: str) -> int:
+        host, salt = (pkey.rsplit("#", 1) if n_salt > 1 else (pkey, 0))
+        return salt_budget(
+            budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
+            n_salt,
+            int(salt),
+        )
+
+    return f
+
+
+class CutoffPool:
+    """Pool of politeness-bucket actors — the per-host token buckets of
+    the north star, keyed by pkey hash instead of a groupby shuffle.
+    Phase 1 offers partial top-ks during the gating execution; the driver
+    then collects exact per-key cutoffs (the budget-th order key) and
+    broadcasts them to the stateless cutoff gate. No all-to-all moves
+    the frontier."""
+
+    def __init__(self, n_actors: int, robots_ref, round_ms: int,
                  default_delay_ms: int, max_per_host: int, n_salt: int):
         import ray
 
-        self.robots = ray.get(robots_ref) if not isinstance(robots_ref, dict) else robots_ref
-        self.round_no = round_no
-        self.round_ms = round_ms
-        self.default_delay_ms = default_delay_ms
-        self.max_per_host = max_per_host
-        self.n_salt = max(1, n_salt)
+        @ray.remote(num_cpus=0)
+        class CutoffShard:
+            def __init__(self, robots_ref, round_ms, default_delay_ms, max_per_host, n_salt):
+                from ..functions.broadcast import get_broadcast
+                from ..state.politeness import _CutoffState, make_budget_fn
 
-    def _budget(self, host: str) -> int:
-        return budget_for(
-            host, self.robots, self.round_ms, self.default_delay_ms, self.max_per_host
-        )
+                robots = get_broadcast(robots_ref)
+                self._budget_fn = make_budget_fn(
+                    robots, round_ms, default_delay_ms, max_per_host, n_salt
+                )
+                self._budgets: dict = {}
+                self.state = _CutoffState()
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        gate = np.full(n, GATE_CANDIDATE, dtype=object)
+            def _budget(self, pk):
+                b = self._budgets.get(pk)
+                if b is None:
+                    b = self._budgets[pk] = self._budget_fn(pk)
+                return b
 
-        urls = df["url"].to_numpy()
-        hosts = df["host"].to_numpy()
-        # robots gate (analog of skip-set filter F4, scheduler_service.go:291-303
-        # — but content-based: disallowed prefixes never fetch)
-        for i in range(n):
-            if robots_denied(urls[i], hosts[i], self.robots):
-                gate[i] = GATE_ROBOTS
-        # retry skip-window: rows sitting out their skip_rounds penalty
-        skipped = df["skip_until_round"].to_numpy() > self.round_no
-        gate[skipped & (gate == GATE_CANDIDATE)] = GATE_SKIPPED
+            def offer(self, batch: dict) -> None:
+                self.state.offer(batch, {pk: self._budget(pk) for pk in batch})
 
-        df = df.assign(gate=gate)
-        if self.n_salt > 1:
-            salt = (
-                df["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(self.n_salt)
-            ).astype(np.int64)
-            df["pkey"] = df["host"] + "#" + salt.astype(str)
-        else:
-            df["pkey"] = df["host"]
+            def cutoffs(self) -> dict:
+                return self.state.cutoffs({pk: self._budget(pk) for pk in self.state.keys})
 
-        # partial top-k per salted key (a combiner: the global per-key
-        # top-k is a subset of the union of per-batch top-ks, so cutting
-        # here never cuts a row phase 2 would select)
-        cand = df[df["gate"] == GATE_CANDIDATE]
-        if len(cand):
-            ranked = cand.sort_values(ORDER_COLS, kind="mergesort")
-            keep_ix = []
-            for pkey, g in ranked.groupby("pkey", sort=False):
-                host, salt_no = (pkey.rsplit("#", 1) if self.n_salt > 1 else (pkey, 0))
-                b = salt_budget(self._budget(host), self.n_salt, int(salt_no))
-                keep_ix.append(g.index[:b].to_numpy())
-            keep = pd.Index(np.concatenate(keep_ix))
-            over = cand.index.difference(keep)
-            df.loc[over, "gate"] = GATE_DEFER
-        return df
+            def reset(self) -> None:
+                self.state = _CutoffState()
 
+        self.handles = [
+            CutoffShard.remote(robots_ref, round_ms, default_delay_ms, max_per_host, n_salt)
+            for _ in range(n_actors)
+        ]
 
-class PolitenessFinal:
-    """Per-(host,salt)-group final top-k, run as a ``map_groups`` actor
-    pool after the groupby("pkey") shuffle — the 'token bucket lives on
-    exactly one actor per key' stage of the north star. Candidates beyond
-    the salt's budget share become defer."""
-
-    def __init__(self, robots_ref, round_ms: int, default_delay_ms: int,
-                 max_per_host: int, n_salt: int):
+    def reset(self) -> None:
         import ray
 
-        self.robots = ray.get(robots_ref) if not isinstance(robots_ref, dict) else robots_ref
-        self.round_ms = round_ms
-        self.default_delay_ms = default_delay_ms
-        self.max_per_host = max_per_host
-        self.n_salt = max(1, n_salt)
+        ray.get([h.reset.remote() for h in self.handles])
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return g
-        pkey = g["pkey"].iat[0]
-        if self.n_salt > 1:
-            host, salt_s = pkey.rsplit("#", 1)
-            salt = int(salt_s)
-        else:
-            host, salt = pkey, 0
-        budget = salt_budget(
-            budget_for(host, self.robots, self.round_ms,
-                       self.default_delay_ms, self.max_per_host),
-            self.n_salt,
-            salt,
-        )
-        cand_mask = g["gate"].to_numpy() == GATE_CANDIDATE
-        cand = g[cand_mask].sort_values(ORDER_COLS, kind="mergesort")
-        fetch_ix = cand.index[:budget]
-        gate = g["gate"].copy()
-        gate.loc[g.index[cand_mask]] = GATE_DEFER
-        gate.loc[fetch_ix] = GATE_FETCH
-        return g.assign(gate=gate)
+    def collect(self) -> dict:
+        import ray
+
+        out: dict = {}
+        for d in ray.get([h.cutoffs.remote() for h in self.handles]):
+            out.update(d)
+        return out
+
+    def kill(self) -> None:
+        import ray
+
+        for h in self.handles:
+            ray.kill(h)
+        self.handles = []
+
+
+def cutoff_gate(df: pd.DataFrame, *, cutoffs_ref) -> pd.DataFrame:
+    """Stateless final gate: candidate → fetch iff its order key ≤ the
+    broadcast per-key cutoff (or the key has no cutoff — fewer candidates
+    than budget). Exactly reproduces the per-(host,salt) top-budget of
+    the groupby path, with no shuffle."""
+    from ..functions.broadcast import get_broadcast
+
+    cutoffs = get_broadcast(cutoffs_ref)
+    gate = df["gate"].to_numpy(dtype=object).copy()
+    cand_ix = np.flatnonzero(gate == GATE_CANDIDATE)
+    if len(cand_ix):
+        sub = df.iloc[cand_ix]
+        ts = sub["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        fetch = np.zeros(len(cand_ix), dtype=bool)
+        for k, (pk, p, d, t, u) in enumerate(
+            zip(sub["pkey"], sub["priority"], sub["depth"], ts, sub["url"])
+        ):
+            c = cutoffs.get(pk)
+            fetch[k] = c is None or (int(p), int(d), int(t), u) <= c
+        gate[cand_ix[fetch]] = GATE_FETCH
+        gate[cand_ix[~fetch]] = GATE_DEFER
+    return df.assign(gate=gate)
+
+
+def final_gate(
+    g: pd.DataFrame,
+    *,
+    robots_ref,
+    round_ms: int,
+    default_delay_ms: int,
+    max_per_host: int,
+    n_salt: int,
+) -> pd.DataFrame:
+    """Per-(host,salt)-group final top-k after the groupby("pkey")
+    shuffle: the group IS the host's (salted) token bucket for the round
+    — budget slots are granted in frontier order, the rest defer to the
+    next round (the bucket refills at the round boundary). Deterministic:
+    no wall clock, no mutable state — the reference's global-sleep rate
+    limiter (ethereum_service.go:585-591) replaced by pure selection."""
+    from ..functions.broadcast import get_broadcast
+
+    if not len(g):
+        return g
+    robots = get_broadcast(robots_ref)
+    n_salt = max(1, n_salt)
+    pkey = g["pkey"].iat[0]
+    if n_salt > 1:
+        host, salt_s = pkey.rsplit("#", 1)
+        salt = int(salt_s)
+    else:
+        host, salt = pkey, 0
+    budget = salt_budget(
+        budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
+        n_salt,
+        salt,
+    )
+    cand_mask = g["gate"].to_numpy() == GATE_CANDIDATE
+    cand = g[cand_mask].sort_values(ORDER_COLS, kind="mergesort")
+    fetch_ix = cand.index[:budget]
+    gate = g["gate"].copy()
+    gate.loc[g.index[cand_mask]] = GATE_DEFER
+    gate.loc[fetch_ix] = GATE_FETCH
+    return g.assign(gate=gate)

