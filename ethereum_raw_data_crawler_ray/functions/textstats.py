@@ -103,6 +103,18 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes — ~5-10× fewer shingles than character
+    grams; the cheap path for in-flight MinHash."""
+    import pandas as pd
+
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < k:
+        return _token_hashes(text)
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """k-gram character shingle hashes."""
     import pandas as pd

@@ -2,29 +2,37 @@
 
 Ray-Data-native lifecycle (SURVEY.md §3.4), replacing the reference's
 WebSocket-listener/scheduler/worker-pool loop (``scheduler_service.go``,
-``crawler_service.go``) with a driver-side round loop where each round is
-ONE streaming Dataset execution plus two small derived executions:
+``crawler_service.go``) with a driver-side round loop.
 
-  round r (frontier_r on disk):
-    main exec:   read frontier_r
-                 → map_batches(PolitenessPhase1)          # robots + partial top-k
-                 → groupby(pkey).map_groups(PolitenessFinal)  # host shuffle, final budgets
-                 → map_batches(FetchSim actors)           # fetch-sim + extract
-                 → write rounds/round=r   (tmp dir + atomic rename = the store commit)
-    events exec: rounds_r[fetched] → projection → events/round=r
-                 (written only after the store rename — the gating mirror
-                  of publish-after-DB-success, crawler_service.go:592-607)
-    frontier exec: carry(defer/skipped/retry) ∪ seen-filtered(discovered outlinks)
-                 → frontier/round=r+1
-    checkpoint:  seen shard dumps → seen/round=r ; per-shard lineage rows
-                 → lineage/round=r (+_COMPLETE marker = round commit point)
+Pipelined mode (default, ``politeness_mode="cutoff"``): each round is
+ONE streaming Dataset execution of the fused ``round_step`` stage
+(stages/roundstep.py — gate → fetch → extract → enrich → carry →
+discover/seen-claim → politeness offers for r+1), writing the combined
+round table atomically, hive-partitioned by ``row_kind`` so the next
+round's frontier read touches only thin carry/discovered files:
 
-Resume: max complete round R (lineage marker), reload seen/round=R,
-continue at R+1 — bit-identical because no decision anywhere reads a wall
-clock and every write is an idempotent tmp-dir + rename.
+  round r:
+    collect politeness cutoffs for r (offered during round r-1's exec)
+    read frontier_r → map_batches(round_step) → rounds/round_r (atomic)
+    seen-shard checkpoint (synchronous — snapshots end-of-round state)
+    events projection + per-shard lineage (overlapped with round r+1)
 
-All state lives in the seen-shard actors or in checkpoint Parquet — never
-in driver mutexes (the reference's single-process ceiling, SURVEY.md §4).
+No all-to-all shuffle anywhere: politeness selection is exact
+per-(host,salt) top-k via offered partial top-ks + broadcast cutoffs
+(the groupby sort-barrier cost seconds of wall per round for
+milliseconds of compute), and round dedup is the seen-shard first claim
+over discovered rows that are pure functions of (url, round).
+
+Legacy mode (``politeness_mode="groupby"``): the host-keyed shuffle +
+map_groups top-k with separate frontier/events executions — semantically
+identical, kept and cross-validated by tests.
+
+Resume: rewind to the newest complete seen dump, replay the rounds since
+(deterministic → bit-identical; tests kill -9 and compare). No decision
+anywhere reads a wall clock and every write is an idempotent tmp-dir +
+rename. All state lives in the actor pools (seen shards, page store,
+cutoff buckets) or in checkpoint Parquet — never in driver mutexes (the
+reference's single-process ceiling, SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -58,7 +66,6 @@ from ..state.politeness import (
     GATE_ROBOTS,
     GATE_SKIPPED,
     CutoffPool,
-    cutoff_gate,
     final_gate,
     load_robots,
     phase1_gate,
@@ -69,16 +76,18 @@ from ..state.store import ActorPageStore
 EPOCH0 = pa.scalar(0, type=pa.timestamp("us"))
 
 
-def _atomic_write(ds: rd.Dataset, final_dir: str, **kwargs) -> int:
+def _atomic_write(ds: rd.Dataset, final_dir: str, count: bool = True, **kwargs) -> int:
     """write_parquet to a tmp dir, fsync-free atomic rename. Returns row
-    count from the written file metadata (no re-execution)."""
+    count from the written file metadata (no re-execution); pass
+    count=False when the caller doesn't need it (metadata opens across
+    hundreds of part files add up)."""
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp, **kwargs)
     os.makedirs(tmp, exist_ok=True)  # a 0-row write creates nothing
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(tmp, final_dir)
-    return _count_rows(final_dir)
+    return _count_rows(final_dir) if count else -1
 
 
 def _count_rows(parquet_dir: str) -> int:
@@ -214,6 +223,7 @@ class CrawlPipeline:
     def close(self) -> None:
         """Release the seen-shard + page-store actors (seen state is on
         disk in seen/; the store is rebuilt from the index)."""
+        self._join_bg()
         if self.seen is not None:
             self.seen.kill()
             self.seen = None
@@ -239,7 +249,7 @@ class CrawlPipeline:
         self.cutoff_pool = None
         if cfg.extra.get("politeness_mode", "cutoff") == "cutoff":
             self.cutoff_pool = CutoffPool(
-                int(cfg.extra.get("n_cutoff_actors", 4)),
+                int(cfg.extra.get("n_cutoff_actors", 8)),
                 self.robots_ref,
                 cfg.round_ms,
                 cfg.default_crawl_delay_ms,
@@ -266,8 +276,183 @@ class CrawlPipeline:
         with open(os.path.join(bdir, "_COMPLETE"), "w") as f:
             f.write("ok")
 
+    # --- frontier source (pipelined mode embeds the next frontier in the
+    #     combined rounds output, hive-partitioned by row_kind so frontier
+    #     reads touch only the thin carry/discovered files and counts are
+    #     metadata-only; round 0 reads the bootstrap dir) -----------------
+    def _frontier_source(self, r: int) -> list[str]:
+        """Parquet file paths holding round r's frontier rows (ray's
+        read_parquet wants explicit files when given a list)."""
+        import glob as _glob
+
+        if self.cutoff_pool is None or r == 0:
+            d = self._p("frontier", f"round_{r:05d}")
+            dirs = [d] if os.path.exists(d) else []
+        else:
+            base = self._p("rounds", f"round_{r - 1:05d}")
+            dirs = [
+                p
+                for kind in ("carry", "discovered")
+                if os.path.exists(p := os.path.join(base, f"row_kind={kind}"))
+            ]
+        files: list[str] = []
+        for d in dirs:
+            files.extend(sorted(_glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)))
+        return files
+
+    def _frontier_count(self, r: int) -> int:
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows for f in self._frontier_source(r)
+        )
+
+    def _backfill_offers(self, r: int) -> None:
+        """Stream politeness offers for round ``r`` from its frontier
+        source — needed at bootstrap and at resume, where the producing
+        execution's offers are gone with the old process. One extra
+        (cheap, thin-column) execution; everything is re-derived
+        deterministically."""
+        if self.cutoff_pool is None or self._frontier_count(r) == 0:
+            return
+        src = self._frontier_source(r)
+        cfg = self.cfg
+        kwargs = dict(
+            robots_ref=self.robots_ref,
+            round_no=r,
+            round_ms=cfg.round_ms,
+            default_delay_ms=cfg.default_crawl_delay_ms,
+            max_per_host=cfg.max_per_host_round,
+            n_salt=max(1, int(cfg.extra.get("host_salt", 1))),
+            cutoff_handles=self.cutoff_pool.handles,
+        )
+
+        def offers_only(df: pd.DataFrame, **kw) -> pa.Table:
+            from ..functions.broadcast import get_broadcast
+            from ..state.politeness import offer_candidates
+
+            kw = dict(kw)
+            kw["robots"] = get_broadcast(kw.pop("robots_ref"))
+            offer_candidates(df, **kw)
+            return pa.table({"n": pa.array([len(df)], type=pa.int64())})
+
+        rd.read_parquet(src, columns=[f.name for f in FRONTIER]).map_batches(
+            offers_only, fn_kwargs=kwargs, batch_format="pandas", batch_size=8192
+        ).count()
+
     # --- one round --------------------------------------------------------
     def run_round(self, r: int) -> dict:
+        if self.cutoff_pool is not None:
+            return self._run_round_pipelined(r)
+        return self._run_round_legacy(r)
+
+    def _run_round_pipelined(self, r: int) -> dict:
+        """Pipelined mode (default): ONE Ray execution per round — the
+        fused round_step does gate→fetch→extract→carry→discover→offer and
+        writes a combined table; see stages/roundstep.py."""
+        from ..stages.roundstep import round_step
+
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        rounds_dir = self._p("rounds", f"round_{r:05d}")
+        src = self._frontier_source(r)
+        n_frontier = self._frontier_count(r)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # fine-grained blocks: the fused round_step is the whole round's
+        # compute, so even small rounds should spread across the cluster
+        blocks = max(1, min(2 * ncpu, -(-n_frontier // 1024)))
+
+        cutoffs_ref = ray.put(self.cutoff_pool.collect(r))
+        kwargs = dict(
+            round_no=r,
+            cutoffs_ref=cutoffs_ref,
+            robots_ref=self.robots_ref,
+            store_handles=self.store.handles,
+            seen_handles=self.seen.handles,
+            cutoff_handles=self.cutoff_pool.handles,
+            round_ms=cfg.round_ms,
+            default_delay_ms=cfg.default_crawl_delay_ms,
+            max_per_host=cfg.max_per_host_round,
+            n_salt=max(1, int(cfg.extra.get("host_salt", 1))),
+            max_retries=cfg.max_retries,
+            skip_rounds=cfg.skip_rounds,
+            error_permille=int(cfg.extra.get("error_permille", 0)),
+            enrich=bool(cfg.extra.get("enrich", False)),
+        )
+        # batch_size sets the MINIMUM rows per map task (Ray bundles
+        # blocks up to it) — size it so the round spreads over ~3 tasks
+        # per CPU, bounded by the configured extract batch ceiling
+        batch = max(256, min(cfg.extract_batch_size, -(-n_frontier // (3 * ncpu))))
+        t_m0 = time.perf_counter()
+        ds = (
+            rd.read_parquet(
+                src,
+                columns=[f.name for f in FRONTIER],
+                override_num_blocks=blocks,
+            )
+            .map_batches(
+                round_step,
+                fn_kwargs=kwargs,
+                batch_format="pandas",
+                batch_size=batch,
+            )
+            .map_batches(
+                lambda t, r=r: t.append_column(
+                    "round", pa.array(np.full(len(t), r, dtype=np.int32))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # hive-partitioned by row_kind: the next round's frontier read and
+        # the events/lineage reads each touch only their own files
+        _atomic_write(ds, rounds_dir, count=False, partition_cols=["row_kind"])
+        t_main = time.perf_counter() - t_m0
+
+        # next-frontier size from file metadata (cheap, needed now for the
+        # loop/checkpoint decisions)
+        n_next = self._frontier_count(r + 1)
+
+        # seen checkpoint is SYNCHRONOUS: the dump must snapshot state at
+        # the end of round r, before round r+1's discovery inserts
+        t_c0 = time.perf_counter()
+        ckpt_every = int(cfg.extra.get("checkpoint_every", 1))
+        if r % ckpt_every == ckpt_every - 1 or n_next == 0:
+            seen_dir = self._p("seen", f"round_{r:05d}")
+            digests = self.seen.save(seen_dir)
+            with open(os.path.join(seen_dir, "_COMPLETE"), "w") as f:
+                f.write("ok")
+        else:
+            digests = self.seen.digests()
+        t_ckpt = time.perf_counter() - t_c0
+
+        # events + lineage only read the committed rounds dir — overlap
+        # them with the next round's execution (1-deep: joined before the
+        # following round's bookkeeping, and at run() end)
+        wall = time.perf_counter() - t0
+
+        def _post():
+            self._write_events(r, rounds_dir)
+            self._lineage(r, rounds_dir, digests, wall)
+
+        self._join_bg()
+        import threading
+
+        self._bg = threading.Thread(target=_post, daemon=False)
+        self._bg.start()
+        return {
+            "round": r,
+            "next_frontier": n_next,
+            "wall_s": wall,
+            "t_main": round(t_main, 2),
+            "t_ckpt": round(t_ckpt, 2),
+            "t_frontier": 0.0,
+        }
+
+    def _join_bg(self) -> None:
+        bg = getattr(self, "_bg", None)
+        if bg is not None:
+            bg.join()
+            self._bg = None
+
+    def _run_round_legacy(self, r: int) -> dict:
         cfg = self.cfg
         t0 = time.perf_counter()
         frontier_dir = self._p("frontier", f"round_{r:05d}")
@@ -292,41 +477,17 @@ class CrawlPipeline:
         blocks = max(1, min(2 * ncpu, -(-n_frontier // 8192)))
         frontier = rd.read_parquet(frontier_dir, override_num_blocks=blocks)
 
-        if self.cutoff_pool is not None:
-            # cutoff mode (default): phase 1 streams partial top-k offers
-            # to the politeness-bucket actors; the materialize() barrier
-            # guarantees every candidate was offered; then a stateless
-            # pass gates by the broadcast per-key cutoffs. NO shuffle of
-            # the frontier (the groupby-based sort barrier cost seconds
-            # per round for milliseconds of compute).
-            self.cutoff_pool.reset()
-            gated = frontier.map_batches(
-                phase1_gate,
-                fn_kwargs=dict(
-                    pol, round_no=r, cutoff_handles=self.cutoff_pool.handles
-                ),
-                batch_format="pandas",
-                batch_size=8192,
-            ).materialize()
-            cutoffs_ref = ray.put(self.cutoff_pool.collect())
-            gated = gated.map_batches(
-                cutoff_gate,
-                fn_kwargs={"cutoffs_ref": cutoffs_ref},
-                batch_format="pandas",
-                batch_size=8192,
-            )
-        else:
-            # groupby mode (politeness_mode="groupby"): the host-keyed
-            # shuffle + per-group final top-k — semantically identical,
-            # kept for cross-validation
-            gated = frontier.map_batches(
-                phase1_gate,
-                fn_kwargs=dict(pol, round_no=r),
-                batch_format="pandas",
-                batch_size=8192,
-            ).groupby("pkey").map_groups(
-                final_gate, fn_kwargs=pol, batch_format="pandas"
-            )
+        # groupby mode (politeness_mode="groupby"): the host-keyed
+        # shuffle + per-group final top-k — semantically identical to the
+        # pipelined cutoff mode, kept for cross-validation
+        gated = frontier.map_batches(
+            phase1_gate,
+            fn_kwargs=dict(pol, round_no=r),
+            batch_format="pandas",
+            batch_size=8192,
+        ).groupby("pkey").map_groups(
+            final_gate, fn_kwargs=pol, batch_format="pandas"
+        )
         if self.store is not None:
             # store mode: stateless tasks scatter-gather to the resident
             # page-store shard actors — no per-round pool spin-up
@@ -357,6 +518,9 @@ class CrawlPipeline:
             .map_batches(
                 lambda t, r=r: t.append_column(
                     "round", pa.array(np.full(len(t), r, dtype=np.int32))
+                ).append_column(
+                    "row_kind",
+                    pa.array(np.full(len(t), "page", dtype=object), type=pa.string()),
                 ),
                 batch_format="pyarrow",
             )
@@ -365,30 +529,7 @@ class CrawlPipeline:
         t_main = time.perf_counter() - t_m0
 
         t_e0 = time.perf_counter()
-        # --- events (gated: written only after the rounds rename) --------
-        # per-round events are bounded (≤ the round's fetch budget), so
-        # the projection is a driver-side pyarrow write by default; set
-        # extra["events_via_ray"]=True for giant-round configurations
-        if cfg.extra.get("events_via_ray"):
-            ev = rd.read_parquet(
-                rounds_dir,
-                columns=["url", "url_hash", "host", "page_ts", "n_bytes", "lang", "status"],
-                filter=(pc.field("status") == STATUS_FETCHED),
-            ).map_batches(self._event_project, batch_format="pyarrow", fn_kwargs={"r": r})
-            _atomic_write(ev, self._p("events", f"round_{r:05d}"))
-        else:
-            t = pads.dataset(rounds_dir, format="parquet").to_table(
-                columns=["url", "url_hash", "host", "page_ts", "n_bytes", "lang", "status"],
-                filter=(pc.field("status") == STATUS_FETCHED),
-            )
-            d = self._p("events", f"round_{r:05d}")
-            tmp = d + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(self._event_project(t, r), os.path.join(tmp, "part-0.parquet"))
-            shutil.rmtree(d, ignore_errors=True)
-            os.rename(tmp, d)
-
+        self._write_events(r, rounds_dir)
         t_events = time.perf_counter() - t_e0
 
         # --- next frontier ------------------------------------------------
@@ -419,6 +560,33 @@ class CrawlPipeline:
         stats["t_main"] = round(t_main, 2)
         stats["t_frontier"] = round(t_frontier, 2)
         return stats
+
+    def _write_events(self, r: int, rounds_dir: str) -> None:
+        """Events projection — written only after the rounds-dir rename
+        (the publish-after-DB-success gating mirror,
+        crawler_service.go:592-607). Per-round events are bounded by the
+        round's fetch budget, so a driver-side pyarrow write by default;
+        extra["events_via_ray"]=True switches to a Ray execution for
+        giant-round configurations. Carry/discovered rows have null
+        status, so the status filter selects page rows only."""
+        cols = ["url", "url_hash", "host", "page_ts", "n_bytes", "lang", "status"]
+        filt = pc.field("status") == STATUS_FETCHED
+        page_dir = os.path.join(rounds_dir, "row_kind=page")
+        src = page_dir if os.path.exists(page_dir) else rounds_dir
+        if self.cfg.extra.get("events_via_ray"):
+            ev = rd.read_parquet(src, columns=cols, filter=filt).map_batches(
+                self._event_project, batch_format="pyarrow", fn_kwargs={"r": r}
+            )
+            _atomic_write(ev, self._p("events", f"round_{r:05d}"))
+            return
+        t = pads.dataset(src, format="parquet").to_table(columns=cols, filter=filt)
+        d = self._p("events", f"round_{r:05d}")
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(self._event_project(t, r), os.path.join(tmp, "part-0.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
 
     @staticmethod
     def _event_project(t: pa.Table, r: int) -> pa.Table:
@@ -519,23 +687,56 @@ class CrawlPipeline:
         os.rename(tmp, d)
         return len(nxt)
 
-    def _lineage(self, r: int, rounds_dir: str, digests: list[bytes], wall_s: float) -> dict:
-        cfg = self.cfg
-        t = pads.dataset(rounds_dir, format="parquet").to_table(
-            columns=["url_hash", "gate", "status"]
-        )
+    def _lineage_counts(self, rounds_dir: str) -> dict:
+        """Thin-column read of the round output → classification masks.
+        Works for both layouts: legacy flat (row_kind column in files) and
+        pipelined (hive-partitioned row_kind=... subdirs, where only the
+        relevant columns of each partition are read)."""
+        page_dir = os.path.join(rounds_dir, "row_kind=page")
+        if os.path.exists(page_dir):
+            pt = pads.dataset(page_dir, format="parquet").to_table(
+                columns=["url_hash", "gate", "status"]
+            )
+            parts = [
+                (pt, np.ones(len(pt), dtype=bool)),
+            ]
+            n_next = 0
+            for kind in ("carry", "discovered"):
+                d = os.path.join(rounds_dir, f"row_kind={kind}")
+                if os.path.exists(d):
+                    kt = pads.dataset(d, format="parquet").to_table(
+                        columns=["url_hash", "gate", "status"]
+                    )
+                    n_next += len(kt)
+                    parts.append((kt, np.zeros(len(kt), dtype=bool)))
+            t = pa.concat_tables([p for p, _ in parts])
+            page = np.concatenate([m for _, m in parts])
+        else:
+            t = pads.dataset(rounds_dir, format="parquet").to_table(
+                columns=["url_hash", "gate", "status", "row_kind"]
+            )
+            row_kind = np.asarray(t["row_kind"].to_pandas(), dtype=object)
+            page = row_kind == "page"
+            n_next = int((~page).sum())
         gate = np.asarray(t["gate"].to_pandas(), dtype=object)
         status = np.asarray(t["status"].to_pandas(), dtype=object)
-        shard = (
-            np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64)
-            % np.uint64(cfg.n_seen_shards)
-        ).astype(np.int64)
+        return {
+            "url_hash": np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64),
+            "fetched": page & (gate == GATE_FETCH) & (status == STATUS_FETCHED),
+            "errors": page & (gate == GATE_FETCH) & (status == STATUS_ERROR),
+            "deferred": (gate == GATE_DEFER) | (gate == GATE_SKIPPED),
+            "failed": page & (gate == GATE_ROBOTS),
+            "scheduled": page & (gate == GATE_FETCH),
+            "next_frontier": n_next,
+        }
 
-        fetched = (gate == GATE_FETCH) & (status == STATUS_FETCHED)
-        errors = (gate == GATE_FETCH) & (status == STATUS_ERROR)
-        deferred = (gate == GATE_DEFER) | (gate == GATE_SKIPPED)
-        failed = gate == GATE_ROBOTS
-        scheduled = gate == GATE_FETCH
+    def _lineage(self, r: int, rounds_dir: str, digests: list[bytes],
+                 wall_s: float, pre: dict | None = None) -> dict:
+        cfg = self.cfg
+        c = pre if pre is not None else self._lineage_counts(rounds_dir)
+        shard = (c["url_hash"] % np.uint64(cfg.n_seen_shards)).astype(np.int64)
+        fetched, errors = c["fetched"], c["errors"]
+        deferred, failed, scheduled = c["deferred"], c["failed"], c["scheduled"]
 
         rows = {
             "round": np.full(cfg.n_seen_shards, r, dtype=np.int32),
@@ -598,23 +799,38 @@ class CrawlPipeline:
                 seeds = pq.read_table(cfg.extra["seeds_path"])
             self.bootstrap(seeds)
             start = 0
+        # pipelined mode: the resumed/bootstrap round's politeness offers
+        # came from an execution that no longer exists — re-derive them
+        self._backfill_offers(start)
 
         limit = max_rounds if max_rounds is not None else cfg.max_rounds
         totals = {"rounds": 0, "fetched": 0, "scheduled": 0, "errors": 0, "failed": 0}
         r = start
         while r < start + limit:
-            fdir = self._p("frontier", f"round_{r:05d}")
-            if not os.path.exists(fdir) or _count_rows(fdir) == 0:
+            if self._frontier_count(r) == 0:
                 break
             stats = self.run_round(r)
             totals["rounds"] += 1
             for k in ("fetched", "scheduled", "errors", "failed"):
-                totals[k] += stats[k]
+                if k in stats:
+                    totals[k] += stats[k]
             if stats["next_frontier"] == 0:
                 r += 1
                 break
             r += 1
+        self._join_bg()
         totals["last_round"] = r - 1
+        if totals["rounds"] and totals["scheduled"] == 0:
+            # pipelined rounds defer their counting to the background
+            # lineage writer — aggregate from the lineage checkpoints
+            lin = pads.dataset(self._p("lineage"), format="parquet").to_table(
+                columns=["round", "urls_scheduled", "urls_fetched", "urls_failed", "errors"]
+            ).to_pandas()
+            lin = lin[(lin["round"] >= start) & (lin["round"] <= totals["last_round"])]
+            totals["scheduled"] = int(lin["urls_scheduled"].sum())
+            totals["fetched"] = int(lin["urls_fetched"].sum())
+            totals["failed"] = int(lin["urls_failed"].sum())
+            totals["errors"] = int(lin["errors"].sum())
         return totals
 
 

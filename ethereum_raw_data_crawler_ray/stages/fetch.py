@@ -108,8 +108,23 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
         n_bytes[row] = len(raw)
         outlinks[row] = links[pos]
 
-    cols = {name: pa.Array.from_pandas(df[name]) for name in df.columns}
-    cols["warc_ts"] = pa.Array.from_pandas(df["warc_ts"]).cast(pa.timestamp("us"))
+    # explicit types for the pass-through columns: empty batches must NOT
+    # infer `null` type (blocks with mismatched schemas break the write)
+    _TYPES = {
+        "url": pa.string(), "host": pa.string(), "gate": pa.string(),
+        "pkey": pa.string(), "priority": pa.int32(), "depth": pa.int32(),
+        "attempts": pa.int32(), "skip_until_round": pa.int32(),
+    }
+    cols = {}
+    for name in df.columns:
+        if name in _TYPES:
+            cols[name] = pa.array(df[name].tolist(), type=_TYPES[name])
+        else:
+            cols[name] = pa.Array.from_pandas(df[name])
+    cols["warc_ts"] = pa.array(
+        df["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+        type=pa.int64(),
+    ).cast(pa.timestamp("us"))
     cols["url_hash"] = pa.array(
         df["url_hash"].to_numpy().astype(np.uint64), type=pa.uint64()
     )
@@ -130,20 +145,28 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
     )
     if enrich:
         # in-flight page analytics (the training-data-crawl work a real
-        # pipeline does per page): language ID, quality score, BPE-ish
-        # token count, SimHash — computed where the text already is,
-        # avoiding a second pass over the corpus
+        # ingest pipeline does per page): language ID, quality score,
+        # BPE-ish token count, SimHash, FNV-1a content fingerprint and
+        # MinHash-LSH band keys — computed where the text already is,
+        # avoiding a second pass over the corpus (this is the per-URL
+        # compute the throughput benchmark measures)
         from ..functions.textstats import (
+            fingerprint64,
             lang_id,
+            lsh_band_keys,
+            minhash_signature,
             quality_stats,
             simhash64,
             token_count_bpe,
+            word_shingles,
         )
 
         lg = np.full(n, None, dtype=object)
         qual = np.zeros(n, dtype=np.float64)
         ntok = np.zeros(n, dtype=np.int64)
         sh = np.zeros(n, dtype=np.uint64)
+        fp = np.zeros(n, dtype=np.uint64)
+        bands = np.zeros((n, 4), dtype=np.uint64)
         for row in np.flatnonzero(has_page):
             x = text[row]
             n_chars, n_t, n_punct, n_stop = quality_stats(x)
@@ -153,10 +176,15 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
             qual[row] = round(score, 6)
             ntok[row] = token_count_bpe(x)
             sh[row] = simhash64(x)
+            fp[row] = fingerprint64(x)
+            bands[row] = lsh_band_keys(minhash_signature(word_shingles(x)), 4)
         cols["lang_guess"] = pa.array(lg, type=pa.string())
         cols["quality"] = pa.array(qual, type=pa.float64())
         cols["n_tokens_bpe"] = pa.array(ntok, type=pa.int64())
         cols["simhash"] = pa.array(sh, type=pa.uint64())
+        cols["fingerprint"] = pa.array(fp, type=pa.uint64())
+        for b in range(4):
+            cols[f"minhash_band{b}"] = pa.array(bands[:, b], type=pa.uint64())
     return pa.table(cols)
 
 

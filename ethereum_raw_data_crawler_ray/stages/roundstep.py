@@ -1,0 +1,215 @@
+"""The fused round step — ONE map_batches stage does the whole round.
+
+Pipelined crawl mode: for each frontier batch the task
+  1. gates (robots / skip-window / politeness cutoff — cutoffs were
+     collected from the offers streamed during the PREVIOUS round's
+     execution, so no shuffle and no extra barrier is needed);
+  2. fetches gated rows from the page-store shard actors + extracts
+     (+ optional enrichment);
+  3. derives carry rows (defer / skip / error-retry frontier rows for
+     round r+1);
+  4. explodes fetched outlinks → discovered rows, claims them in the
+     seen shards (scatter; first claim wins — the round dedup);
+  5. offers the r+1 candidates' partial top-k to the cutoff actors
+     (politeness state for the NEXT round);
+  6. emits one combined Arrow table: page rows (row_kind="page") +
+     carry rows ("carry") + discovered rows ("discovered") — the next
+     round reads the same files filtered to row_kind != "page".
+
+The end-of-execution barrier makes steps 4/5 complete before round r+1
+starts; every side effect is deterministic and idempotent under task
+retry (seen claims are first-claim-wins on identical rows; offers are
+top-k unions). One Ray execution per round total.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import FRONTIER
+from ..state.politeness import (
+    GATE_DEFER,
+    GATE_FETCH,
+    GATE_ROBOTS,
+    GATE_SKIPPED,
+    gate_full,
+    offer_candidates,
+)
+from .fetch import STATUS_ERROR, _assemble, transient_fail_mask
+
+ROW_PAGE = "page"
+ROW_CARRY = "carry"
+ROW_DISC = "discovered"
+
+_FRONTIER_COLS = [f.name for f in FRONTIER]
+
+
+def _null_fill_to(t: pa.Table, names: list[str], template: pa.Table) -> pa.Table:
+    """Add missing columns (typed nulls per the template) and order them."""
+    n = len(t)
+    cols = {}
+    for name in names:
+        if name in t.schema.names:
+            cols[name] = t[name]
+        else:
+            typ = template.schema.field(name).type
+            cols[name] = pa.nulls(n, type=typ)
+    return pa.table(cols)
+
+
+def round_step(
+    df: pd.DataFrame,
+    *,
+    round_no: int,
+    cutoffs_ref,
+    robots_ref,
+    store_handles: list,
+    seen_handles: list,
+    cutoff_handles: list,
+    round_ms: int,
+    default_delay_ms: int,
+    max_per_host: int,
+    n_salt: int,
+    max_retries: int,
+    skip_rounds: int,
+    error_permille: int = 0,
+    enrich: bool = False,
+) -> pa.Table:
+    import os
+    import time as _time
+
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..pipelines.crawl import _explode_outlinks
+    from ..state.seen import shard_of
+    from ..state.store import fetch_scatter
+
+    _timing = os.environ.get("ERDC_TIMING")
+    _marks = [_time.perf_counter()]
+
+    def _mark():
+        _marks.append(_time.perf_counter())
+
+    robots = get_broadcast(robots_ref)
+    cutoffs = get_broadcast(cutoffs_ref)
+
+    # 1. gate ---------------------------------------------------------------
+    gate, _ = gate_full(
+        df, robots=robots, cutoffs=cutoffs, round_no=round_no, n_salt=n_salt
+    )
+    df = df.assign(gate=gate)
+    _mark()  # gate
+
+    # 2. fetch + extract (page rows: fetch-gated + robots-denied log) -------
+    page_mask = (gate == GATE_FETCH) | (gate == GATE_ROBOTS)
+    pages_df = df[page_mask].reset_index(drop=True)
+    fetch_mask = (pages_df["gate"] == GATE_FETCH).to_numpy()
+    fetch_ix = np.flatnonzero(fetch_mask)
+    urls = pages_df["url"].to_numpy()[fetch_mask]
+    hashes = pages_df["url_hash"].to_numpy().astype(np.uint64)[fetch_mask]
+    attempts = pages_df["attempts"].to_numpy()[fetch_mask]
+    fail_now = transient_fail_mask(hashes, attempts, error_permille)
+    payloads: list = [None] * len(urls)
+    if (~fail_now).any():
+        got = fetch_scatter(store_handles, urls[~fail_now], hashes[~fail_now])
+        for k, i in enumerate(np.flatnonzero(~fail_now)):
+            payloads[i] = got[k]
+    _mark()  # fetch-lookup
+    pages = _assemble(pages_df, payloads, fetch_ix, fail_now, enrich=enrich)
+    status = np.asarray(pages["status"].to_pandas(), dtype=object)
+    _mark()  # assemble(extract+enrich)
+
+    # 3. carry rows (defer/skip unchanged; errors retry→skip-window→drop,
+    #    mirror of scheduler_service.go:324-357) ---------------------------
+    page_positions = np.flatnonzero(page_mask)
+    is_err = np.zeros(len(df), dtype=bool)
+    is_err[page_positions[status == STATUS_ERROR]] = True
+    keep = (gate == GATE_DEFER) | (gate == GATE_SKIPPED)
+    att = df["attempts"].to_numpy(dtype=np.int32).copy()
+    skip_until = df["skip_until_round"].to_numpy(dtype=np.int32).copy()
+    att[is_err] += 1
+    skip_until[is_err & (att == max_retries)] = round_no + 1 + skip_rounds
+    keep |= is_err & (att <= max_retries)
+    carry = df[keep].assign(attempts=att[keep], skip_until_round=skip_until[keep])
+    _mark()  # carry
+
+    # 4. discovered rows: explode fetched outlinks, seen-claim (first
+    #    claim wins — identical rows, order-independent) -------------------
+    disc = _explode_outlinks(pages.select(["outlinks"]), round_no=round_no)
+    if len(disc):
+        dh = np.asarray(disc["url_hash"].to_pandas(), dtype=np.uint64)
+        sid = shard_of(dh, len(seen_handles))
+        novel = np.zeros(len(dh), dtype=bool)
+        refs, ixs = [], []
+        for j in range(len(seen_handles)):
+            ix = np.flatnonzero(sid == j)
+            if ix.size:
+                refs.append(seen_handles[j].check_and_insert.remote(dh[ix]))
+                ixs.append(ix)
+        for ix, res in zip(ixs, ray.get(refs)):
+            novel[ix] = res
+        disc = disc.filter(pa.array(novel))
+    _mark()  # explode+seen
+
+    # 5. offers for round r+1 (carry ∪ discovered candidates) --------------
+    next_rows = []
+    if len(carry):
+        next_rows.append(carry[_FRONTIER_COLS])
+    if len(disc):
+        next_rows.append(disc.to_pandas()[_FRONTIER_COLS])
+    if next_rows:
+        nxt = pd.concat(next_rows, ignore_index=True)
+        offer_candidates(
+            nxt,
+            robots=robots,
+            round_no=round_no + 1,
+            round_ms=round_ms,
+            default_delay_ms=default_delay_ms,
+            max_per_host=max_per_host,
+            n_salt=n_salt,
+            cutoff_handles=cutoff_handles,
+        )
+
+    _mark()  # offers
+
+    # 6. combined output ----------------------------------------------------
+    out_names = list(pages.schema.names) + ["row_kind"]
+    pages = pages.append_column(
+        "row_kind", pa.array(np.full(len(pages), ROW_PAGE, dtype=object), type=pa.string())
+    )
+    parts = [pages]
+    if len(carry):
+        ct = pa.Table.from_pandas(carry, preserve_index=False)
+        ct = ct.set_column(
+            ct.schema.get_field_index("attempts"), "attempts",
+            ct["attempts"].cast(pa.int32()),
+        ).set_column(
+            ct.schema.get_field_index("skip_until_round"), "skip_until_round",
+            ct["skip_until_round"].cast(pa.int32()),
+        )
+        ct = ct.append_column(
+            "row_kind",
+            pa.array(np.full(len(ct), ROW_CARRY, dtype=object), type=pa.string()),
+        )
+        parts.append(_null_fill_to(ct, out_names, parts[0]))
+    if len(disc):
+        dt = disc.append_column(
+            "row_kind",
+            pa.array(np.full(len(disc), ROW_DISC, dtype=object), type=pa.string()),
+        )
+        parts.append(_null_fill_to(dt, out_names, parts[0]))
+    parts[0] = _null_fill_to(parts[0], out_names, parts[0])
+    out = pa.concat_tables(parts)
+    _mark()  # output-build
+    if _timing:
+        import json as _json
+        import sys as _sys
+
+        names = ["gate", "fetch_lookup", "extract_enrich", "carry",
+                 "explode_seen", "offers", "output"]
+        durs = [round(_marks[i + 1] - _marks[i], 4) for i in range(len(_marks) - 1)]
+        print("ERDC_TIMING " + _json.dumps(dict(zip(names, durs))), file=_sys.stderr)
+    return out

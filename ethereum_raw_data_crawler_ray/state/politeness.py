@@ -37,7 +37,14 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-ORDER_COLS = ["priority", "depth", "warc_ts", "url"]
+# frontier ordering comparator: (priority, depth, warc_ts) heap order
+# with url_hash as the numeric tie-break — a total order except for
+# 64-bit hash collisions (negligible; a collision can transiently exceed
+# a host budget by one, which is crawl-sane and deterministic since the
+# golden simulator uses the same comparator). A numeric tie-break keeps
+# every sort/cutoff comparison vectorized — string tie-breaks made the
+# politeness actors the serial floor.
+ORDER_COLS = ["priority", "depth", "warc_ts", "url_hash"]
 
 GATE_CANDIDATE = "candidate"
 GATE_FETCH = "fetch"
@@ -105,7 +112,6 @@ def phase1_gate(
     default_delay_ms: int,
     max_per_host: int,
     n_salt: int,
-    cutoff_handles: list | None = None,
 ) -> pd.DataFrame:
     """Per-batch gate — a stateless map_batches task; the robots table is
     a ray.put broadcast resolved once per worker process (no per-round
@@ -147,7 +153,6 @@ def phase1_gate(
     if len(cand):
         ranked = cand.sort_values(ORDER_COLS, kind="mergesort")
         keep_ix = []
-        offers: dict[str, pd.DataFrame] = {}
         for pkey, g in ranked.groupby("pkey", sort=False):
             host, salt_no = (pkey.rsplit("#", 1) if n_salt > 1 else (pkey, 0))
             b = salt_budget(
@@ -156,21 +161,17 @@ def phase1_gate(
                 int(salt_no),
             )
             keep_ix.append(g.index[:b].to_numpy())
-            if cutoff_handles is not None:
-                offers[pkey] = g.iloc[:b]
         keep = pd.Index(np.concatenate(keep_ix))
         over = cand.index.difference(keep)
         df.loc[over, "gate"] = GATE_DEFER
-        if cutoff_handles is not None and offers:
-            _scatter_offers(offers, cutoff_handles)
     return df
 
 
-def _scatter_offers(offers: dict, handles: list) -> None:
+def _scatter_offers(offers: dict, handles: list, round_no: int) -> None:
     """Send each pkey's partial top-k order-keys to its owning cutoff
     actor (hash routing); ray.get ensures delivery before the task ends,
-    so the barrier at the end of the phase-1 execution means every
-    candidate has been offered."""
+    so the barrier at the end of the producing execution means every
+    candidate for ``round_no`` has been offered."""
     import ray
 
     from ..functions.hashing import hash_strings
@@ -180,50 +181,195 @@ def _scatter_offers(offers: dict, handles: list) -> None:
     owner = hash_strings(pkeys) % np.uint64(k)
     refs = []
     for j in range(k):
-        batch = {
-            pk: (
-                offers[pk]["priority"].to_numpy(dtype=np.int64),
-                offers[pk]["depth"].to_numpy(dtype=np.int64),
-                offers[pk]["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
-                offers[pk]["url"].to_numpy(dtype=object),
-            )
-            for i, pk in enumerate(pkeys)
-            if owner[i] == j
-        }
-        if batch:
-            refs.append(handles[j].offer.remote(batch))
+        mine = [pk for i, pk in enumerate(pkeys) if owner[i] == j]
+        if not mine:
+            continue
+        counts = [len(offers[pk]) for pk in mine]
+        p = np.concatenate([offers[pk]["priority"].to_numpy(dtype=np.int64) for pk in mine])
+        d = np.concatenate([offers[pk]["depth"].to_numpy(dtype=np.int64) for pk in mine])
+        t = np.concatenate(
+            [offers[pk]["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) for pk in mine]
+        )
+        h = np.concatenate([offers[pk]["url_hash"].to_numpy(dtype=np.uint64) for pk in mine])
+        refs.append(handles[j].offer.remote(round_no, (mine, counts, p, d, t, h)))
     ray.get(refs)
+
+
+def pkey_of(hosts: np.ndarray, url_hash: np.ndarray, n_salt: int) -> np.ndarray:
+    """The politeness key: host, salted by url-hash for skew splitting."""
+    if n_salt <= 1:
+        return hosts.astype(object)
+    salt = (url_hash.astype(np.uint64) % np.uint64(n_salt)).astype(np.int64)
+    return np.array(
+        [f"{h}#{s}" for h, s in zip(hosts, salt)], dtype=object
+    )
+
+
+def gate_pre(df: pd.DataFrame, robots: dict, round_no: int) -> np.ndarray:
+    """Robots + skip-window gate (the part of gating that needs no
+    cutoffs): candidate | robots_denied | skipped."""
+    n = len(df)
+    gate = np.full(n, GATE_CANDIDATE, dtype=object)
+    urls = df["url"].to_numpy()
+    hosts = df["host"].to_numpy()
+    for i in range(n):
+        if robots_denied(urls[i], hosts[i], robots):
+            gate[i] = GATE_ROBOTS
+    skipped = df["skip_until_round"].to_numpy() > round_no
+    gate[skipped & (gate == GATE_CANDIDATE)] = GATE_SKIPPED
+    return gate
+
+
+def offer_candidates(
+    df: pd.DataFrame,
+    *,
+    robots: dict,
+    round_no: int,
+    round_ms: int,
+    default_delay_ms: int,
+    max_per_host: int,
+    n_salt: int,
+    cutoff_handles: list,
+) -> None:
+    """Offer this batch's per-pkey partial top-k of candidates for
+    ``round_no`` to the cutoff actors. Used by the producing tasks of the
+    previous round (pipelined mode) and by bootstrap/resume backfill.
+    Fully numpy (lexsort + group slicing): this runs in EVERY round-step
+    task, so per-task pandas overhead would cap small-batch scaling."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    gate = gate_pre(df, robots, round_no)
+    m = gate == GATE_CANDIDATE
+    if not m.any():
+        return
+    hosts = df["host"].to_numpy()[m]
+    h = df["url_hash"].to_numpy(dtype=np.uint64)[m]
+    p = df["priority"].to_numpy(dtype=np.int64)[m]
+    d = df["depth"].to_numpy(dtype=np.int64)[m]
+    t = df["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)[m]
+    pk = pkey_of(hosts, h, n_salt)
+
+    # sort by (pkey, order key): contiguous per-key groups, each already
+    # in frontier order — spans give every key's local top-k by slicing
+    order = np.lexsort((h, t, d, p, pk))
+    pk_sorted = pk[order]
+    uniq, first_ix = np.unique(pk_sorted, return_index=True)  # sorted keys → ascending first_ix
+    bounds = np.append(first_ix, len(pk_sorted))
+    spans = {
+        key: order[bounds[i]:bounds[i + 1]] for i, key in enumerate(uniq)
+    }
+    k_actors = len(cutoff_handles)
+    owner = hash_strings(list(uniq)) % np.uint64(k_actors)
+    refs = []
+    for j in range(k_actors):
+        mine = [u for u, o in zip(uniq, owner) if o == j]
+        if not mine:
+            continue
+        keep_ix = []
+        counts = []
+        for key in mine:
+            host, salt_no = (key.rsplit("#", 1) if n_salt > 1 else (key, 0))
+            b = salt_budget(
+                budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
+                n_salt,
+                int(salt_no),
+            )
+            ix = spans[key][:b]
+            keep_ix.append(ix)
+            counts.append(len(ix))
+        ix = np.concatenate(keep_ix)
+        refs.append(
+            cutoff_handles[j].offer.remote(
+                round_no, (mine, counts, p[ix], d[ix], t[ix], h[ix])
+            )
+        )
+    ray.get(refs)
+
+
+def gate_full(
+    df: pd.DataFrame,
+    *,
+    robots: dict,
+    cutoffs: dict,
+    round_no: int,
+    n_salt: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Complete gate for the pipelined round step: robots/skip, then
+    candidate → fetch iff order key ≤ the per-pkey cutoff (no cutoff
+    entry = fewer candidates than budget → all fetch). Returns
+    (gate array, pkey array)."""
+    gate = gate_pre(df, robots, round_no)
+    pkeys = pkey_of(df["host"].to_numpy(), df["url_hash"].to_numpy(dtype=np.uint64), n_salt)
+    cand_ix = np.flatnonzero(gate == GATE_CANDIDATE)
+    if len(cand_ix):
+        sub = df.iloc[cand_ix]
+        p = sub["priority"].to_numpy(dtype=np.int64)
+        d = sub["depth"].to_numpy(dtype=np.int64)
+        t = sub["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        h = sub["url_hash"].to_numpy(dtype=np.uint64)
+        sub_pk = pkeys[cand_ix]
+        fetch = np.ones(len(cand_ix), dtype=bool)
+        # vectorized cutoff compare per politeness key present in the batch
+        for pk in pd.unique(sub_pk):
+            c = cutoffs.get(pk)
+            if c is None:
+                continue  # fewer candidates than budget → all selected
+            m = sub_pk == pk
+            fetch[m] = _leq_cutoff(p[m], d[m], t[m], h[m], c)
+        gate[cand_ix[fetch]] = GATE_FETCH
+        gate[cand_ix[~fetch]] = GATE_DEFER
+    return gate, pkeys
 
 
 class _CutoffState:
     """Per-key running top-budget of order keys. The retained set is the
-    unique global top-budget (total order — url tie-break — no dups), so
-    the result is independent of offer arrival order."""
+    unique global top-budget (total order — url_hash tie-break), so the
+    result is independent of offer arrival order.
+
+    Offers append numpy array chunks (O(1)); compaction (vectorized
+    numeric lexsort + truncate to budget) runs only when a key's buffered
+    rows exceed 4× its budget, and once at collect time."""
 
     def __init__(self):
-        self.keys: dict[str, list] = {}
+        self.keys: dict[str, list] = {}  # pk → list of (p, d, t, h) chunks
+        self.counts: dict[str, int] = {}
 
-    def offer(self, batch: dict, budgets: dict) -> None:
-        for pk, (prio, depth, ts, urls) in batch.items():
-            rows = list(zip(prio.tolist(), depth.tolist(), ts.tolist(), urls.tolist()))
-            cur = self.keys.get(pk)
-            if cur is None:
-                cur = []
-                self.keys[pk] = cur
-            cur.extend(rows)
+    @staticmethod
+    def _topk(chunks: list, k: int):
+        p = np.concatenate([c[0] for c in chunks])
+        d = np.concatenate([c[1] for c in chunks])
+        t = np.concatenate([c[2] for c in chunks])
+        h = np.concatenate([c[3] for c in chunks])
+        order = np.lexsort((h, t, d, p))[:k]
+        return p[order], d[order], t[order], h[order]
+
+    def offer(self, payload: tuple, budgets: dict) -> None:
+        """payload = (pkeys, counts, p, d, t, h): one concatenated array
+        set per call — minimizes serialization and actor queue time."""
+        pkeys, counts, p, d, t, h = payload
+        off = 0
+        for pk, c in zip(pkeys, counts):
+            chunk = (p[off:off + c], d[off:off + c], t[off:off + c], h[off:off + c])
+            off += c
+            self.keys.setdefault(pk, []).append(chunk)
+            n = self.counts.get(pk, 0) + c
             b = budgets[pk]
-            if len(cur) > b:
-                cur.sort()
-                del cur[b:]
+            if n > 4 * b:
+                self.keys[pk] = [self._topk(self.keys[pk], b)]
+                n = min(n, b)
+            self.counts[pk] = n
 
     def cutoffs(self, budgets: dict) -> dict:
         out = {}
-        for pk, rows in self.keys.items():
-            rows.sort()
+        for pk, chunks in self.keys.items():
             b = budgets[pk]
-            if len(rows) >= b:
-                out[pk] = rows[b - 1]  # budget-th smallest order key
-            # fewer candidates than budget → no cutoff (all selected)
+            if self.counts.get(pk, 0) < b:
+                continue  # fewer candidates than budget → all selected
+            p, d, t, h = self._topk(chunks, b)
+            if len(p) >= b:
+                out[pk] = (int(p[b - 1]), int(d[b - 1]), int(t[b - 1]), int(h[b - 1]))
         return out
 
 
@@ -243,10 +389,13 @@ def make_budget_fn(robots: dict, round_ms: int, default_delay_ms: int,
 class CutoffPool:
     """Pool of politeness-bucket actors — the per-host token buckets of
     the north star, keyed by pkey hash instead of a groupby shuffle.
-    Phase 1 offers partial top-ks during the gating execution; the driver
-    then collects exact per-key cutoffs (the budget-th order key) and
-    broadcasts them to the stateless cutoff gate. No all-to-all moves
-    the frontier."""
+
+    Offers are ROUND-KEYED: while round r's execution produces the rows
+    of round r+1, each producing task also offers its partial top-k for
+    round r+1 to these actors; the execution barrier at the end of round
+    r guarantees completeness, so at the start of round r+1 the driver
+    collects exact per-key cutoffs (the budget-th order key) and
+    broadcasts them. The frontier is never shuffled for politeness."""
 
     def __init__(self, n_actors: int, robots_ref, round_ms: int,
                  default_delay_ms: int, max_per_host: int, n_salt: int):
@@ -263,7 +412,7 @@ class CutoffPool:
                     robots, round_ms, default_delay_ms, max_per_host, n_salt
                 )
                 self._budgets: dict = {}
-                self.state = _CutoffState()
+                self.rounds: dict[int, _CutoffState] = {}
 
             def _budget(self, pk):
                 b = self._budgets.get(pk)
@@ -271,14 +420,22 @@ class CutoffPool:
                     b = self._budgets[pk] = self._budget_fn(pk)
                 return b
 
-            def offer(self, batch: dict) -> None:
-                self.state.offer(batch, {pk: self._budget(pk) for pk in batch})
+            def offer(self, round_no: int, payload: tuple) -> None:
+                from ..state.politeness import _CutoffState
 
-            def cutoffs(self) -> dict:
-                return self.state.cutoffs({pk: self._budget(pk) for pk in self.state.keys})
+                st = self.rounds.get(round_no)
+                if st is None:
+                    st = self.rounds[round_no] = _CutoffState()
+                st.offer(payload, {pk: self._budget(pk) for pk in payload[0]})
+
+            def collect_and_drop(self, round_no: int) -> dict:
+                st = self.rounds.pop(round_no, None)
+                if st is None:
+                    return {}
+                return st.cutoffs({pk: self._budget(pk) for pk in st.keys})
 
             def reset(self) -> None:
-                self.state = _CutoffState()
+                self.rounds = {}
 
         self.handles = [
             CutoffShard.remote(robots_ref, round_ms, default_delay_ms, max_per_host, n_salt)
@@ -290,11 +447,11 @@ class CutoffPool:
 
         ray.get([h.reset.remote() for h in self.handles])
 
-    def collect(self) -> dict:
+    def collect(self, round_no: int) -> dict:
         import ray
 
         out: dict = {}
-        for d in ray.get([h.cutoffs.remote() for h in self.handles]):
+        for d in ray.get([h.collect_and_drop.remote(round_no) for h in self.handles]):
             out.update(d)
         return out
 
@@ -306,28 +463,15 @@ class CutoffPool:
         self.handles = []
 
 
-def cutoff_gate(df: pd.DataFrame, *, cutoffs_ref) -> pd.DataFrame:
-    """Stateless final gate: candidate → fetch iff its order key ≤ the
-    broadcast per-key cutoff (or the key has no cutoff — fewer candidates
-    than budget). Exactly reproduces the per-(host,salt) top-budget of
-    the groupby path, with no shuffle."""
-    from ..functions.broadcast import get_broadcast
-
-    cutoffs = get_broadcast(cutoffs_ref)
-    gate = df["gate"].to_numpy(dtype=object).copy()
-    cand_ix = np.flatnonzero(gate == GATE_CANDIDATE)
-    if len(cand_ix):
-        sub = df.iloc[cand_ix]
-        ts = sub["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        fetch = np.zeros(len(cand_ix), dtype=bool)
-        for k, (pk, p, d, t, u) in enumerate(
-            zip(sub["pkey"], sub["priority"], sub["depth"], ts, sub["url"])
-        ):
-            c = cutoffs.get(pk)
-            fetch[k] = c is None or (int(p), int(d), int(t), u) <= c
-        gate[cand_ix[fetch]] = GATE_FETCH
-        gate[cand_ix[~fetch]] = GATE_DEFER
-    return df.assign(gate=gate)
+def _leq_cutoff(p, d, t, h, c: tuple) -> np.ndarray:
+    """Vectorized lexicographic (p,d,t,h) ≤ c."""
+    cp, cd, ct, ch = c
+    return (
+        (p < cp)
+        | ((p == cp) & (d < cd))
+        | ((p == cp) & (d == cd) & (t < ct))
+        | ((p == cp) & (d == cd) & (t == ct) & (h <= np.uint64(ch)))
+    )
 
 
 def final_gate(

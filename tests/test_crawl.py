@@ -137,9 +137,10 @@ class TestGoldenParity:
 
         for r, golden_order in enumerate(golden_run["fetch_order"]):
             d = os.path.join(cfg.out_dir, "rounds", f"round_{r:05d}")
-            t = pads.dataset(d, format="parquet").to_table(
-                columns=["url", "gate"] + ORDER_COLS[:-1]
-            )
+            page_dir = os.path.join(d, "row_kind=page")
+            t = pads.dataset(
+                page_dir if os.path.exists(page_dir) else d, format="parquet"
+            ).to_table(columns=["url", "gate"] + ORDER_COLS)
             g = t.to_pandas()
             g = g[g["gate"] == "fetch"].sort_values(ORDER_COLS, kind="mergesort")
             assert list(g["url"]) == golden_order, f"round {r} order differs"

@@ -103,13 +103,14 @@ class TestPoliteness:
         assert path_of("https://a.com") == "/"
 
     def test_ordering_comparator(self):
-        # priority ties broken by depth, then warc_ts, then url — the
-        # frontier-order analog of strict block-number order
+        # priority ties broken by depth, then warc_ts, then url_hash —
+        # the frontier-order analog of strict block-number order
         df = pd.DataFrame(
             {
                 "priority": [1, 0, 0, 0],
                 "depth": [0, 2, 1, 1],
                 "warc_ts": [0, 0, 5, 5],
+                "url_hash": np.array([40, 30, 20, 10], dtype=np.uint64),
                 "url": ["d", "c", "b", "a"],
             }
         )
