@@ -286,6 +286,72 @@ def q16_pagination(sf_dir: str):
     )
 
 
+def q17_substring_filter(sf_dir: str):
+    """M6 substring-match classifier analog
+    (error-class predicates, ethereum_service.go:100-124): rows whose
+    props payload contains a marker substring, counted per type."""
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["props"], "7}")
+        return t.filter(m).select(["event_type"])
+
+    out = (
+        _t(sf_dir, "events", ["event_type", "props"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q18_groupby_having(sf_dir: str):
+    """HAVING-style post-aggregate filter: nations with > 50 customers."""
+    out = (
+        _t(sf_dir, "customer", ["c_nationkey"])
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out = out[out["n"] > 50].reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q19_region_rollup(sf_dir: str):
+    """Two-hop dimension join rollup (J1/J2 chain): suppliers per region
+    with balance sum — both dims broadcast, fact streamed."""
+    import ray
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2n = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2n))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        n2r_, r2n_ = get_broadcast(ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = [r2n_[n2r_[int(k)]] for k in nk]
+        return pa.table(
+            {"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]}
+        )
+
+    out = (
+        _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(enrich, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    out["total_bal"] = out["total_bal"].round(2)
+    return out
+
+
 # ==========================================================================
 # training-data operators
 # ==========================================================================
@@ -587,6 +653,9 @@ QUERIES = {
     "q14_max_date": q14_max_date,
     "q15_union_counts": q15_union_counts,
     "q16_pagination": q16_pagination,
+    "q17_substring_filter": q17_substring_filter,
+    "q18_groupby_having": q18_groupby_having,
+    "q19_region_rollup": q19_region_rollup,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_count": q21_token_count,
     "q22_quality_stats": q22_quality_stats,
@@ -680,6 +749,21 @@ ORACLE_SQL = {
     """,
     "q16_pagination": """
         SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20
+    """,
+    "q17_substring_filter": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE props LIKE '%7}%' GROUP BY event_type
+    """,
+    "q18_groupby_having": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+        GROUP BY c_nationkey HAVING COUNT(*) > 50
+    """,
+    "q19_region_rollup": """
+        SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(SUM(s.s_acctbal), 2) AS total_bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
     """,
     "q20_exact_dedup": """
         SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dups
