@@ -28,8 +28,8 @@ class CrawlConfig:
     n_fetch_buckets: int = 32       # hash buckets of the fetch index (url_hash % n)
 
     # --- frontier / rounds ------------------------------------------------
-    # analog of BATCH_SIZE=100 (config.go:174): how many URLs one round may fetch
-    round_budget: int = 10_000
+    # the reference's BATCH_SIZE=100 (config.go:174) becomes the emergent
+    # round size: sum of per-host politeness budgets (round_ms / delay)
     max_rounds: int = 1_000
     # analog of SCHEDULER_MAX_RETRIES=3 (config.go:189)
     max_retries: int = 3

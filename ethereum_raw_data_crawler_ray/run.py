@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-per-host-round", type=int, default=1_000)
     p.add_argument("--host-salt", type=int, default=1)
     p.add_argument("--error-permille", type=int, default=0)
+    p.add_argument("--enrich", action="store_true",
+                   help="in-flight page analytics (langid/quality/simhash/fingerprint/minhash)")
+    p.add_argument("--politeness-mode", choices=["cutoff", "groupby"], default="cutoff")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="persist seen-shard state every N rounds (resume replays the gap)")
     args = p.parse_args(argv)
 
     import ray
@@ -57,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
         "seeds_path": args.seeds,
         "host_salt": args.host_salt,
         "error_permille": args.error_permille,
+        "enrich": args.enrich,
+        "politeness_mode": args.politeness_mode,
+        "checkpoint_every": args.checkpoint_every,
     }
     if args.robots:
         extra["robots_path"] = args.robots
