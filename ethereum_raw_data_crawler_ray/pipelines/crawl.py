@@ -365,7 +365,8 @@ class CrawlPipeline:
             round_no=r,
             cutoffs_ref=cutoffs_ref,
             robots_ref=self.robots_ref,
-            store_handles=self.store.handles,
+            store_handles=self.store.handles if self.store is not None else None,
+            parquet_index=(cfg.index_dir, cfg.n_fetch_buckets) if self.store is None else None,
             seen_handles=self.seen.handles,
             cutoff_handles=self.cutoff_pool.handles,
             round_ms=cfg.round_ms,

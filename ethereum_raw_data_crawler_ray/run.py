@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--enrich", action="store_true",
                    help="in-flight page analytics (langid/quality/simhash/fingerprint/minhash)")
     p.add_argument("--politeness-mode", choices=["cutoff", "groupby"], default="cutoff")
+    p.add_argument("--fetch-mode", choices=["store", "parquet"], default="store",
+                   help="store: resident page-store shard actors; parquet: store-less index probes")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="persist seen-shard state every N rounds (resume replays the gap)")
     args = p.parse_args(argv)
@@ -65,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         "enrich": args.enrich,
         "politeness_mode": args.politeness_mode,
         "checkpoint_every": args.checkpoint_every,
+        "fetch_mode": args.fetch_mode,
     }
     if args.robots:
         extra["robots_path"] = args.robots

@@ -210,6 +210,48 @@ def fetch_via_store(
     return _assemble(df, payloads, fetch_ix, fail_now, enrich=enrich)
 
 
+_BUCKET_FILE_CACHE: dict = {}
+
+
+def bucket_files_of(index_dir: str, n_buckets: int) -> dict:
+    """bucket → fragment paths, cached per worker process."""
+    key = (index_dir, n_buckets)
+    if key not in _BUCKET_FILE_CACHE:
+        _BUCKET_FILE_CACHE[key] = {
+            j: sorted(glob.glob(os.path.join(index_dir, f"bucket={j}", "*.parquet")))
+            for j in range(n_buckets)
+        }
+    return _BUCKET_FILE_CACHE[key]
+
+
+def parquet_probe(index_dir: str, n_buckets: int, urls: np.ndarray,
+                  hashes: np.ndarray) -> list:
+    """Store-less fetch: read only the owning buckets with an isin filter
+    pushed into the Parquet scan. Returns per-url payloads (None = miss),
+    aligned to input order."""
+    bucket_files = bucket_files_of(index_dir, n_buckets)
+    buckets = (hashes.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+    by_url: dict = {}
+    for j in np.unique(buckets):
+        sub = urls[buckets == j]
+        files = bucket_files.get(int(j), [])
+        if not files:
+            continue
+        dset = pads.dataset(files, format="parquet")
+        t = dset.to_table(
+            columns=["url", "warc_ts", "html", "lang"],
+            filter=pc.field("url").isin(pa.array(sub, type=pa.string())),
+        )
+        for u, ts, h, lg in zip(
+            t["url"].to_pylist(),
+            t["warc_ts"].cast(pa.int64()).to_pylist(),
+            t["html"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            by_url[u] = (ts, h, lg)
+    return [by_url.get(u) for u in urls]
+
+
 class FetchSim:
     """Parquet-probe fetch mode: map_batches actor holding the bucket →
     fragment-paths map (resolved once per actor in __init__)."""

@@ -65,7 +65,7 @@ def round_step(
     round_no: int,
     cutoffs_ref,
     robots_ref,
-    store_handles: list,
+    store_handles: list | None,
     seen_handles: list,
     cutoff_handles: list,
     round_ms: int,
@@ -76,6 +76,7 @@ def round_step(
     skip_rounds: int,
     error_permille: int = 0,
     enrich: bool = False,
+    parquet_index: tuple | None = None,  # (index_dir, n_buckets) store-less mode
 ) -> pa.Table:
     import os
     import time as _time
@@ -114,7 +115,14 @@ def round_step(
     fail_now = transient_fail_mask(hashes, attempts, error_permille)
     payloads: list = [None] * len(urls)
     if (~fail_now).any():
-        got = fetch_scatter(store_handles, urls[~fail_now], hashes[~fail_now])
+        if store_handles is not None:
+            got = fetch_scatter(store_handles, urls[~fail_now], hashes[~fail_now])
+        else:
+            from .fetch import parquet_probe
+
+            got = parquet_probe(
+                parquet_index[0], parquet_index[1], urls[~fail_now], hashes[~fail_now]
+            )
         for k, i in enumerate(np.flatnonzero(~fail_now)):
             payloads[i] = got[k]
     _mark()  # fetch-lookup

@@ -211,6 +211,37 @@ class TestFrontierPathEquivalence:
         pd.testing.assert_frame_equal(a[cols], b[cols])
 
 
+class TestAltConfigPaths:
+    def test_parquet_fetch_ray_events_ckpt_interval(self, crawl_run, corpus_dir):
+        # one crawl exercising the three non-default paths together:
+        # parquet-probe fetch mode (no resident store), Ray-exec events
+        # projection, and checkpoint_every>1 — output must match defaults
+        cfg_main, _, _ = crawl_run
+        cfg = make_cfg(corpus_dir, "altpaths")
+        cfg = CrawlConfig(
+            **{
+                **cfg.__dict__,
+                "extra": {
+                    **cfg.extra,
+                    "fetch_mode": "parquet",
+                    "events_via_ray": True,
+                    "checkpoint_every": 3,
+                },
+            }
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        p = CrawlPipeline(cfg)
+        p.run(max_rounds=60)
+        p.close()
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+        ea = events_output(cfg_main.out_dir).to_pandas()
+        eb = events_output(cfg.out_dir).to_pandas()
+        assert set(zip(ea["url"], ea["round"])) == set(zip(eb["url"], eb["round"]))
+
+
 class TestResume:
     def test_bit_identical_resume(self, crawl_run, corpus_dir):
         # FIXTURES.md case 6: kill after round 2, resume, outputs and
