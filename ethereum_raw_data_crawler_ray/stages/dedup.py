@@ -65,45 +65,52 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
-class MinHashStage:
-    """map_batches actor: text → MinHash signature + LSH band keys.
-    Permutation coefficients are derived once in __init__ (per actor)."""
-
-    def __init__(self, text_col: str, id_col: str, n_perm: int = 64, n_bands: int = 16):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.n_perm = n_perm
-        self.n_bands = n_bands
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        ids = t[self.id_col].to_pylist()
-        out_id, out_band, out_sig = [], [], []
-        for i, txt in enumerate(texts):
-            sig = minhash_signature(char_shingles(txt), self.n_perm)
-            for key in lsh_band_keys(sig, self.n_bands):
-                out_id.append(ids[i])
-                # int64 bit-view: Ray groupby keys must fit signed 64-bit
-                out_band.append(int(np.uint64(key).view(np.int64)))
-                out_sig.append(sig.tobytes())
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id, type=pa.int64()),
-                "band_key": pa.array(out_band, type=pa.int64()),
-                "sig": pa.array(out_sig, type=pa.binary()),
-            }
-        )
+def minhash_stage(t: pa.Table, *, text_col: str, id_col: str,
+                  n_perm: int = 64, n_bands: int = 16) -> pa.Table:
+    """map_batches task: text → MinHash signature + LSH band keys.
+    Stateless (permutation coefficients are a deterministic function of
+    the seed, derived inside minhash_signature) — a task pool avoids the
+    actor-pool startup cost this tiny stage would otherwise pay."""
+    texts = t[text_col].to_pylist()
+    ids = t[id_col].to_pylist()
+    out_id, out_band, out_sig = [], [], []
+    for i, txt in enumerate(texts):
+        sig = minhash_signature(char_shingles(txt), n_perm)
+        for key in lsh_band_keys(sig, n_bands):
+            out_id.append(ids[i])
+            # int64 bit-view: Ray groupby keys must fit signed 64-bit
+            out_band.append(int(np.uint64(key).view(np.int64)))
+            out_sig.append(sig.tobytes())
+    return pa.table(
+        {
+            id_col: pa.array(out_id, type=pa.int64()),
+            "band_key": pa.array(out_band, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.binary()),
+        }
+    )
 
 
 def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
-                       n_perm: int = 64, n_bands: int = 16) -> rd.Dataset:
+                       n_perm: int = 64, n_bands: int = 16,
+                       max_bucket: int = 64) -> rd.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     shingle → minhash → band → bucket groupby (the guide's canonical
     shape); pairs are emitted per bucket with estimated signature
-    similarity."""
+    similarity.
+
+    ``max_bucket``: buckets larger than this are skipped (standard
+    stop-bucket practice — a band bucket shared by a large fraction of
+    the corpus is a stop-shingle artifact, and emitting its O(n²) pairs
+    would dominate the run without finding real near-dups)."""
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) > max_bucket:  # stop-bucket: skip
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "est_sim": pd.Series(dtype=np.float64)}
+            )
         ids = g[id_col].to_numpy()
         sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
         a_out, b_out, est = [], [], []
@@ -115,10 +122,10 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_sim": est})
 
     sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_args=(text_col, id_col, n_perm, n_bands),
+        minhash_stage,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        batch_size=128,
     )
     return sigs.groupby("band_key").map_groups(pairs_of_group, batch_format="pandas")
 
