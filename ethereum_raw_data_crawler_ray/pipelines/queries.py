@@ -24,7 +24,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions.hashing import hash_strings
 from ..functions.textstats import (
     fingerprint64,
     lang_id,
