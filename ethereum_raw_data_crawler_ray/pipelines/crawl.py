@@ -406,6 +406,9 @@ class CrawlPipeline:
         # the events/lineage reads each touch only their own files
         _atomic_write(ds, rounds_dir, count=False, partition_cols=["row_kind"])
         t_main = time.perf_counter() - t_m0
+        # execution barrier passed + output committed → claim logs for
+        # this round can never be replayed again
+        self.seen.end_round(r)
 
         # next-frontier size from file metadata (cheap, needed now for the
         # loop/checkpoint decisions)
@@ -536,6 +539,7 @@ class CrawlPipeline:
         # --- next frontier ------------------------------------------------
         t_f0 = time.perf_counter()
         n_next = self._build_next_frontier(r, rounds_dir)
+        self.seen.end_round(r)
         t_frontier = time.perf_counter() - t_f0
 
         # --- checkpoint: seen dumps + per-shard lineage -------------------
@@ -651,7 +655,7 @@ class CrawlPipeline:
                 _explode_outlinks, fn_kwargs={"round_no": r}, batch_format="pyarrow"
             )
             .map_batches(
-                SeenFilterBatch(self.seen.handles),
+                SeenFilterBatch(self.seen.handles, round_no=r),
                 batch_format="pyarrow",
                 batch_size=8192,
             )

@@ -17,9 +17,12 @@ Pipelined crawl mode: for each frontier batch the task
      round reads the same files filtered to row_kind != "page".
 
 The end-of-execution barrier makes steps 4/5 complete before round r+1
-starts; every side effect is deterministic and idempotent under task
-retry (seen claims are first-claim-wins on identical rows; offers are
-top-k unions). One Ray execution per round total.
+starts; every side effect is deterministic and replay-safe under task
+retry: offers are top-k unions (re-offering is a no-op), and seen claims
+carry a content-derived claim token logged per round, so a retried task
+gets novel=True again for the rows it already claimed instead of
+silently dropping them (see ``state.seen.claim_token``). One Ray
+execution per round total.
 """
 
 from __future__ import annotations
@@ -81,11 +84,9 @@ def round_step(
     import os
     import time as _time
 
-    import ray
-
     from ..functions.broadcast import get_broadcast
     from ..pipelines.crawl import _explode_outlinks
-    from ..state.seen import shard_of
+    from ..state.seen import claim_scatter
     from ..state.store import fetch_scatter
 
     _timing = os.environ.get("ERDC_TIMING")
@@ -145,20 +146,12 @@ def round_step(
     _mark()  # carry
 
     # 4. discovered rows: explode fetched outlinks, seen-claim (first
-    #    claim wins — identical rows, order-independent) -------------------
+    #    claim wins across tasks; replay-safe under task retry via the
+    #    per-round claim-token log — see state.seen.claim_token) ----------
     disc = _explode_outlinks(pages.select(["outlinks"]), round_no=round_no)
     if len(disc):
         dh = np.asarray(disc["url_hash"].to_pandas(), dtype=np.uint64)
-        sid = shard_of(dh, len(seen_handles))
-        novel = np.zeros(len(dh), dtype=bool)
-        refs, ixs = [], []
-        for j in range(len(seen_handles)):
-            ix = np.flatnonzero(sid == j)
-            if ix.size:
-                refs.append(seen_handles[j].check_and_insert.remote(dh[ix]))
-                ixs.append(ix)
-        for ix, res in zip(ixs, ray.get(refs)):
-            novel[ix] = res
+        novel = claim_scatter(seen_handles, dh, round_no)
         disc = disc.filter(pa.array(novel))
     _mark()  # explode+seen
 

@@ -12,7 +12,10 @@ Design: partial-key cuckoo hashing (Fan et al., "Cuckoo Filter:
 Practically Better Than Bloom", CoNLX 2014 — public paper): 4 slots per
 bucket, 16-bit fingerprints, alternate bucket ``i2 = i1 XOR mix(fp)``.
 ~18.4 bits/entry at 95% load → a 4e7-entry shard is ~78 MiB; 256 shards
-cover 10^10 URLs in ~20 GiB of actor memory cluster-wide.
+cover 10^10 URLs in ~20 GiB of actor memory cluster-wide. Keys are
+derived from a splitmix64 REMIX of the input hash so the filter is
+independent of the raw hash's low bits, which the rest of the engine
+consumes for shard routing / bucketing / salting (see ``_splitmix64``).
 
 False positives (~2*4/2^16 ≈ 0.012%) cause a rare URL to be treated as
 already-seen and skipped — acceptable crawl semantics (the reference
@@ -35,6 +38,21 @@ def _next_pow2(x: int) -> int:
     return 1 << max(4, (x - 1).bit_length())
 
 
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer. The raw url_hash's LOW bits are
+    consumed by shard routing (``seen.shard_of``: h % n_shards), fetch
+    bucketing and salt keys — so within one shard the low bits are
+    CONSTANT. Deriving i1 from them directly confines i1 to 1/n_shards of
+    the buckets and the shard fills up (and raises) at a fraction of its
+    stated capacity. Remixing decorrelates the filter's key derivation
+    from every external consumer of the raw hash."""
+    h = h.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 class CuckooFilter:
     """One shard. Not thread-safe — lives inside a single Ray actor."""
 
@@ -53,7 +71,7 @@ class CuckooFilter:
 
     # --- key derivation ---------------------------------------------------
     def _parts(self, hashes: np.ndarray):
-        h = hashes.astype(np.uint64)
+        h = _splitmix64(hashes)
         fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
         fp = np.where(fp == 0, np.uint16(1), fp)  # 0 means empty slot
         i1 = (h & self.mask).astype(np.int64)
@@ -91,12 +109,14 @@ class CuckooFilter:
             row2 = table[b2]
             if (row1 == f).any() or (row2 == f).any():
                 continue
-            novel[j] = True
             if not self._place(f, b1, b2):
+                # count/table stay consistent: earlier inserts in this
+                # batch were each counted as they were placed
                 raise RuntimeError(
                     f"cuckoo shard full (count={self.count}, buckets={self.n_buckets})"
                 )
-        self.count += int(novel.sum())
+            novel[j] = True
+            self.count += 1
         return novel
 
     def _place(self, f: np.uint16, b1: int, b2: int) -> bool:

@@ -73,6 +73,41 @@ class LocalSeenSet:
         return [s.count for s in self.shards]
 
 
+def claim_token(hashes: np.ndarray) -> int:
+    """Stable identity of one claim call's content. A retried Ray task
+    re-derives the same discovered sub-array (round inputs are
+    deterministic), so its token matches and the shard replays the claim
+    instead of reporting the rows as duplicates (which would silently
+    drop them from the frontier — ADVICE r01, roundstep.py:158)."""
+    import hashlib as _hl
+
+    return int.from_bytes(
+        _hl.blake2b(hashes.astype(np.uint64).tobytes(), digest_size=8).digest(),
+        "little",
+    )
+
+
+def _replay_claims(
+    filt: CuckooFilter, claims: dict, hashes: np.ndarray, round_no: int, token: int
+) -> np.ndarray:
+    """check_and_insert with replay safety: claims are logged per
+    (round, url_hash) with the claimant's token; a non-novel hash whose
+    logged claimant matches is a task RETRY and re-reports novel=True
+    (first occurrence in the batch only, preserving within-batch dedup)."""
+    log = claims.setdefault(round_no, {})
+    novel = filt.check_and_insert_many(hashes)
+    if log and not novel.all():
+        seen_in_batch: set = set()
+        for j in range(len(hashes)):
+            h = int(hashes[j])
+            if not novel[j] and h not in seen_in_batch and log.get(h) == token:
+                novel[j] = True
+            seen_in_batch.add(h)
+    for j in np.flatnonzero(novel):
+        log[int(hashes[j])] = token
+    return novel
+
+
 @ray.remote(num_cpus=0, max_restarts=0)
 class SeenShard:
     """One shard actor. num_cpus=0: shards are memory-bound point lookups
@@ -83,9 +118,19 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity, seed=shard_id)
+        # round → {url_hash → claimant token}; dropped by end_round once
+        # the round's output is committed (no more task retries possible)
+        self._claims: dict[int, dict[int, int]] = {}
 
-    def check_and_insert(self, hashes: np.ndarray) -> np.ndarray:
-        return self.filter.check_and_insert_many(hashes)
+    def check_and_insert(
+        self, hashes: np.ndarray, round_no: int | None = None, token: int | None = None
+    ) -> np.ndarray:
+        if round_no is None:
+            return self.filter.check_and_insert_many(hashes)
+        return _replay_claims(self.filter, self._claims, hashes, round_no, token)
+
+    def end_round(self, upto_round: int) -> None:
+        self._claims = {r: v for r, v in self._claims.items() if r > upto_round}
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self.filter.contains_many(hashes)
@@ -169,6 +214,11 @@ class ActorSeenSet:
             ]
         )
 
+    def end_round(self, upto_round: int) -> None:
+        """Drop claim logs for rounds ≤ upto_round (their executions are
+        committed; no further task retries can arrive)."""
+        ray.get([h.end_round.remote(upto_round) for h in self.handles])
+
     def kill(self) -> None:
         for h in self.handles:
             ray.kill(h)
@@ -180,24 +230,44 @@ class SeenFilterBatch:
     claiming them in the seen shards as a side effect (the distributed
     equivalent of exists-probe-then-insert-with-E11000-as-success,
     ``crawler_service.go:433-457``). Actor handles serialize into the UDF
-    closure; each batch task scatter-gathers to the owning shards."""
+    closure; each batch task scatter-gathers to the owning shards.
+    When ``round_no`` is given, claims are replay-safe under Ray task
+    retry (see :func:`claim_token`)."""
 
-    def __init__(self, handles: list):
+    def __init__(self, handles: list, round_no: int | None = None):
         self.handles = handles
         self.n_shards = len(handles)
+        self.round_no = round_no
 
     def __call__(self, batch):
         import pyarrow as pa
 
         hashes = np.asarray(batch["url_hash"].to_pandas(), dtype=np.uint64)
-        sid = shard_of(hashes, self.n_shards)
-        novel = np.zeros(len(hashes), dtype=bool)
-        refs, ixs = [], []
-        for j in range(self.n_shards):
-            ix = np.flatnonzero(sid == j)
-            if ix.size:
-                refs.append(self.handles[j].check_and_insert.remote(hashes[ix]))
-                ixs.append(ix)
-        for ix, res in zip(ixs, ray.get(refs)):
-            novel[ix] = res
+        novel = claim_scatter(self.handles, hashes, self.round_no)
         return batch.filter(pa.array(novel))
+
+
+def claim_scatter(
+    handles: list, hashes: np.ndarray, round_no: int | None = None
+) -> np.ndarray:
+    """Scatter-gather check_and_insert against the owning shards; with a
+    round_no, each sub-array carries its content-derived claim token so a
+    retried task replays its own claims instead of losing the rows."""
+    n_shards = len(handles)
+    sid = shard_of(hashes, n_shards)
+    novel = np.zeros(len(hashes), dtype=bool)
+    refs, ixs = [], []
+    for j in range(n_shards):
+        ix = np.flatnonzero(sid == j)
+        if ix.size:
+            sub = hashes[ix]
+            if round_no is None:
+                refs.append(handles[j].check_and_insert.remote(sub))
+            else:
+                refs.append(
+                    handles[j].check_and_insert.remote(sub, round_no, claim_token(sub))
+                )
+            ixs.append(ix)
+    for ix, res in zip(ixs, ray.get(refs)):
+        novel[ix] = res
+    return novel

@@ -53,6 +53,28 @@ class TestCuckoo:
         b.check_and_insert_many(h[::-1].copy())
         assert a.digest() == b.digest()
 
+    def test_high_load_with_fixed_low_bits(self):
+        # regression (ADVICE r01): shard routing consumes the raw hash's
+        # low bits (h % n_shards), so within a shard the low bits are
+        # CONSTANT — the filter must still reach high load. Simulate a
+        # 256-shard routing pattern at 90% of stated capacity.
+        cap = 40_000
+        f = CuckooFilter(cap)
+        n = int(cap * 0.9)
+        rng = np.random.default_rng(11)
+        h = rng.integers(0, 2**56, size=n, dtype=np.uint64) * np.uint64(256) + np.uint64(3)
+        assert (h % np.uint64(256) == 3).all()
+        novel = f.check_and_insert_many(h)  # must not raise "shard full"
+        assert f.count == int(novel.sum())
+        assert f.contains_many(h).all()
+
+    def test_count_consistent_across_batches(self):
+        f = CuckooFilter(10_000)
+        a, b = _hashes(500, seed=8), _hashes(700, seed=9)
+        f.check_and_insert_many(a)
+        f.check_and_insert_many(np.concatenate([a, b]))
+        assert f.count == len(np.unique(np.concatenate([a, b])))
+
     def test_dump_restore(self):
         f = CuckooFilter(10_000)
         h = _hashes(1_000, seed=4)
@@ -78,6 +100,45 @@ class TestSeenSet:
         s1.check_and_insert(h)
         s2.check_and_insert(h[::-1].copy())
         assert s1.digests() == s2.digests()
+
+
+class TestClaimReplay:
+    def test_retry_replays_own_claims(self):
+        from ethereum_raw_data_crawler_ray.state.cuckoo import CuckooFilter
+        from ethereum_raw_data_crawler_ray.state.seen import _replay_claims, claim_token
+
+        f, claims = CuckooFilter(10_000), {}
+        h = _hashes(100, seed=20)
+        tok = claim_token(h)
+        first = _replay_claims(f, claims, h, 3, tok)
+        assert first.all()
+        # task retry: same content, same token → claims replay
+        again = _replay_claims(f, claims, h, 3, tok)
+        assert again.all()
+        # a DIFFERENT task offering the same urls is a true duplicate
+        other = _replay_claims(f, claims, h, 3, claim_token(h[::-1].copy()))
+        assert not other.any()
+
+    def test_replay_preserves_within_batch_dedup(self):
+        from ethereum_raw_data_crawler_ray.state.cuckoo import CuckooFilter
+        from ethereum_raw_data_crawler_ray.state.seen import _replay_claims, claim_token
+
+        f, claims = CuckooFilter(1_000), {}
+        h = np.array([5, 5, 9], dtype=np.uint64)
+        tok = claim_token(h)
+        assert list(_replay_claims(f, claims, h, 0, tok)) == [True, False, True]
+        assert list(_replay_claims(f, claims, h, 0, tok)) == [True, False, True]
+
+    def test_end_round_drops_log(self):
+        from ethereum_raw_data_crawler_ray.state.cuckoo import CuckooFilter
+        from ethereum_raw_data_crawler_ray.state.seen import _replay_claims, claim_token
+
+        f, claims = CuckooFilter(1_000), {}
+        h = _hashes(10, seed=21)
+        tok = claim_token(h)
+        _replay_claims(f, claims, h, 0, tok)
+        claims.pop(0, None)  # what end_round does
+        assert not _replay_claims(f, claims, h, 1, tok).any()
 
 
 class TestPoliteness:
