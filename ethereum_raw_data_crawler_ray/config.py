@@ -60,7 +60,9 @@ class CrawlConfig:
     cpus_per_fetch_actor: float = 1.0
 
     # --- determinism ------------------------------------------------------
+    # frontier ordering is the fixed comparator state.politeness.ORDER_COLS
+    # (priority, depth, warc_ts, url_hash) — not configurable: the golden
+    # oracle, cutoff actors and gate must all agree on it
     seed: int = 42
-    ordering_cols: tuple = ("priority", "depth", "warc_ts", "url")
 
     extra: dict = field(default_factory=dict)

@@ -11,6 +11,7 @@ compiled at module import — once per Ray worker process.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 
@@ -62,19 +63,31 @@ def quality_stats(text: str) -> tuple[int, int, int, int]:
     return n_chars, n_tokens, n_punct, n_stop
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFF = np.uint64(14695981039346656037)
-_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FP_BASE = 1099511628211
+_FP_OFF = 14695981039346656037
+_M64_INT = (1 << 64) - 1
 
 
 def fingerprint64(text: str) -> int:
     """FNV-1a 64-bit document fingerprint (public-domain algorithm) —
-    the analog of the reference's content hash identity (block.go:13)."""
+    the analog of the reference's content hash identity (block.go:13).
+    Plain-Python-int arithmetic with a 64-bit mask per step: identical
+    output to the spec, ~100× faster than np.uint64 scalar ops (the
+    per-byte numpy-scalar loop was the round-1 hot-path sin)."""
     h = _FP_OFF
+    for b in text.encode("utf-8"):
+        h = ((h ^ b) * _FP_BASE) & _M64_INT
+    return h
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public constant-set) — used to
+    spread polynomial rolling hashes across the 64-bit space."""
+    h = h.astype(np.uint64)
     with np.errstate(over="ignore"):
-        for b in text.encode("utf-8"):
-            h = ((h ^ np.uint64(b)) * _FP_BASE) & _M64
-    return int(h)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
 
 
 def _token_hashes(text: str) -> np.ndarray:
@@ -95,38 +108,60 @@ def simhash64(text: str) -> int:
         np.int64
     )
     v = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
     with np.errstate(over="ignore"):
-        for j in range(64):
-            if v[j] > 0:
-                out |= np.uint64(1) << np.uint64(j)
+        out = (
+            (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).sum(dtype=np.uint64)
     return int(out)
+
+
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+
+def _rolling_poly(vals: np.ndarray, k: int) -> np.ndarray:
+    """All k-gram polynomial hashes of a uint64 value sequence,
+    vectorized: H[i] = Σ_j vals[i+j]·B^(k-1-j) (mod 2^64), then a
+    splitmix64 finalizer. k shifted multiply-adds total — no Python
+    loop over positions."""
+    n = len(vals) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pw = np.uint64(1)
+        for j in range(k - 1, -1, -1):
+            h += vals[j : j + n] * pw
+            pw = pw * _POLY_BASE
+    return _mix64(h)
 
 
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingle hashes — ~5-10× fewer shingles than character
-    grams; the cheap path for in-flight MinHash."""
-    import pandas as pd
-
-    toks = _WORD_RE.findall(text.lower())
-    if len(toks) < k:
-        return _token_hashes(text)
-    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+    grams; the cheap path for in-flight MinHash. Gram hash is a rolling
+    polynomial over the (vectorized) per-token hashes."""
+    h = _token_hashes(text)
+    if len(h) < k:
+        return h
+    return _rolling_poly(h, k)
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """k-gram character shingle hashes."""
-    import pandas as pd
+    """k-gram character shingle hashes: rolling polynomial over the
+    utf-8 byte sequence (vectorized — the round-1 per-gram Python slice
+    + hash_array loop dominated q26's wall time)."""
+    b = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        return _token_hashes(text)
+    return _rolling_poly(b.astype(np.uint64), k)
 
-    t = text.lower()
-    if len(t) < k:
-        return _token_hashes(t)
-    grams = [t[i : i + k] for i in range(len(t) - k + 1)]
-    return pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
 
-
-_MH_PRIME = np.uint64(0xFFFFFFFFFFFFFFC5)  # largest 64-bit prime
+@lru_cache(maxsize=16)
+def _mh_coeffs(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """MinHash permutation coefficients — a pure function of (n_perm,
+    seed), cached per worker process (round 1 rebuilt the RNG and both
+    arrays per DOCUMENT inside the crawl enrichment loop)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
+    return a, b
 
 
 def minhash_signature(shingle_hashes: np.ndarray, n_perm: int = 64, seed: int = 7) -> np.ndarray:
@@ -134,29 +169,33 @@ def minhash_signature(shingle_hashes: np.ndarray, n_perm: int = 64, seed: int = 
     (Broder's MinHash, public algorithm). Empty docs → all-max sentinel."""
     if shingle_hashes.size == 0:
         return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 2**63, size=n_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
+    a, b = _mh_coeffs(n_perm, seed)
     with np.errstate(over="ignore"):
         vals = a[None, :] * shingle_hashes[:, None] + b[None, :]
     return vals.min(axis=0)
 
 
-def lsh_band_keys(sig: np.ndarray, n_bands: int = 16) -> list[int]:
+def lsh_band_keys(sig: np.ndarray, n_bands: int = 16) -> np.ndarray:
     """Split the signature into bands; one 64-bit key per band (band id
-    mixed in). Docs sharing any band key are near-dup candidates."""
-    import pandas as pd
-
-    rows = len(sig) // n_bands
-    keys = []
-    for b in range(n_bands):
-        chunk = sig[b * rows : (b + 1) * rows]
-        k = pd.util.hash_array(
-            np.asarray([bytes(chunk.tobytes()) + bytes([b])], dtype=object),
-            categorize=False,
-        )[0]
-        keys.append(int(k))
-    return keys
+    mixed in). Docs sharing any band key are near-dup candidates.
+    Accepts one signature (1-D) or a stack of them (2-D, one row per
+    doc); returns uint64 keys of shape (n_bands,) / (n_docs, n_bands).
+    Fully vectorized fold (round 1 paid a pd.util.hash_array call per
+    band per document)."""
+    sig = np.asarray(sig, dtype=np.uint64)
+    one = sig.ndim == 1
+    if one:
+        sig = sig[None, :]
+    rows = sig.shape[1] // n_bands
+    bands = sig[:, : rows * n_bands].reshape(sig.shape[0], n_bands, rows)
+    with np.errstate(over="ignore"):
+        keys = _mix64(
+            np.arange(n_bands, dtype=np.uint64)[None, :]
+            ^ np.uint64(0x9E3779B97F4A7C15)
+        ) * np.ones((sig.shape[0], 1), dtype=np.uint64)
+        for c in range(rows):
+            keys = _mix64(keys ^ bands[:, :, c])
+    return keys[0] if one else keys
 
 
 def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:

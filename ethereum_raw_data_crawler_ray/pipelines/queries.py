@@ -38,6 +38,24 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _pool() -> tuple[int, int]:
+    """Actor-pool autoscale bounds sized from the cluster (round 1 hard-
+    capped several stages at 4 actors, starving a 32-CPU box)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, ncpu))
+
+
+def _dense_lookup(keys: pd.Series, values: pd.Series) -> np.ndarray:
+    """key→value as a position-indexed numpy array (keys are small dense
+    ints in the dimension tables); vectorized np.take replaces the
+    round-1 per-row double dict hop."""
+    arr = np.full(int(keys.max()) + 1, -1, dtype=np.int64)
+    arr[keys.to_numpy(dtype=np.int64)] = values.to_numpy(dtype=np.int64)
+    return arr
+
+
 # ==========================================================================
 # relational core (SURVEY.md §2.3, §2.5-2.7 mappings)
 # ==========================================================================
@@ -193,25 +211,25 @@ def q10_revenue_by_nation(sf_dir: str):
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    nat_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((cust_map, nat_map))
+    ck2nk = _dense_lookup(cust["c_custkey"], cust["c_nationkey"])
+    nk2name = np.full(int(nation["n_nationkey"].max()) + 1, None, dtype=object)
+    nk2name[nation["n_nationkey"].to_numpy(dtype=np.int64)] = nation["n_name"].to_numpy()
+    ref = ray.put((ck2nk, nk2name))
 
-    class Enrich:
-        def __init__(self):
-            self.cust_map, self.nat_map = ray.get(ref)
+    def enrich(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-            names = [self.nat_map[self.cust_map[int(c)]] for c in ck]
-            return pa.table(
-                {"n_name": pa.array(names, type=pa.string()),
-                 "o_totalprice": t["o_totalprice"]}
-            )
+        ck2nk_, nk2name_ = get_broadcast(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = nk2name_[ck2nk_[ck]]
+        return pa.table(
+            {"n_name": pa.array(names, type=pa.string()),
+             "o_totalprice": t["o_totalprice"]}
+        )
 
     out = (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(enrich, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
         .to_pandas()
@@ -325,16 +343,17 @@ def q19_region_rollup(sf_dir: str):
 
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    r2n = dict(zip(region["r_regionkey"], region["r_name"]))
-    ref = ray.put((n2r, r2n))
+    n2r = _dense_lookup(nation["n_nationkey"], nation["n_regionkey"])
+    r2name = np.full(int(region["r_regionkey"].max()) + 1, None, dtype=object)
+    r2name[region["r_regionkey"].to_numpy(dtype=np.int64)] = region["r_name"].to_numpy()
+    ref = ray.put((n2r, r2name))
 
     def enrich(t: pa.Table) -> pa.Table:
         from ..functions.broadcast import get_broadcast
 
-        n2r_, r2n_ = get_broadcast(ref)
-        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        names = [r2n_[n2r_[int(k)]] for k in nk]
+        n2r_, r2name_ = get_broadcast(ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = r2name_[n2r_[nk]]
         return pa.table(
             {"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]}
         )
@@ -425,7 +444,7 @@ def q23_quality_score(sf_dir: str):
             )
 
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        Score, batch_format="pyarrow", concurrency=(1, 4)
+        Score, batch_format="pyarrow", concurrency=_pool()
     )
 
 

@@ -56,7 +56,6 @@ PAGES_OUT = pa.schema(
         ("n_outlinks", pa.int32()),
         ("outlinks", pa.list_(pa.string())),
         ("round", pa.int32()),
-        ("rank", pa.int64()),  # deterministic crawl-order rank within the round
         ("status", pa.string()),  # fetched | error (error rows carry no text)
     ]
 )

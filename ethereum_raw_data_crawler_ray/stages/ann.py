@@ -26,6 +26,39 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _pool() -> tuple[int, int]:
+    """Actor-pool bounds sized from the cluster (round 1's fixed (1,4)
+    cap starved 32-CPU runs)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, ncpu))
+
+
+def hash_sample(ds: rd.Dataset, id_col: str, n_target: int, seed: int) -> "pd.DataFrame":
+    """Deterministic, order-independent ~n_target-row sample: keep rows
+    whose mixed id hash falls under a threshold derived from the table
+    size. Replaces round 1's ``ds.limit(n)`` ("first N rows"), which on
+    a sorted/clustered corpus trains biased centroids."""
+    import pandas as pd
+
+    from ..functions.textstats import _mix64
+
+    n = ds.count()
+    if n <= n_target:
+        return ds.to_pandas()
+    frac = n_target / n
+    thresh = np.int64(int(frac * (2**63 - 1)))
+    sd = np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.uint64)
+        m = (_mix64(ids ^ sd) >> np.uint64(1)).astype(np.int64) < thresh
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow").limit(n_target).to_pandas()
+
+
 class _BruteTopK:
     def __init__(self, q_ref, k: int):
         import ray
@@ -66,7 +99,7 @@ def knn_bruteforce(ds: rd.Dataset, queries: np.ndarray, k: int = 10) -> rd.Datas
         fn_constructor_args=(q_ref, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=_pool(),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -206,7 +239,7 @@ def knn_ivf(
     import pandas as pd
 
     qn = _normalize(np.asarray(queries, dtype=np.float32))
-    sample = ds.limit(train_sample).to_pandas()
+    sample = hash_sample(ds, "vec_id", train_sample, seed)
     mat = np.asarray(sample["embedding"].to_list(), dtype=np.float32)
     cent = kmeans_centroids(mat, n_cells, seed=seed)
     q_ref = ray.put(qn)
@@ -216,7 +249,7 @@ def knn_ivf(
         fn_constructor_args=(q_ref, c_ref, k, n_probe),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=_pool(),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -253,7 +286,7 @@ def knn_lsh(
         fn_constructor_args=(q_ref, p_ref, k, n_probe_bits),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=_pool(),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -68,24 +68,27 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 def minhash_stage(t: pa.Table, *, text_col: str, id_col: str,
                   n_perm: int = 64, n_bands: int = 16) -> pa.Table:
     """map_batches task: text → MinHash signature + LSH band keys.
-    Stateless (permutation coefficients are a deterministic function of
-    the seed, derived inside minhash_signature) — a task pool avoids the
-    actor-pool startup cost this tiny stage would otherwise pay."""
+    Stateless (permutation coefficients are an lru-cached function of the
+    seed) — a task pool avoids the actor-pool startup cost this tiny
+    stage would otherwise pay. Shingling is the only per-row step
+    (variable-length text); signatures and band keys are batch-level
+    numpy ops."""
     texts = t[text_col].to_pylist()
-    ids = t[id_col].to_pylist()
-    out_id, out_band, out_sig = [], [], []
+    ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    sigs = np.empty((len(texts), n_perm), dtype=np.uint64)
     for i, txt in enumerate(texts):
-        sig = minhash_signature(char_shingles(txt), n_perm)
-        for key in lsh_band_keys(sig, n_bands):
-            out_id.append(ids[i])
-            # int64 bit-view: Ray groupby keys must fit signed 64-bit
-            out_band.append(int(np.uint64(key).view(np.int64)))
-            out_sig.append(sig.tobytes())
+        sigs[i] = minhash_signature(char_shingles(txt), n_perm)
+    keys = lsh_band_keys(sigs, n_bands)  # (n_docs, n_bands) uint64
+    sig_bytes = [s.tobytes() for s in sigs]
     return pa.table(
         {
-            id_col: pa.array(out_id, type=pa.int64()),
-            "band_key": pa.array(out_band, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.binary()),
+            id_col: pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+            # int64 bit-view: Ray groupby keys must fit signed 64-bit
+            "band_key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+            "sig": pa.array(
+                [sig_bytes[i] for i in range(len(texts)) for _ in range(n_bands)],
+                type=pa.binary(),
+            ),
         }
     )
 
@@ -125,7 +128,7 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
         minhash_stage,
         fn_kwargs=dict(text_col=text_col, id_col=id_col, n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow",
-        batch_size=128,
+        batch_size=1024,
     )
     return sigs.groupby("band_key").map_groups(pairs_of_group, batch_format="pandas")
 

@@ -104,6 +104,13 @@ class DecodeStage:
         return pa.table(cols)
 
 
+def _mm_pool() -> tuple[int, int]:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, ncpu))
+
+
 def decode_pipeline(ds: rd.Dataset, with_features: bool = False) -> rd.Dataset:
     """Standard multimodal decode shape: small batches (wide binary
     rows), bounded actor pool."""
@@ -112,6 +119,6 @@ def decode_pipeline(ds: rd.Dataset, with_features: bool = False) -> rd.Dataset:
         fn_constructor_args=("fake", with_features),
         batch_format="pyarrow",
         batch_size=256,  # binary payloads are wide — keep batches small
-        concurrency=(1, 4),
+        concurrency=_mm_pool(),
         num_cpus=1,
     )

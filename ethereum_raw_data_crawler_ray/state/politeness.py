@@ -103,6 +103,23 @@ def robots_denied(url: str, host: str, robots: dict) -> bool:
     return any(p.startswith(pref) for pref in prefixes)
 
 
+def robots_denied_mask(urls: np.ndarray, hosts: np.ndarray, robots: dict) -> np.ndarray:
+    """Vectorized robots gate: look up each UNIQUE host once; the
+    per-row prefix check runs only for rows of hosts that actually have
+    disallow prefixes (typically a small minority — the round-1 version
+    paid a dict probe per row in every round-step task)."""
+    out = np.zeros(len(urls), dtype=bool)
+    if not robots or len(urls) == 0:
+        return out
+    uniq = pd.unique(hosts)
+    with_prefixes = [h for h in uniq if robots.get(h, (0, ()))[1]]
+    if not with_prefixes:
+        return out
+    for i in np.flatnonzero(np.isin(hosts, with_prefixes)):
+        out[i] = robots_denied(urls[i], hosts[i], robots)
+    return out
+
+
 def phase1_gate(
     df: pd.DataFrame,
     *,
@@ -133,9 +150,7 @@ def phase1_gate(
     hosts = df["host"].to_numpy()
     # robots gate (analog of skip-set filter F4, scheduler_service.go:291-303
     # — but content-based: disallowed prefixes never fetch)
-    for i in range(n):
-        if robots_denied(urls[i], hosts[i], robots):
-            gate[i] = GATE_ROBOTS
+    gate[robots_denied_mask(urls, hosts, robots)] = GATE_ROBOTS
     # retry skip-window: rows sitting out their skip_rounds penalty
     skipped = df["skip_until_round"].to_numpy() > round_no
     gate[skipped & (gate == GATE_CANDIDATE)] = GATE_SKIPPED
@@ -212,9 +227,7 @@ def gate_pre(df: pd.DataFrame, robots: dict, round_no: int) -> np.ndarray:
     gate = np.full(n, GATE_CANDIDATE, dtype=object)
     urls = df["url"].to_numpy()
     hosts = df["host"].to_numpy()
-    for i in range(n):
-        if robots_denied(urls[i], hosts[i], robots):
-            gate[i] = GATE_ROBOTS
+    gate[robots_denied_mask(urls, hosts, robots)] = GATE_ROBOTS
     skipped = df["skip_until_round"].to_numpy() > round_no
     gate[skipped & (gate == GATE_CANDIDATE)] = GATE_SKIPPED
     return gate
