@@ -478,11 +478,12 @@ def q26_minhash_pairs(sf_dir: str):
 
 
 def q27_dedup_groups(sf_dir: str):
-    """Near-dup groups: LSH candidates → n-gram-Jaccard verify →
-    union-find (no oracle)."""
-    docs = _t(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    pairs = q26_minhash_pairs(sf_dir).to_pandas()
-    return dedup.minhash_dedup_groups(docs, pairs, "text", "doc_id")
+    """Near-dup groups: LSH candidates → DISTRIBUTED n-gram-Jaccard
+    verify → union-find on verified pairs → streamed group assignment
+    (no oracle). The documents table never materializes on the driver."""
+    return dedup.near_dup_groups(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -513,9 +514,22 @@ def q29_knn_ivf(sf_dir: str):
 
 
 def q30_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (exact; threshold 0.4 — the
-    synthetic embeddings top out near cosine 0.48)."""
+    """Embedding-cosine near-dup pairs (exact, blocked distributed
+    self-join; threshold 0.4 — the synthetic embeddings top out near
+    cosine 0.48)."""
     out = dedup.embedding_dedup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q34_embedding_dedup_lsh(sf_dir: str):
+    """Approximate embedding near-dup pairs via hyperplane-LSH buckets —
+    the sub-quadratic scale path (no oracle; recall vs the exact
+    operator pinned in tests)."""
+    out = dedup.embedding_dedup_lsh(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
     ).to_pandas()
     if out.empty:
@@ -685,6 +699,7 @@ QUERIES = {
     "q28_knn_brute": q28_knn_brute,
     "q29_knn_ivf": q29_knn_ivf,
     "q30_embedding_dedup": q30_embedding_dedup,
+    "q34_embedding_dedup_lsh": q34_embedding_dedup_lsh,
     "q31_window_tumbling": q31_window_tumbling,
     "q32_sessionize": q32_sessionize,
     "q33_multimodal_decode": q33_multimodal_decode,

@@ -133,13 +133,10 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
     return sigs.groupby("band_key").map_groups(pairs_of_group, batch_format="pandas")
 
 
-def minhash_dedup_groups(
-    docs: pd.DataFrame, pairs: pd.DataFrame, text_col: str, id_col: str,
-    threshold: float = 0.8,
-) -> pd.DataFrame:
-    """Verify candidates with word-3-gram Jaccard, then union-find the
-    verified pairs into groups. Driver-side on the (small) pair set."""
-    texts = dict(zip(docs[id_col], docs[text_col]))
+def union_find_roots(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over verified pairs (id_a, id_b) → {id: group root}.
+    Root is the minimum member id. Driver-side by design: the input is
+    the VERIFIED pair set, which is tiny relative to the corpus."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -148,17 +145,95 @@ def minhash_dedup_groups(
             x = parent[x]
         return x
 
-    seen_pairs = set()
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        if (a, b) in seen_pairs:
-            continue
-        seen_pairs.add((a, b))
-        if jaccard_ngrams(texts[a], texts[b]) >= threshold:
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    rows = [(int(i), find(int(i))) for i in docs[id_col]]
-    return pd.DataFrame(rows, columns=[id_col, "group_id"])
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def near_dup_groups(
+    ds: rd.Dataset, text_col: str, id_col: str, threshold: float = 0.8,
+    n_perm: int = 64, n_bands: int = 16, max_bucket: int = 64,
+) -> rd.Dataset:
+    """Near-dup grouping, end to end distributed (the flagship LLM-data
+    operator): LSH candidates → distributed word-3-gram-Jaccard
+    verification → union-find on verified pairs → streamed group
+    assignment. The documents table itself is NEVER materialized on the
+    driver (round-1 version did ``docs.to_pandas()`` — a driver OOM at
+    corpus scale); only three corpus-independent small sets are:
+    candidate PAIRS, candidate TEXTS (candidates << corpus, the standard
+    near-dup regime) and the verified-pair union-find roots.
+
+    Output: one row per document, (id_col, group_id); group_id is the
+    minimum doc id of the group (singletons map to themselves)."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    def singleton(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64())
+        return pa.table({id_col: ids, "group_id": ids})
+
+    ids_only = ds.select_columns([id_col])
+    pairs = minhash_candidates(
+        ds, text_col, id_col, n_perm=n_perm, n_bands=n_bands, max_bucket=max_bucket
+    ).to_pandas()
+    if len(pairs):
+        pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
+    if not len(pairs):
+        return ids_only.map_batches(singleton, batch_format="pyarrow")
+
+    # broadcast the candidate id set; stream-filter ONLY candidate texts
+    cand_ids = np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+    cand_ref = ray.put(frozenset(int(x) for x in cand_ids))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        cs = get_broadcast(cand_ref)
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        m = np.fromiter((int(i) in cs for i in ids), dtype=bool, count=len(ids))
+        return t.filter(pa.array(m))
+
+    cand_docs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(keep_candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    texts_ref = ray.put(
+        dict(zip(cand_docs[id_col].astype(np.int64), cand_docs[text_col]))
+    )
+
+    # distributed verification over the pairs dataset
+    def verify(t: pa.Table) -> pa.Table:
+        texts = get_broadcast(texts_ref)
+        a = t["id_a"].to_pylist()
+        b = t["id_b"].to_pylist()
+        ok = [
+            jaccard_ngrams(texts[int(x)], texts[int(y)]) >= threshold
+            for x, y in zip(a, b)
+        ]
+        return t.filter(pa.array(ok))
+
+    verified = (
+        rd.from_pandas(pairs)
+        .map_batches(verify, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+    )
+
+    roots_ref = ray.put(union_find_roots(verified))
+
+    def assign(t: pa.Table) -> pa.Table:
+        roots = get_broadcast(roots_ref)
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        gid = np.fromiter(
+            (roots.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {id_col: pa.array(ids, type=pa.int64()),
+             "group_id": pa.array(gid, type=pa.int64())}
+        )
+
+    return ids_only.map_batches(assign, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -186,59 +261,172 @@ def simhash_table(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 
 
 # --------------------------------------------------------------------------
-# embedding cosine near-dup (exact, broadcast)
+# embedding cosine near-dup
 # --------------------------------------------------------------------------
-class CosinePairs:
-    """map_batches actor: batch rows × broadcast normalized matrix →
-    pairs with cosine ≥ threshold. The small side (the full normalized
-    embedding matrix) is ray.put once and fetched per actor, not per
-    batch (broadcast-join shape, SURVEY.md J-rules)."""
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
 
-    def __init__(self, mat_ref, ids_ref, threshold: float):
+
+def _chunk_arrays(t) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t["vec_id"].to_pandas(), dtype=np.int64)
+    mat = _l2_normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+    return ids, mat
+
+
+def _emit_pairs(ia, ma, ib, mb, threshold: float, same: bool) -> pa.Table:
+    """Vectorized cross-chunk cosine pairs ≥ threshold, normalized to
+    (min_id, max_id)."""
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a, b = ia[ii], ib[jj]
+    if same:
+        m = a < b  # each unordered pair appears twice in a square block
+    else:
+        m = a != b
+    a, b, s = a[m], b[m], sims[ii[m], jj[m]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "id_a": pa.array(lo, type=pa.int64()),
+            "id_b": pa.array(hi, type=pa.int64()),
+            "cosine": pa.array(s.astype(np.float64), type=pa.float64()),
+        }
+    )
+
+
+class _ChunkPairTask:
+    """Actor for the blocked exact self-join: each task compares one
+    (chunk_i, chunk_j) combination. Chunks live in the OBJECT STORE
+    (``to_arrow_refs`` — never on the driver); a small per-actor LRU
+    keeps recently used chunks decoded."""
+
+    def __init__(self, refs: list, threshold: float):
+        self.refs = refs
+        self.threshold = threshold
+        self.cache: dict[int, tuple] = {}
+
+    def _chunk(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         import ray
 
-        self.mat = ray.get(mat_ref)  # (N, d) float32, L2-normalized
-        self.ids = ray.get(ids_ref)
-        self.threshold = threshold
+        if i not in self.cache:
+            if len(self.cache) >= 4:
+                self.cache.pop(next(iter(self.cache)))
+            self.cache[i] = _chunk_arrays(ray.get(self.refs[i]))
+        return self.cache[i]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        vecs = vecs / norms
-        sims = vecs @ self.mat.T  # (batch, N)
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            hits = np.flatnonzero(sims[i] >= self.threshold)
-            for j in hits:
-                if self.ids[j] > ids[i]:  # i<j once, no self-pairs
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(self.ids[j]))
-                    s_out.append(float(sims[i, j]))
+        outs = []
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ia, ma = self._chunk(i)
+            ib, mb = self._chunk(j)
+            outs.append(_emit_pairs(ia, ma, ib, mb, self.threshold, same=(i == j)))
+        return pa.concat_tables(outs)
+
+
+def _pool() -> tuple[int, int]:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, ncpu))
+
+
+def embedding_dedup_pairs(
+    ds: rd.Dataset, threshold: float = 0.95, chunk_rows: int = 8192
+) -> rd.Dataset:
+    """EXACT cosine near-dup pairs — blocked distributed self-join.
+
+    Round 1 materialized the whole table on the driver and broadcast the
+    full N×d matrix to every actor (O(N²) all-pairs against a resident
+    full copy). Now: the normalized corpus is repacked into bounded
+    chunks that stay in the object store; one Ray task per (i ≤ j) chunk
+    combination does a chunk×chunk matmul. Exactness is inherently
+    O(N²) compute — that cost is now spread over K(K+1)/2 independent
+    tasks with O(chunk²) memory each, nothing corpus-sized on the driver
+    or in any single actor. For the sub-quadratic scale path use
+    :func:`embedding_dedup_lsh`."""
+
+    def repack(t: pa.Table) -> pa.Table:
+        ids, mat = _chunk_arrays(t)
         return pa.table(
             {
-                "id_a": pa.array(a_out, type=pa.int64()),
-                "id_b": pa.array(b_out, type=pa.int64()),
-                "cosine": pa.array(s_out, type=pa.float64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
             }
         )
 
+    norm = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        repack, batch_format="pyarrow", batch_size=chunk_rows
+    )
+    refs = norm.to_arrow_refs()
+    k = len(refs)
+    items = [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
+    return rd.from_items(items).map_batches(
+        _ChunkPairTask,
+        fn_constructor_args=(refs, threshold),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=_pool(),
+    )
 
-def embedding_dedup_pairs(ds: rd.Dataset, threshold: float = 0.95) -> rd.Dataset:
-    """Exact cosine near-dup pairs over an embedding column."""
+
+def embedding_dedup_lsh(
+    ds: rd.Dataset, threshold: float = 0.95, n_bits: int = 8,
+    n_tables: int = 6, seed: int = 31,
+) -> rd.Dataset:
+    """APPROXIMATE cosine near-dup pairs — the 100-TB scale path:
+    random-hyperplane bucket keys (n_tables independent tables), exact
+    cosine only WITHIN each bucket. The shuffle moves (table, bucket,
+    id, vector) rows — n_tables passes over the corpus — and per-bucket
+    work is O(bucket²); no all-pairs, no driver materialization. Recall
+    grows with n_tables and falls with n_bits; the test pins recall vs
+    the exact operator on a clustered fixture."""
     import ray
 
-    full = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    mat = np.asarray(full["embedding"].to_list(), dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat_ref = ray.put(mat / norms)
-    ids_ref = ray.put(full["vec_id"].to_numpy(dtype=np.int64))
-    return ds.map_batches(
-        CosinePairs,
-        fn_constructor_args=(mat_ref, ids_ref, threshold),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 4),
+    from ..functions.broadcast import get_broadcast
+
+    rng = np.random.default_rng(seed)
+    d = len(ds.take(1)[0]["embedding"])
+    planes_ref = ray.put(
+        rng.standard_normal((n_tables, n_bits, d)).astype(np.float32)
     )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        planes = get_broadcast(planes_ref)
+        ids, mat = _chunk_arrays(t)
+        parts = []
+        for ti in range(n_tables):
+            bits = (mat @ planes[ti].T) > 0
+            key = (
+                bits.astype(np.int64) << np.arange(n_bits, dtype=np.int64)
+            ).sum(axis=1) + (ti << n_bits)
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(key, type=pa.int64()),
+                        "vec_id": pa.array(ids, type=pa.int64()),
+                        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.asarray(g["embedding"].to_list(), dtype=np.float32)
+        out = _emit_pairs(ids, mat, ids, mat, threshold, same=True).to_pandas()
+        return out
+
+    pairs = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # a pair found in several tables appears once per table — distinct it
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
