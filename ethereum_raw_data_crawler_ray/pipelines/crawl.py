@@ -240,7 +240,9 @@ class CrawlPipeline:
         build_fetch_index(cfg.pages_path, cfg.index_dir, cfg.n_fetch_buckets)
         robots = load_robots(cfg.extra["robots_path"]) if "robots_path" in cfg.extra else {}
         self.robots_ref = ray.put(robots)
-        self.seen = ActorSeenSet(cfg.n_seen_shards, cfg.seen_shard_capacity)
+        self.seen = ActorSeenSet(
+            cfg.n_seen_shards, cfg.seen_shard_capacity, ckpt_root=self._p("seen")
+        )
         self.store = None
         if cfg.extra.get("fetch_mode", "store") == "store":
             n_store = int(cfg.extra.get("n_store_shards", min(8, cfg.n_fetch_buckets)))
@@ -256,6 +258,7 @@ class CrawlPipeline:
                 cfg.max_per_host_round,
                 max(1, int(cfg.extra.get("host_salt", 1))),
             )
+            self.cutoff_pool.consume_fresh()  # clear the initial flags
 
     def bootstrap(self, seeds: pa.Table) -> None:
         """Write frontier/round=0 from the seed list, claiming seeds in
@@ -360,6 +363,12 @@ class CrawlPipeline:
         # compute, so even small rounds should spread across the cluster
         blocks = max(1, min(2 * ncpu, -(-n_frontier // 1024)))
 
+        if self.cutoff_pool.consume_fresh():
+            # a cutoff shard restarted: its buffered offers for this
+            # round are gone; drop the round's offer state on ALL shards
+            # and re-derive it deterministically from the frontier
+            self.cutoff_pool.drop_round(r)
+            self._backfill_offers(r)
         cutoffs_ref = ray.put(self.cutoff_pool.collect(r))
         kwargs = dict(
             round_no=r,

@@ -414,7 +414,7 @@ class CutoffPool:
                  default_delay_ms: int, max_per_host: int, n_salt: int):
         import ray
 
-        @ray.remote(num_cpus=0)
+        @ray.remote(num_cpus=0, max_restarts=2, max_task_retries=-1)
         class CutoffShard:
             def __init__(self, robots_ref, round_ms, default_delay_ms, max_per_host, n_salt):
                 from ..functions.broadcast import get_broadcast
@@ -426,6 +426,18 @@ class CutoffPool:
                 )
                 self._budgets: dict = {}
                 self.rounds: dict[int, _CutoffState] = {}
+                # restart detection: offers buffered here are volatile; a
+                # restarted shard reports fresh=True once so the driver
+                # drops the round's offer state everywhere and re-derives
+                # it from the frontier (deterministic backfill)
+                self._fresh = True
+
+            def consume_fresh(self) -> bool:
+                f, self._fresh = self._fresh, False
+                return f
+
+            def drop_round(self, round_no: int) -> None:
+                self.rounds.pop(round_no, None)
 
             def _budget(self, pk):
                 b = self._budgets.get(pk)
@@ -459,6 +471,18 @@ class CutoffPool:
         import ray
 
         ray.get([h.reset.remote() for h in self.handles])
+
+    def consume_fresh(self) -> bool:
+        """True iff ANY shard (re)started since the last check — its
+        buffered offers are gone and the caller must re-backfill."""
+        import ray
+
+        return any(ray.get([h.consume_fresh.remote() for h in self.handles]))
+
+    def drop_round(self, round_no: int) -> None:
+        import ray
+
+        ray.get([h.drop_round.remote(round_no) for h in self.handles])
 
     def collect(self, round_no: int) -> dict:
         import ray

@@ -108,19 +108,51 @@ def _replay_claims(
     return novel
 
 
-@ray.remote(num_cpus=0, max_restarts=0)
+@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=-1)
 class SeenShard:
     """One shard actor. num_cpus=0: shards are memory-bound point lookups
     that must never starve the fetch/extract pools of CPU slots
     (stage-sizing note, SURVEY.md §4); their real footprint is the filter
-    table's memory, which Ray tracks via the object store anyway."""
+    table's memory, which Ray tracks via the object store anyway.
 
-    def __init__(self, shard_id: int, capacity: int):
+    Fault tolerance (the Ray-native analog of the reference's
+    reconnect-on-failure loops, ``crawler_service.go:727-864``): on actor
+    RESTART the constructor rebuilds membership from the newest complete
+    npz dump under ``ckpt_root`` (which must be shared storage on a real
+    cluster). Claims made since that dump are lost — a duplicate fetch at
+    worst, and the page-store write is idempotent; an exact recovery is
+    the process-level resume path."""
+
+    def __init__(self, shard_id: int, capacity: int, ckpt_root: str | None = None):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity, seed=shard_id)
         # round → {url_hash → claimant token}; dropped by end_round once
         # the round's output is committed (no more task retries possible)
         self._claims: dict[int, dict[int, int]] = {}
+        if ckpt_root:
+            try:
+                restarted = ray.get_runtime_context().was_current_actor_reconstructed
+            except Exception:
+                restarted = False
+            if restarted:
+                path = self._newest_dump(ckpt_root)
+                if path is not None:
+                    z = np.load(path)
+                    self.filter = CuckooFilter.restore(
+                        {"table": z["table"], "count": int(z["count"]), "seed": shard_id}
+                    )
+
+    def _newest_dump(self, root: str) -> str | None:
+        import glob as _glob
+
+        dirs = sorted(_glob.glob(os.path.join(root, "round_*")), reverse=True)
+        dirs.append(os.path.join(root, "bootstrap"))
+        for d in dirs:
+            if os.path.exists(os.path.join(d, "_COMPLETE")):
+                f = os.path.join(d, f"shard_{self.shard_id}.npz")
+                if os.path.exists(f):
+                    return f
+        return None
 
     def check_and_insert(
         self, hashes: np.ndarray, round_no: int | None = None, token: int | None = None
@@ -159,10 +191,12 @@ class SeenShard:
 class ActorSeenSet:
     """Driver-side bundle of shard actor handles."""
 
-    def __init__(self, n_shards: int, capacity_per_shard: int):
+    def __init__(self, n_shards: int, capacity_per_shard: int,
+                 ckpt_root: str | None = None):
         self.n_shards = n_shards
         self.handles = [
-            SeenShard.remote(j, capacity_per_shard) for j in range(n_shards)
+            SeenShard.remote(j, capacity_per_shard, ckpt_root)
+            for j in range(n_shards)
         ]
 
     def check_and_insert(self, hashes: np.ndarray) -> np.ndarray:

@@ -25,9 +25,15 @@ import pyarrow.parquet as pq
 import ray
 
 
-@ray.remote(num_cpus=0, max_restarts=0)
+@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=-1)
 class PageStoreShard:
-    """Owns the pages whose url_hash % n_shards == shard_id."""
+    """Owns the pages whose url_hash % n_shards == shard_id.
+
+    Restart-safe for free: the constructor re-reads the (immutable)
+    fetch index, so a restarted shard is bit-identical and in-flight
+    fetch calls transparently retry (max_task_retries=-1) — the
+    Ray-native analog of the reference's reconnect-all health check
+    (crawler_service.go:855-861)."""
 
     def __init__(self, index_dir: str, n_buckets: int, n_shards: int, shard_id: int):
         self.store: dict[str, tuple[int, bytes, str]] = {}

@@ -242,6 +242,49 @@ class TestAltConfigPaths:
         assert set(zip(ea["url"], ea["round"])) == set(zip(eb["url"], eb["round"]))
 
 
+class TestActorFaultTolerance:
+    def test_shard_kills_mid_crawl_match_uninterrupted(self, crawl_run, corpus_dir):
+        # kill one seen shard, one page-store shard and one cutoff shard
+        # between rounds: restarts rebuild deterministically (seen from
+        # the newest npz dump, store from the immutable index, cutoffs
+        # via driver-detected offer backfill) and the crawl still matches
+        # the uninterrupted run exactly
+        import ray
+
+        cfg_main, _, _ = crawl_run
+        cfg = make_cfg(corpus_dir, "kills")
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        pipe = CrawlPipeline(cfg)
+        pipe.prepare()
+        pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
+        pipe._backfill_offers(0)
+        r = 0
+        while r < 60 and pipe._frontier_count(r) > 0:
+            stats = pipe.run_round(r)
+            if r == 1:
+                ray.kill(pipe.seen.handles[0], no_restart=False)
+                ray.kill(pipe.store.handles[0], no_restart=False)
+                ray.kill(pipe.cutoff_pool.handles[0], no_restart=False)
+            r += 1
+            if stats["next_frontier"] == 0:
+                break
+        pipe._join_bg()
+
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+        la = lineage_output(cfg_main.out_dir).to_pandas().sort_values(
+            ["round", "partition_id"]
+        ).reset_index(drop=True)
+        lb = lineage_output(cfg.out_dir).to_pandas().sort_values(
+            ["round", "partition_id"]
+        ).reset_index(drop=True)
+        keep = [c for c in la.columns if c != "wall_s"]
+        pd.testing.assert_frame_equal(la[keep], lb[keep])
+        pipe.close()
+
+
 class TestResume:
     def test_bit_identical_resume(self, crawl_run, corpus_dir):
         # FIXTURES.md case 6: kill after round 2, resume, outputs and
