@@ -308,6 +308,46 @@ class CrawlPipeline:
             pq.ParquetFile(f).metadata.num_rows for f in self._frontier_source(r)
         )
 
+    # --- automatic host-skew salting state (SURVEY.md §4) ----------------
+    # hot maps host → per-host salt count for one specific round; decided
+    # at collect(r) from round r's raw candidate counts (so a host that
+    # exceeds host_skew_threshold in round r is salted from round r+1 on)
+    # and persisted per round for deterministic resume.
+    def _hot_path(self, r: int) -> str:
+        return self._p("hot", f"round_{r:05d}.json")
+
+    def _load_hot(self, r: int) -> dict:
+        import json
+
+        p = self._hot_path(r)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+
+    def _save_hot(self, r: int, hot: dict) -> None:
+        import json
+
+        if not hot and not os.path.exists(self._hot_path(r)):
+            return
+        os.makedirs(self._p("hot"), exist_ok=True)
+        tmp = self._hot_path(r) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(hot, f, sort_keys=True)
+        os.replace(tmp, self._hot_path(r))
+
+    def _hot_next(self, host_counts: dict) -> dict:
+        from ..state.politeness import salt_count_for
+
+        cfg = self.cfg
+        base = max(1, int(cfg.extra.get("host_salt", 1)))
+        out = {}
+        for h, c in host_counts.items():
+            n = salt_count_for(c, cfg.host_skew_threshold, base)
+            if n > base:
+                out[h] = n
+        return out
+
     def _backfill_offers(self, r: int) -> None:
         """Stream politeness offers for round ``r`` from its frontier
         source — needed at bootstrap and at resume, where the producing
@@ -326,6 +366,7 @@ class CrawlPipeline:
             max_per_host=cfg.max_per_host_round,
             n_salt=max(1, int(cfg.extra.get("host_salt", 1))),
             cutoff_handles=self.cutoff_pool.handles,
+            hot=self._load_hot(r),
         )
 
         def offers_only(df: pd.DataFrame, **kw) -> pa.Table:
@@ -369,10 +410,16 @@ class CrawlPipeline:
             # and re-derive it deterministically from the frontier
             self.cutoff_pool.drop_round(r)
             self._backfill_offers(r)
-        cutoffs_ref = ray.put(self.cutoff_pool.collect(r))
+        hot_r = self._load_hot(r)
+        cutoffs, host_counts = self.cutoff_pool.collect(r)
+        hot_next = self._hot_next(host_counts)
+        self._save_hot(r + 1, hot_next)  # persisted BEFORE the round runs
+        cutoffs_ref = ray.put(cutoffs)
         kwargs = dict(
             round_no=r,
             cutoffs_ref=cutoffs_ref,
+            hot_gate=hot_r,
+            hot_offer=hot_next,
             robots_ref=self.robots_ref,
             store_handles=self.store.handles if self.store is not None else None,
             parquet_index=(cfg.index_dir, cfg.n_fetch_buckets) if self.store is None else None,

@@ -25,6 +25,7 @@ from ..state.politeness import (
     budget_for,
     robots_denied,
     salt_budget,
+    salt_count_for,
 )
 from ..state.seen import LocalSeenSet
 
@@ -46,6 +47,7 @@ class GoldenCrawl:
         skip_rounds: int,
         host_salt: int = 1,
         error_permille: int = 0,
+        host_skew_threshold: int = 50_000,
     ):
         t = pq.read_table(pages_path, columns=["url", "warc_ts", "html", "lang"])
         self.store = {
@@ -66,15 +68,21 @@ class GoldenCrawl:
         self.skip_rounds = skip_rounds
         self.n_salt = max(1, host_salt)
         self.error_permille = error_permille
+        self.host_skew_threshold = host_skew_threshold
+        # per-host salt counts for the CURRENT round (automatic skew
+        # salting, same one-round-lag rule as the engine: a host whose
+        # candidate count exceeds the threshold in round r is salted
+        # from round r+1 on)
+        self.hot: dict[str, int] = {}
 
         self.fetch_order: list[list[str]] = []  # per round, in crawl order
         self.pages: dict[str, dict] = {}
         self.events: list[dict] = []
 
-    def _budget(self, host: str, salt: int) -> int:
+    def _budget(self, host: str, salt: int, n_salt: int) -> int:
         return salt_budget(
             budget_for(host, self.robots, self.round_ms, self.default_delay, self.max_per_host),
-            self.n_salt,
+            n_salt,
             salt,
         )
 
@@ -124,15 +132,28 @@ class GoldenCrawl:
         gate[(f["skip_until_round"].to_numpy() > r) & (gate == "candidate")] = "skipped"
         f = f.assign(gate=gate)
 
-        # politeness selection: per (host, salt) top salt-budget
+        # politeness selection: per (host, salt) top salt-budget, with
+        # per-host salt counts from the automatic skew rule (self.hot)
+        n_arr = np.full(len(f), self.n_salt, dtype=np.int64)
+        for h, n in self.hot.items():
+            n_arr[(f["host"] == h).to_numpy()] = max(self.n_salt, int(n))
         salt = (
-            f["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(self.n_salt)
+            f["url_hash"].to_numpy(dtype=np.uint64) % n_arr.astype(np.uint64)
         ).astype(np.int64)
-        f = f.assign(salt=salt)
+        f = f.assign(salt=salt, nsalt=n_arr)
         cand = f[f["gate"] == "candidate"].sort_values(ORDER_COLS, kind="mergesort")
+        # skew signal: raw candidate counts per host decide next round's
+        # per-host salt counts (same rule as CrawlPipeline._hot_next)
+        counts = cand["host"].value_counts()
+        self.hot = {
+            h: n
+            for h, c in counts.items()
+            if (n := salt_count_for(int(c), self.host_skew_threshold, self.n_salt))
+            > self.n_salt
+        }
         fetch_ix = []
-        for (host, s), g in cand.groupby(["host", "salt"], sort=False):
-            fetch_ix.append(g.index[: self._budget(host, int(s))].to_numpy())
+        for (host, s, n), g in cand.groupby(["host", "salt", "nsalt"], sort=False):
+            fetch_ix.append(g.index[: self._budget(host, int(s), int(n))].to_numpy())
         fetch_ix = pd.Index(np.concatenate(fetch_ix) if fetch_ix else [])
         f.loc[f.index.isin(cand.index.difference(fetch_ix)), "gate"] = "defer"
         f.loc[fetch_ix, "gate"] = "fetch"
@@ -181,7 +202,7 @@ class GoldenCrawl:
         skip_until[cerr & (att == self.max_retries)] = r + 1 + self.skip_rounds
         carry = carry.assign(attempts=att, skip_until_round=skip_until)
         carry = carry[~(cerr & (att > self.max_retries))]
-        carry = carry.drop(columns=["gate", "salt"])
+        carry = carry.drop(columns=["gate", "salt", "nsalt"])
 
         # discovered: normalize + dedup; attributes are pure functions of
         # (url, round) — same rule as the engine's _explode_outlinks
@@ -226,4 +247,4 @@ class GoldenCrawl:
             out["warc_ts"] = out["warc_ts"].astype(np.int64)
             out["url_hash"] = out["url_hash"].astype(np.uint64)
             return out
-        return pd.DataFrame(columns=f.columns.drop(["gate", "salt"]))
+        return pd.DataFrame(columns=f.columns.drop(["gate", "salt", "nsalt"]))

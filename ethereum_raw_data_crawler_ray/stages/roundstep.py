@@ -80,6 +80,8 @@ def round_step(
     error_permille: int = 0,
     enrich: bool = False,
     parquet_index: tuple | None = None,  # (index_dir, n_buckets) store-less mode
+    hot_gate: dict | None = None,   # per-host salt map for THIS round's pkeys
+    hot_offer: dict | None = None,  # per-host salt map for round r+1's offers
 ) -> pa.Table:
     import os
     import time as _time
@@ -100,7 +102,8 @@ def round_step(
 
     # 1. gate ---------------------------------------------------------------
     gate, _ = gate_full(
-        df, robots=robots, cutoffs=cutoffs, round_no=round_no, n_salt=n_salt
+        df, robots=robots, cutoffs=cutoffs, round_no=round_no, n_salt=n_salt,
+        hot=hot_gate,
     )
     df = df.assign(gate=gate)
     _mark()  # gate
@@ -172,6 +175,7 @@ def round_step(
             max_per_host=max_per_host,
             n_salt=n_salt,
             cutoff_handles=cutoff_handles,
+            hot=hot_offer,
         )
 
     _mark()  # offers

@@ -24,11 +24,18 @@ Selection is exact per-host top-k by the frontier ordering
   holding the robots table (loaded once per actor from a ``ray.put``
   broadcast), final top-k per key.
 
-Host-skew salting (explicit skew rule, SURVEY.md §4/§7.3): the groupby
-key is ``host#(url_hash % n_salt)``, so a mega-host's frontier rows split
-across ``n_salt`` groups; the host's budget is split deterministically
+Host-skew salting (explicit skew rule, SURVEY.md §4/§7.3): the politeness
+key of a salted host is ``host#(url_hash % n)#n``, splitting its frontier
+rows across ``n`` groups; the host's budget is split deterministically
 across salts (floor split, remainder to salt 0 — the sum is exactly the
-budget, so the per-true-host cap still holds).
+budget, so the per-true-host cap still holds). ``n`` is the global base
+(``extra["host_salt"]``) raised AUTOMATICALLY per host by
+:func:`salt_count_for` whenever the host's raw candidate count exceeds
+``CrawlConfig.host_skew_threshold`` (decided at round collect from the
+previous round's offered counts — one round of lag, deterministic, and
+mirrored by the golden simulator). Auto-salting applies to the default
+cutoff mode; the legacy groupby cross-validation mode uses the global
+base only.
 """
 
 from __future__ import annotations
@@ -88,6 +95,29 @@ def salt_budget(budget: int, n_salt: int, salt: int) -> int:
     if salt == 0:
         return budget - base * (n_salt - 1)
     return base
+
+
+def salt_count_for(count: int, threshold: int, base: int, cap: int = 64) -> int:
+    """Automatic host-skew salting rule (SURVEY.md §4): a host whose
+    per-round CANDIDATE count exceeds ``threshold`` gets its politeness
+    key split into ceil(count/threshold) salted sub-keys (bounded by
+    ``cap``), so no single politeness group outgrows the threshold. The
+    count is the raw candidate total — a pure function of the frontier,
+    independent of batching, so the decision is deterministic."""
+    base = max(1, base)
+    if threshold <= 0 or count <= threshold:
+        return base
+    return max(base, min(cap, -(-count // threshold)))
+
+
+def parse_pkey(pk: str) -> tuple[str, int, int]:
+    """pkey → (host, salt, n_salt). Unsalted keys are the bare host;
+    salted keys are ``host#salt#n_salt`` (self-describing, so budget
+    computation needs no out-of-band salt table)."""
+    if "#" not in pk:
+        return pk, 0, 1
+    host, s, n = pk.rsplit("#", 2)
+    return host, int(s), int(n)
 
 
 def path_of(url: str) -> str:
@@ -182,42 +212,25 @@ def phase1_gate(
     return df
 
 
-def _scatter_offers(offers: dict, handles: list, round_no: int) -> None:
-    """Send each pkey's partial top-k order-keys to its owning cutoff
-    actor (hash routing); ray.get ensures delivery before the task ends,
-    so the barrier at the end of the producing execution means every
-    candidate for ``round_no`` has been offered."""
-    import ray
-
-    from ..functions.hashing import hash_strings
-
-    k = len(handles)
-    pkeys = list(offers)
-    owner = hash_strings(pkeys) % np.uint64(k)
-    refs = []
-    for j in range(k):
-        mine = [pk for i, pk in enumerate(pkeys) if owner[i] == j]
-        if not mine:
-            continue
-        counts = [len(offers[pk]) for pk in mine]
-        p = np.concatenate([offers[pk]["priority"].to_numpy(dtype=np.int64) for pk in mine])
-        d = np.concatenate([offers[pk]["depth"].to_numpy(dtype=np.int64) for pk in mine])
-        t = np.concatenate(
-            [offers[pk]["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) for pk in mine]
-        )
-        h = np.concatenate([offers[pk]["url_hash"].to_numpy(dtype=np.uint64) for pk in mine])
-        refs.append(handles[j].offer.remote(round_no, (mine, counts, p, d, t, h)))
-    ray.get(refs)
-
-
-def pkey_of(hosts: np.ndarray, url_hash: np.ndarray, n_salt: int) -> np.ndarray:
-    """The politeness key: host, salted by url-hash for skew splitting."""
-    if n_salt <= 1:
-        return hosts.astype(object)
-    salt = (url_hash.astype(np.uint64) % np.uint64(n_salt)).astype(np.int64)
-    return np.array(
-        [f"{h}#{s}" for h, s in zip(hosts, salt)], dtype=object
-    )
+def pkey_of(
+    hosts: np.ndarray, url_hash: np.ndarray, n_salt: int, hot: dict | None = None
+) -> np.ndarray:
+    """The politeness key: host, salted by url-hash for skew splitting.
+    ``n_salt`` is the global base; ``hot`` maps specific hosts to larger
+    per-host salt counts (automatic skew salting — see
+    :func:`salt_count_for`). Salted keys are ``host#salt#n``."""
+    base = max(1, n_salt)
+    hot = hot or {}
+    if base <= 1 and not hot:
+        return np.asarray(hosts, dtype=object)
+    n_arr = np.full(len(hosts), base, dtype=np.int64)
+    for h, n in hot.items():
+        n_arr[hosts == h] = max(base, int(n))
+    salt = (url_hash.astype(np.uint64) % n_arr.astype(np.uint64)).astype(np.int64)
+    out = np.asarray(hosts, dtype=object).copy()
+    for i in np.flatnonzero(n_arr > 1):
+        out[i] = f"{hosts[i]}#{salt[i]}#{n_arr[i]}"
+    return out
 
 
 def gate_pre(df: pd.DataFrame, robots: dict, round_no: int) -> np.ndarray:
@@ -243,12 +256,18 @@ def offer_candidates(
     max_per_host: int,
     n_salt: int,
     cutoff_handles: list,
+    hot: dict | None = None,
 ) -> None:
     """Offer this batch's per-pkey partial top-k of candidates for
     ``round_no`` to the cutoff actors. Used by the producing tasks of the
     previous round (pipelined mode) and by bootstrap/resume backfill.
     Fully numpy (lexsort + group slicing): this runs in EVERY round-step
-    task, so per-task pandas overhead would cap small-batch scaling."""
+    task, so per-task pandas overhead would cap small-batch scaling.
+
+    Alongside offers, each batch reports its RAW per-host candidate
+    counts (pre-truncation, so the sum across batches is the exact
+    candidate count — the skew signal for automatic salting); counts
+    route to one owning actor per host, no double counting."""
     import ray
 
     from ..functions.hashing import hash_strings
@@ -262,7 +281,7 @@ def offer_candidates(
     p = df["priority"].to_numpy(dtype=np.int64)[m]
     d = df["depth"].to_numpy(dtype=np.int64)[m]
     t = df["warc_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)[m]
-    pk = pkey_of(hosts, h, n_salt)
+    pk = pkey_of(hosts, h, n_salt, hot)
 
     # sort by (pkey, order key): contiguous per-key groups, each already
     # in frontier order — spans give every key's local top-k by slicing
@@ -275,29 +294,36 @@ def offer_candidates(
     }
     k_actors = len(cutoff_handles)
     owner = hash_strings(list(uniq)) % np.uint64(k_actors)
+    hc_hosts, hc_counts = np.unique(hosts, return_counts=True)
+    hc_owner = hash_strings(list(hc_hosts)) % np.uint64(k_actors)
     refs = []
     for j in range(k_actors):
         mine = [u for u, o in zip(uniq, owner) if o == j]
-        if not mine:
+        counts_j = {
+            str(hh): int(c)
+            for hh, c, o in zip(hc_hosts, hc_counts, hc_owner)
+            if o == j
+        }
+        if not mine and not counts_j:
             continue
-        keep_ix = []
-        counts = []
-        for key in mine:
-            host, salt_no = (key.rsplit("#", 1) if n_salt > 1 else (key, 0))
-            b = salt_budget(
-                budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
-                n_salt,
-                int(salt_no),
-            )
-            ix = spans[key][:b]
-            keep_ix.append(ix)
-            counts.append(len(ix))
-        ix = np.concatenate(keep_ix)
-        refs.append(
-            cutoff_handles[j].offer.remote(
-                round_no, (mine, counts, p[ix], d[ix], t[ix], h[ix])
-            )
-        )
+        if mine:
+            keep_ix = []
+            counts = []
+            for key in mine:
+                host, salt_no, n_key = parse_pkey(key)
+                b = salt_budget(
+                    budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
+                    n_key,
+                    salt_no,
+                )
+                ix = spans[key][:b]
+                keep_ix.append(ix)
+                counts.append(len(ix))
+            ix = np.concatenate(keep_ix)
+            payload = (mine, counts, p[ix], d[ix], t[ix], h[ix])
+        else:
+            payload = None
+        refs.append(cutoff_handles[j].offer.remote(round_no, payload, counts_j))
     ray.get(refs)
 
 
@@ -308,13 +334,17 @@ def gate_full(
     cutoffs: dict,
     round_no: int,
     n_salt: int,
+    hot: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Complete gate for the pipelined round step: robots/skip, then
     candidate → fetch iff order key ≤ the per-pkey cutoff (no cutoff
     entry = fewer candidates than budget → all fetch). Returns
-    (gate array, pkey array)."""
+    (gate array, pkey array). ``hot`` must be the SAME per-host salt map
+    the offers for this round were made with."""
     gate = gate_pre(df, robots, round_no)
-    pkeys = pkey_of(df["host"].to_numpy(), df["url_hash"].to_numpy(dtype=np.uint64), n_salt)
+    pkeys = pkey_of(
+        df["host"].to_numpy(), df["url_hash"].to_numpy(dtype=np.uint64), n_salt, hot
+    )
     cand_ix = np.flatnonzero(gate == GATE_CANDIDATE)
     if len(cand_ix):
         sub = df.iloc[cand_ix]
@@ -387,13 +417,16 @@ class _CutoffState:
 
 
 def make_budget_fn(robots: dict, round_ms: int, default_delay_ms: int,
-                   max_per_host: int, n_salt: int):
+                   max_per_host: int):
+    """pkey → budget. Salted pkeys are self-describing (host#salt#n), so
+    per-host automatic salt counts need no side table here."""
+
     def f(pkey: str) -> int:
-        host, salt = (pkey.rsplit("#", 1) if n_salt > 1 else (pkey, 0))
+        host, salt, n = parse_pkey(pkey)
         return salt_budget(
             budget_for(host, robots, round_ms, default_delay_ms, max_per_host),
-            n_salt,
-            int(salt),
+            n,
+            salt,
         )
 
     return f
@@ -416,16 +449,19 @@ class CutoffPool:
 
         @ray.remote(num_cpus=0, max_restarts=2, max_task_retries=-1)
         class CutoffShard:
-            def __init__(self, robots_ref, round_ms, default_delay_ms, max_per_host, n_salt):
+            def __init__(self, robots_ref, round_ms, default_delay_ms, max_per_host):
                 from ..functions.broadcast import get_broadcast
                 from ..state.politeness import _CutoffState, make_budget_fn
 
                 robots = get_broadcast(robots_ref)
                 self._budget_fn = make_budget_fn(
-                    robots, round_ms, default_delay_ms, max_per_host, n_salt
+                    robots, round_ms, default_delay_ms, max_per_host
                 )
                 self._budgets: dict = {}
                 self.rounds: dict[int, _CutoffState] = {}
+                # round → {host: raw candidate count} (skew signal; each
+                # host is counted by exactly one owning shard)
+                self.host_counts: dict[int, dict[str, int]] = {}
                 # restart detection: offers buffered here are volatile; a
                 # restarted shard reports fresh=True once so the driver
                 # drops the round's offer state everywhere and re-derives
@@ -438,6 +474,7 @@ class CutoffPool:
 
             def drop_round(self, round_no: int) -> None:
                 self.rounds.pop(round_no, None)
+                self.host_counts.pop(round_no, None)
 
             def _budget(self, pk):
                 b = self._budgets.get(pk)
@@ -445,25 +482,34 @@ class CutoffPool:
                     b = self._budgets[pk] = self._budget_fn(pk)
                 return b
 
-            def offer(self, round_no: int, payload: tuple) -> None:
+            def offer(self, round_no: int, payload: tuple | None,
+                      host_counts: dict | None = None) -> None:
                 from ..state.politeness import _CutoffState
 
+                if host_counts:
+                    hc = self.host_counts.setdefault(round_no, {})
+                    for h, c in host_counts.items():
+                        hc[h] = hc.get(h, 0) + c
+                if payload is None:
+                    return
                 st = self.rounds.get(round_no)
                 if st is None:
                     st = self.rounds[round_no] = _CutoffState()
                 st.offer(payload, {pk: self._budget(pk) for pk in payload[0]})
 
-            def collect_and_drop(self, round_no: int) -> dict:
+            def collect_and_drop(self, round_no: int) -> tuple[dict, dict]:
+                hc = self.host_counts.pop(round_no, {})
                 st = self.rounds.pop(round_no, None)
                 if st is None:
-                    return {}
-                return st.cutoffs({pk: self._budget(pk) for pk in st.keys})
+                    return {}, hc
+                return st.cutoffs({pk: self._budget(pk) for pk in st.keys}), hc
 
             def reset(self) -> None:
                 self.rounds = {}
+                self.host_counts = {}
 
         self.handles = [
-            CutoffShard.remote(robots_ref, round_ms, default_delay_ms, max_per_host, n_salt)
+            CutoffShard.remote(robots_ref, round_ms, default_delay_ms, max_per_host)
             for _ in range(n_actors)
         ]
 
@@ -484,13 +530,18 @@ class CutoffPool:
 
         ray.get([h.drop_round.remote(round_no) for h in self.handles])
 
-    def collect(self, round_no: int) -> dict:
+    def collect(self, round_no: int) -> tuple[dict, dict]:
+        """→ (cutoffs, per-host raw candidate counts) for the round."""
         import ray
 
         out: dict = {}
-        for d in ray.get([h.collect_and_drop.remote(round_no) for h in self.handles]):
+        counts: dict = {}
+        for d, hc in ray.get(
+            [h.collect_and_drop.remote(round_no) for h in self.handles]
+        ):
             out.update(d)
-        return out
+            counts.update(hc)  # hosts are owned by exactly one shard
+        return out, counts
 
     def kill(self) -> None:
         import ray

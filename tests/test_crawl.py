@@ -242,6 +242,55 @@ class TestAltConfigPaths:
         assert set(zip(ea["url"], ea["round"])) == set(zip(eb["url"], eb["round"]))
 
 
+class TestAutoSkewSalting:
+    def test_mega_host_salted_and_matches_golden(self, corpus_dir, ray_session):
+        # with a tiny skew threshold the corpus's biggest hosts exceed it:
+        # the engine must salt them automatically (hot files written) and
+        # STILL match the golden simulator (budget exactness + ordering
+        # are preserved because golden applies the same rule)
+        thr = 25
+        cfg = make_cfg(corpus_dir, "autosalt")
+        cfg = CrawlConfig(**{**cfg.__dict__, "host_skew_threshold": thr})
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        pipe = CrawlPipeline(cfg)
+        pipe.run(max_rounds=60)
+        pipe.close()
+
+        import glob
+        import json
+
+        from ethereum_raw_data_crawler_ray.state.politeness import load_robots
+
+        hot_files = sorted(glob.glob(os.path.join(cfg.out_dir, "hot", "*.json")))
+        assert hot_files, "auto-salting never triggered at threshold 25"
+        assert any(json.load(open(f)) for f in hot_files)
+
+        g = GoldenCrawl(
+            cfg.pages_path,
+            load_robots(cfg.extra["robots_path"]),
+            n_seen_shards=cfg.n_seen_shards,
+            seen_shard_capacity=cfg.seen_shard_capacity,
+            round_ms=cfg.round_ms,
+            default_crawl_delay_ms=cfg.default_crawl_delay_ms,
+            max_per_host_round=cfg.max_per_host_round,
+            max_retries=cfg.max_retries,
+            skip_rounds=cfg.skip_rounds,
+            error_permille=ERR_PERMILLE,
+            host_skew_threshold=thr,
+        )
+        gold = g.run(pq.read_table(corpus_dir + "/seeds.parquet"), max_rounds=60)
+        df = _rounds_df(cfg.out_dir)
+        eng = {u: t for u, t in zip(df["url"], df["text"])}
+        assert eng == {u: p["text"] for u, p in gold["pages"].items()}
+        # per-round fetch sets identical (budget exactness under salting)
+        by_round = df.groupby("round")["url"].apply(set).to_dict()
+        for r, order in enumerate(gold["fetch_order"]):
+            fetched_gold = {
+                u for u in order if u in gold["pages"] and gold["pages"][u]["round"] == r
+            }
+            assert by_round.get(r, set()) >= fetched_gold
+
+
 class TestActorFaultTolerance:
     def test_shard_kills_mid_crawl_match_uninterrupted(self, crawl_run, corpus_dir):
         # kill one seen shard, one page-store shard and one cutoff shard

@@ -163,6 +163,26 @@ class TestPoliteness:
         assert not robots_denied("https://fast.com/private/x", "fast.com", self.ROBOTS)
         assert path_of("https://a.com") == "/"
 
+    def test_salt_count_for(self):
+        from ethereum_raw_data_crawler_ray.state.politeness import salt_count_for
+
+        assert salt_count_for(100, 1000, 1) == 1        # below threshold
+        assert salt_count_for(2500, 1000, 1) == 3       # ceil(2500/1000)
+        assert salt_count_for(2500, 1000, 4) == 4       # base wins
+        assert salt_count_for(10**9, 1000, 1) == 64     # capped
+        assert salt_count_for(2500, 0, 1) == 1          # disabled
+
+    def test_parse_pkey(self):
+        from ethereum_raw_data_crawler_ray.state.politeness import parse_pkey, pkey_of
+
+        assert parse_pkey("a.com") == ("a.com", 0, 1)
+        assert parse_pkey("a.com#3#8") == ("a.com", 3, 8)
+        hosts = np.array(["a.com", "b.com", "a.com"], dtype=object)
+        h = np.array([10, 11, 13], dtype=np.uint64)
+        pk = pkey_of(hosts, h, 1, hot={"a.com": 4})
+        assert pk[1] == "b.com"
+        assert pk[0] == f"a.com#{10 % 4}#4" and pk[2] == f"a.com#{13 % 4}#4"
+
     def test_ordering_comparator(self):
         # priority ties broken by depth, then warc_ts, then url_hash —
         # the frontier-order analog of strict block-number order
