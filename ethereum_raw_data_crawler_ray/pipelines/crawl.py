@@ -257,6 +257,7 @@ class CrawlPipeline:
                 cfg.default_crawl_delay_ms,
                 cfg.max_per_host_round,
                 max(1, int(cfg.extra.get("host_salt", 1))),
+                error_backoff=bool(cfg.extra.get("error_backoff", False)),
             )
             self.cutoff_pool.consume_fresh()  # clear the initial flags
 
@@ -382,6 +383,34 @@ class CrawlPipeline:
             offers_only, fn_kwargs=kwargs, batch_format="pandas", batch_size=8192
         ).count()
 
+    def _backfill_errors(self, r: int) -> None:
+        """Authoritatively re-derive round ``r``'s per-host fetch-error
+        counts from its committed output and SET them on the cutoff
+        shards (resume / shard-restart path for error backoff)."""
+        if self.cutoff_pool is None or r < 0:
+            return
+        page_dir = self._p("rounds", f"round_{r:05d}", "row_kind=page")
+        src = page_dir if os.path.exists(page_dir) else self._p("rounds", f"round_{r:05d}")
+        if not os.path.exists(src):
+            return
+        t = pads.dataset(src, format="parquet").to_table(columns=["host", "status"])
+        status = np.asarray(t["status"].to_pandas(), dtype=object)
+        hosts = np.asarray(t["host"].to_pandas(), dtype=object)[status == STATUS_ERROR]
+        from ..functions.hashing import hash_strings
+
+        handles = self.cutoff_pool.handles
+        k = len(handles)
+        if len(hosts):
+            uh, uc = np.unique(hosts, return_counts=True)
+            owner = hash_strings(list(uh)) % np.uint64(k)
+        else:
+            uh, uc, owner = np.array([]), np.array([]), np.array([])
+        refs = []
+        for j in range(k):
+            counts = {str(h): int(c) for h, c, o in zip(uh, uc, owner) if o == j}
+            refs.append(handles[j].set_errors.remote(r, counts))
+        ray.get(refs)
+
     # --- one round --------------------------------------------------------
     def run_round(self, r: int) -> dict:
         if self.cutoff_pool is not None:
@@ -410,6 +439,8 @@ class CrawlPipeline:
             # and re-derive it deterministically from the frontier
             self.cutoff_pool.drop_round(r)
             self._backfill_offers(r)
+            if self.cfg.extra.get("error_backoff"):
+                self._backfill_errors(r - 1)
         hot_r = self._load_hot(r)
         cutoffs, host_counts = self.cutoff_pool.collect(r)
         hot_next = self._hot_next(host_counts)
@@ -433,6 +464,7 @@ class CrawlPipeline:
             skip_rounds=cfg.skip_rounds,
             error_permille=int(cfg.extra.get("error_permille", 0)),
             enrich=bool(cfg.extra.get("enrich", False)),
+            error_backoff=bool(cfg.extra.get("error_backoff", False)),
         )
         # batch_size sets the MINIMUM rows per map task (Ray bundles
         # blocks up to it) — size it so the round spreads over ~3 tasks
@@ -863,6 +895,8 @@ class CrawlPipeline:
         # pipelined mode: the resumed/bootstrap round's politeness offers
         # came from an execution that no longer exists — re-derive them
         self._backfill_offers(start)
+        if self.cfg.extra.get("error_backoff") and start > 0:
+            self._backfill_errors(start - 1)
 
         limit = max_rounds if max_rounds is not None else cfg.max_rounds
         totals = {"rounds": 0, "fetched": 0, "scheduled": 0, "errors": 0, "failed": 0}

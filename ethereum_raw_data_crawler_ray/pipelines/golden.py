@@ -22,6 +22,7 @@ from ..functions.hashing import hash_strings
 from ..functions.urlnorm import normalize_many
 from ..state.politeness import (
     ORDER_COLS,
+    backoff_budget,
     budget_for,
     robots_denied,
     salt_budget,
@@ -48,6 +49,7 @@ class GoldenCrawl:
         host_salt: int = 1,
         error_permille: int = 0,
         host_skew_threshold: int = 50_000,
+        error_backoff: bool = False,
     ):
         t = pq.read_table(pages_path, columns=["url", "warc_ts", "html", "lang"])
         self.store = {
@@ -74,17 +76,22 @@ class GoldenCrawl:
         # candidate count exceeds the threshold in round r is salted
         # from round r+1 on)
         self.hot: dict[str, int] = {}
+        # per-host fetch-error counts from the PREVIOUS round (error
+        # backoff signal, same one-round lag as the engine)
+        self.error_backoff = error_backoff
+        self.err_prev: dict[str, int] = {}
 
         self.fetch_order: list[list[str]] = []  # per round, in crawl order
         self.pages: dict[str, dict] = {}
         self.events: list[dict] = []
 
     def _budget(self, host: str, salt: int, n_salt: int) -> int:
-        return salt_budget(
-            budget_for(host, self.robots, self.round_ms, self.default_delay, self.max_per_host),
-            n_salt,
-            salt,
+        hb = budget_for(
+            host, self.robots, self.round_ms, self.default_delay, self.max_per_host
         )
+        if self.error_backoff:
+            hb = backoff_budget(hb, self.err_prev.get(host, 0))
+        return salt_budget(hb, n_salt, salt)
 
     def _transient_fail(self, url_hash: int, attempts: int) -> bool:
         if self.error_permille <= 0 or attempts != 0:
@@ -185,6 +192,11 @@ class GoldenCrawl:
 
         # actually errored rows: status error — distinguish fetched vs error
         err_urls = {row["url"] for row in errored}
+        # error-backoff signal for the NEXT round (same lag as engine)
+        self.err_prev = {}
+        for row in errored:
+            h = row["host"]
+            self.err_prev[h] = self.err_prev.get(h, 0) + 1
 
         # carry (same semantics as CrawlPipeline carry_fn) — vectorized:
         # row-wise pd.DataFrame(list-of-Series) would upcast uint64 hashes

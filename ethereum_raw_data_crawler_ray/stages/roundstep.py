@@ -82,6 +82,7 @@ def round_step(
     parquet_index: tuple | None = None,  # (index_dir, n_buckets) store-less mode
     hot_gate: dict | None = None,   # per-host salt map for THIS round's pkeys
     hot_offer: dict | None = None,  # per-host salt map for round r+1's offers
+    error_backoff: bool = False,
 ) -> pa.Table:
     import os
     import time as _time
@@ -164,6 +165,14 @@ def round_step(
         next_rows.append(carry[_FRONTIER_COLS])
     if len(disc):
         next_rows.append(disc.to_pandas()[_FRONTIER_COLS])
+    # error backoff signal: this batch's fetch-error hosts → the shard
+    # that will compute next round's budgets for them
+    if error_backoff and (status == STATUS_ERROR).any():
+        from ..state.politeness import note_errors_scatter
+
+        eh = np.asarray(pages["host"].to_pandas(), dtype=object)[status == STATUS_ERROR]
+        note_errors_scatter(cutoff_handles, round_no, eh)
+
     if next_rows:
         nxt = pd.concat(next_rows, ignore_index=True)
         offer_candidates(

@@ -110,6 +110,18 @@ def salt_count_for(count: int, threshold: int, base: int, cap: int = 64) -> int:
     return max(base, min(cap, -(-count // threshold)))
 
 
+def backoff_budget(budget: int, n_errors: int) -> int:
+    """Per-host error backoff (analog of the reference's rate-limit /
+    timeout backoff, ``ethereum_service.go:594-624``): a host that
+    produced ``n_errors`` fetch errors last round behaves as if its
+    crawl delay were (1 + n_errors)× longer this round, so its budget
+    shrinks to ``max(1, budget // (1 + n_errors))`` — and recovers the
+    round after the errors stop (no sticky state)."""
+    if n_errors <= 0:
+        return budget
+    return max(1, budget // (1 + n_errors))
+
+
 def parse_pkey(pk: str) -> tuple[str, int, int]:
     """pkey → (host, salt, n_salt). Unsalted keys are the bare host;
     salted keys are ``host#salt#n_salt`` (self-describing, so budget
@@ -293,7 +305,11 @@ def offer_candidates(
         key: order[bounds[i]:bounds[i + 1]] for i, key in enumerate(uniq)
     }
     k_actors = len(cutoff_handles)
-    owner = hash_strings(list(uniq)) % np.uint64(k_actors)
+    # route by HOST (not pkey): all salts of a host, its candidate counts
+    # and its error reports land on the same shard, so backoff and skew
+    # decisions need no cross-actor joins. Per-host offer volume is
+    # bounded by the (truncated) host budget, so this cannot skew.
+    owner = hash_strings([parse_pkey(u)[0] for u in uniq]) % np.uint64(k_actors)
     hc_hosts, hc_counts = np.unique(hosts, return_counts=True)
     hc_owner = hash_strings(list(hc_hosts)) % np.uint64(k_actors)
     refs = []
@@ -324,6 +340,26 @@ def offer_candidates(
         else:
             payload = None
         refs.append(cutoff_handles[j].offer.remote(round_no, payload, counts_j))
+    ray.get(refs)
+
+
+def note_errors_scatter(cutoff_handles: list, round_no: int,
+                        error_hosts: np.ndarray) -> None:
+    """Report this batch's fetch-error hosts to their owning cutoff
+    shards (additive; same hash-by-host routing as offers/counts)."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    if len(error_hosts) == 0:
+        return
+    uh, uc = np.unique(error_hosts, return_counts=True)
+    owner = hash_strings(list(uh)) % np.uint64(len(cutoff_handles))
+    refs = []
+    for j in range(len(cutoff_handles)):
+        counts = {str(h): int(c) for h, c, o in zip(uh, uc, owner) if o == j}
+        if counts:
+            refs.append(cutoff_handles[j].note_errors.remote(round_no, counts))
     ray.get(refs)
 
 
@@ -444,24 +480,30 @@ class CutoffPool:
     broadcasts them. The frontier is never shuffled for politeness."""
 
     def __init__(self, n_actors: int, robots_ref, round_ms: int,
-                 default_delay_ms: int, max_per_host: int, n_salt: int):
+                 default_delay_ms: int, max_per_host: int, n_salt: int,
+                 error_backoff: bool = False):
         import ray
 
         @ray.remote(num_cpus=0, max_restarts=2, max_task_retries=-1)
         class CutoffShard:
-            def __init__(self, robots_ref, round_ms, default_delay_ms, max_per_host):
+            def __init__(self, robots_ref, round_ms, default_delay_ms,
+                         max_per_host, error_backoff):
                 from ..functions.broadcast import get_broadcast
-                from ..state.politeness import _CutoffState, make_budget_fn
+                from ..state.politeness import _CutoffState
 
-                robots = get_broadcast(robots_ref)
-                self._budget_fn = make_budget_fn(
-                    robots, round_ms, default_delay_ms, max_per_host
-                )
-                self._budgets: dict = {}
+                self._robots = get_broadcast(robots_ref)
+                self._round_ms = round_ms
+                self._default_delay = default_delay_ms
+                self._max_per_host = max_per_host
+                self._backoff = error_backoff
+                self._host_budgets: dict = {}
                 self.rounds: dict[int, _CutoffState] = {}
                 # round → {host: raw candidate count} (skew signal; each
-                # host is counted by exactly one owning shard)
+                # host is counted by exactly one owning shard — offers,
+                # counts and errors all route by hash(host))
                 self.host_counts: dict[int, dict[str, int]] = {}
+                # round → {host: fetch-error count} (backoff signal)
+                self.errors: dict[int, dict[str, int]] = {}
                 # restart detection: offers buffered here are volatile; a
                 # restarted shard reports fresh=True once so the driver
                 # drops the round's offer state everywhere and re-derives
@@ -476,11 +518,29 @@ class CutoffPool:
                 self.rounds.pop(round_no, None)
                 self.host_counts.pop(round_no, None)
 
-            def _budget(self, pk):
-                b = self._budgets.get(pk)
+            def _host_budget(self, host: str) -> int:
+                from ..state.politeness import budget_for
+
+                b = self._host_budgets.get(host)
                 if b is None:
-                    b = self._budgets[pk] = self._budget_fn(pk)
+                    b = self._host_budgets[host] = budget_for(
+                        host, self._robots, self._round_ms,
+                        self._default_delay, self._max_per_host,
+                    )
                 return b
+
+            def _budget(self, pk: str, err: dict | None = None) -> int:
+                from ..state.politeness import (
+                    backoff_budget,
+                    parse_pkey,
+                    salt_budget,
+                )
+
+                host, salt, n = parse_pkey(pk)
+                hb = self._host_budget(host)
+                if err:
+                    hb = backoff_budget(hb, err.get(host, 0))
+                return salt_budget(hb, n, salt)
 
             def offer(self, round_no: int, payload: tuple | None,
                       host_counts: dict | None = None) -> None:
@@ -495,21 +555,39 @@ class CutoffPool:
                 st = self.rounds.get(round_no)
                 if st is None:
                     st = self.rounds[round_no] = _CutoffState()
+                # truncation uses the UNSHRUNK budget (a superset of what
+                # a backoff-shrunk collect will select — always safe)
                 st.offer(payload, {pk: self._budget(pk) for pk in payload[0]})
+
+            def note_errors(self, round_no: int, counts: dict) -> None:
+                e = self.errors.setdefault(round_no, {})
+                for h, c in counts.items():
+                    e[h] = e.get(h, 0) + c
+
+            def set_errors(self, round_no: int, counts: dict) -> None:
+                """Authoritative overwrite (resume / restart backfill,
+                derived from the committed round output)."""
+                self.errors[round_no] = dict(counts)
 
             def collect_and_drop(self, round_no: int) -> tuple[dict, dict]:
                 hc = self.host_counts.pop(round_no, {})
                 st = self.rounds.pop(round_no, None)
+                # budgets for THIS round shrink by last round's errors
+                err = self.errors.pop(round_no - 1, {}) if self._backoff else None
+                self.errors = {r: v for r, v in self.errors.items() if r >= round_no - 1}
                 if st is None:
                     return {}, hc
-                return st.cutoffs({pk: self._budget(pk) for pk in st.keys}), hc
+                return st.cutoffs({pk: self._budget(pk, err) for pk in st.keys}), hc
 
             def reset(self) -> None:
                 self.rounds = {}
                 self.host_counts = {}
+                self.errors = {}
 
         self.handles = [
-            CutoffShard.remote(robots_ref, round_ms, default_delay_ms, max_per_host)
+            CutoffShard.remote(
+                robots_ref, round_ms, default_delay_ms, max_per_host, error_backoff
+            )
             for _ in range(n_actors)
         ]
 

@@ -291,6 +291,63 @@ class TestAutoSkewSalting:
             assert by_round.get(r, set()) >= fetched_gold
 
 
+class TestErrorBackoff:
+    def test_backoff_matches_golden_and_resumes(self, corpus_dir, ray_session):
+        # error_backoff shrinks an erroring host's next-round budget
+        # (reference analog: ethereum_service.go:594-624). With injected
+        # transient errors the engine must match a golden simulator
+        # running the same rule, and a killed+resumed run must rebuild
+        # the error counts from the committed round output.
+        cfg = make_cfg(corpus_dir, "backoff")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__, "extra": {**cfg.extra, "error_backoff": True}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        pipe = CrawlPipeline(cfg)
+        totals = pipe.run(max_rounds=60)
+        pipe.close()
+        assert totals["errors"] > 0  # injection fired → backoff exercised
+
+        from ethereum_raw_data_crawler_ray.state.politeness import load_robots
+
+        g = GoldenCrawl(
+            cfg.pages_path,
+            load_robots(cfg.extra["robots_path"]),
+            n_seen_shards=cfg.n_seen_shards,
+            seen_shard_capacity=cfg.seen_shard_capacity,
+            round_ms=cfg.round_ms,
+            default_crawl_delay_ms=cfg.default_crawl_delay_ms,
+            max_per_host_round=cfg.max_per_host_round,
+            max_retries=cfg.max_retries,
+            skip_rounds=cfg.skip_rounds,
+            error_permille=ERR_PERMILLE,
+            error_backoff=True,
+        )
+        gold = g.run(pq.read_table(corpus_dir + "/seeds.parquet"), max_rounds=60)
+        df = _rounds_df(cfg.out_dir)
+        assert {u: t for u, t in zip(df["url"], df["text"])} == {
+            u: p["text"] for u, p in gold["pages"].items()
+        }
+
+        # crash after round 2 → resume must re-derive err counts and
+        # produce the identical crawl
+        cfg2 = make_cfg(corpus_dir, "backoff_resume")
+        cfg2 = CrawlConfig(
+            **{**cfg2.__dict__, "extra": {**cfg2.extra, "error_backoff": True}}
+        )
+        shutil.rmtree(cfg2.out_dir, ignore_errors=True)
+        p1 = CrawlPipeline(cfg2)
+        p1.run(max_rounds=3)
+        p1.close()
+        p2 = CrawlPipeline(cfg2)
+        p2.run(max_rounds=60)
+        p2.close()
+        a = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg2.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
 class TestActorFaultTolerance:
     def test_shard_kills_mid_crawl_match_uninterrupted(self, crawl_run, corpus_dir):
         # kill one seen shard, one page-store shard and one cutoff shard

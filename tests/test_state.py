@@ -172,6 +172,15 @@ class TestPoliteness:
         assert salt_count_for(10**9, 1000, 1) == 64     # capped
         assert salt_count_for(2500, 0, 1) == 1          # disabled
 
+    def test_backoff_budget(self):
+        from ethereum_raw_data_crawler_ray.state.politeness import backoff_budget
+
+        assert backoff_budget(100, 0) == 100
+        assert backoff_budget(100, 1) == 50   # delay behaves 2x longer
+        assert backoff_budget(100, 3) == 25
+        assert backoff_budget(100, 1000) == 1  # never below 1
+        assert backoff_budget(1, 5) == 1
+
     def test_parse_pkey(self):
         from ethereum_raw_data_crawler_ray.state.politeness import parse_pkey, pkey_of
 
