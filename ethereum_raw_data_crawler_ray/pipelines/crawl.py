@@ -239,6 +239,7 @@ class CrawlPipeline:
         os.makedirs(self.out, exist_ok=True)
         build_fetch_index(cfg.pages_path, cfg.index_dir, cfg.n_fetch_buckets)
         robots = load_robots(cfg.extra["robots_path"]) if "robots_path" in cfg.extra else {}
+        self._robots = robots  # driver-side copy (ingest offers)
         self.robots_ref = ray.put(robots)
         self.seen = ActorSeenSet(
             cfg.n_seen_shards, cfg.seen_shard_capacity, ckpt_root=self._p("seen")
@@ -299,6 +300,10 @@ class CrawlPipeline:
                 for kind in ("carry", "discovered")
                 if os.path.exists(p := os.path.join(base, f"row_kind={kind}"))
             ]
+        # watch-mode pushed rows for this round (WS-push analog)
+        ing = self._p("ingest", f"round_{r:05d}")
+        if os.path.exists(ing):
+            dirs.append(ing)
         files: list[str] = []
         for d in dirs:
             files.extend(sorted(_glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)))
@@ -411,6 +416,139 @@ class CrawlPipeline:
             refs.append(handles[j].set_errors.remote(r, counts))
         ray.get(refs)
 
+    # --- incremental ingest (watch mode — the WS-push analog of
+    #     websocket_scheduler.go:110-130: newly published pages are picked
+    #     up at the next round boundary without restarting the run) -------
+    def _processed_watch_files(self) -> set:
+        import glob as _glob
+        import json
+
+        out: set = set()
+        for mf in _glob.glob(self._p("ingest", "*", "*", "_MANIFEST.json")):
+            with open(mf) as f:
+                out |= set(json.load(f))
+        return out
+
+    def _ingest_version(self) -> int:
+        """Monotonic index version (count of ingest batches) — busts the
+        per-worker bucket-file cache in parquet fetch mode."""
+        import glob as _glob
+
+        return len(_glob.glob(self._p("ingest", "*", "*", "_MANIFEST.json")))
+
+    def ingest_new_pages(self, r: int) -> int:
+        """Scan ``extra["watch_dir"]`` for page files not yet consumed;
+        for each new file: append its rows to the fetch index (per-bucket
+        files — restarted store shards re-read them for free), load them
+        into the resident store shards, seen-claim the novel URLs and
+        write them as frontier rows for round ``r`` (ingest/round_r/
+        batch_k/), then offer them to the politeness cutoffs. Returns the
+        number of new frontier rows. Driver-side work is bounded by the
+        pushed batch size (the reference handles one block per WS
+        message; a push batch is the analog)."""
+        import glob as _glob
+        import json
+
+        cfg = self.cfg
+        wd = cfg.extra.get("watch_dir")
+        if not wd or not os.path.isdir(wd) or self.cutoff_pool is None:
+            return 0
+        processed = self._processed_watch_files()
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(wd, "*.parquet"))
+            if os.path.basename(f) not in processed
+        )
+        if not files:
+            return 0
+
+        tables = []
+        files_by_bucket: dict[int, list[str]] = {}
+        batch_no = len(_glob.glob(self._p("ingest", f"round_{r:05d}", "batch_*")))
+        tag = f"r{r:05d}b{batch_no}"
+        for fi, path in enumerate(files):
+            t = pq.read_table(path)
+            tables.append(t)
+            # append to the fetch index under deterministic names
+            h = hash_strings(t["url"])
+            buckets = (h % np.uint64(cfg.n_fetch_buckets)).astype(np.int64)
+            for b in np.unique(buckets):
+                dest_dir = os.path.join(cfg.index_dir, f"bucket={b}")
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, f"ingest_{tag}_f{fi}.parquet")
+                if not os.path.exists(dest):
+                    tmp = dest + ".tmp"
+                    pq.write_table(t.filter(pa.array(buckets == b)), tmp)
+                    os.replace(tmp, dest)
+                files_by_bucket.setdefault(int(b), []).append(dest)
+        if self.store is not None:
+            self.store.load_new_files(files_by_bucket)
+
+        # pushed pages → frontier rows for THIS round (priority 0, depth
+        # r, warc_ts from the page — deterministic, no wall clock)
+        allt = pa.concat_tables(tables)
+        urls, hosts, ok = normalize_many(allt["url"].to_pylist())
+        ts = np.asarray(
+            allt["warc_ts"].cast(pa.int64()).to_pandas(), dtype=np.int64
+        )[ok]
+        n = len(urls[ok])
+        ft = pa.table(
+            {
+                "url": pa.array(urls[ok], type=pa.string()),
+                "url_hash": pa.array(hash_strings(urls[ok]), type=pa.uint64()),
+                "host": pa.array(hosts[ok], type=pa.string()),
+                "priority": pa.array(np.zeros(n, dtype=np.int32)),
+                "depth": pa.array(np.full(n, r, dtype=np.int32)),
+                "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+                "attempts": pa.array(np.zeros(n, dtype=np.int32)),
+                "skip_until_round": pa.array(np.full(n, -1, dtype=np.int32)),
+            },
+            schema=FRONTIER,
+        )
+        hashes = np.asarray(ft["url_hash"].to_pandas(), dtype=np.uint64)
+        novel = self.seen.check_and_insert(hashes)
+        ft = ft.filter(pa.array(novel))
+
+        d = self._p("ingest", f"round_{r:05d}", f"batch_{batch_no}")
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        if len(ft):
+            pq.write_table(ft, os.path.join(tmp, "part-0.parquet"))
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(sorted(os.path.basename(p) for p in files), f)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+
+        if len(ft):
+            from ..state.politeness import offer_candidates
+
+            offer_candidates(
+                ft.to_pandas(),
+                robots=self._robots,
+                round_no=r,
+                round_ms=cfg.round_ms,
+                default_delay_ms=cfg.default_crawl_delay_ms,
+                max_per_host=cfg.max_per_host_round,
+                n_salt=max(1, int(cfg.extra.get("host_salt", 1))),
+                cutoff_handles=self.cutoff_pool.handles,
+                hot=self._load_hot(r),
+            )
+        return len(ft)
+
+    def _reclaim_ingest(self, r: int) -> None:
+        """Resume path: round ``r``'s ingest rows were seen-claimed after
+        the checkpoint being resumed from — re-claim them (same filter
+        state ⇒ identical novel set ⇒ bit-identical replay)."""
+        d = self._p("ingest", f"round_{r:05d}")
+        if not os.path.exists(d):
+            return
+        t = pads.dataset(d, format="parquet").to_table(columns=["url_hash"])
+        if len(t):
+            self.seen.check_and_insert(
+                np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64)
+            )
+
     # --- one round --------------------------------------------------------
     def run_round(self, r: int) -> dict:
         if self.cutoff_pool is not None:
@@ -453,7 +591,11 @@ class CrawlPipeline:
             hot_offer=hot_next,
             robots_ref=self.robots_ref,
             store_handles=self.store.handles if self.store is not None else None,
-            parquet_index=(cfg.index_dir, cfg.n_fetch_buckets) if self.store is None else None,
+            parquet_index=(
+                (cfg.index_dir, cfg.n_fetch_buckets, self._ingest_version())
+                if self.store is None
+                else None
+            ),
             seen_handles=self.seen.handles,
             cutoff_handles=self.cutoff_pool.handles,
             round_ms=cfg.round_ms,
@@ -882,6 +1024,7 @@ class CrawlPipeline:
         if last >= 0:
             self.seen.load(self._p("seen", f"round_{last:05d}"))
             start = last + 1
+            self._reclaim_ingest(start)
         elif os.path.exists(self._p("frontier", "round_00000")) and os.path.exists(
             self._p("seen", "bootstrap", "_COMPLETE")
         ):
@@ -902,6 +1045,9 @@ class CrawlPipeline:
         totals = {"rounds": 0, "fetched": 0, "scheduled": 0, "errors": 0, "failed": 0}
         r = start
         while r < start + limit:
+            # watch mode: pick up newly published pages at the round
+            # boundary — they can revive an otherwise-empty frontier
+            self.ingest_new_pages(r)
             if self._frontier_count(r) == 0:
                 break
             stats = self.run_round(r)
@@ -909,9 +1055,6 @@ class CrawlPipeline:
             for k in ("fetched", "scheduled", "errors", "failed"):
                 if k in stats:
                     totals[k] += stats[k]
-            if stats["next_frontier"] == 0:
-                r += 1
-                break
             r += 1
         self._join_bg()
         totals["last_round"] = r - 1

@@ -303,6 +303,23 @@ def q16_pagination(sf_dir: str):
     )
 
 
+def paginate(ds: rd.Dataset, sort_cols, limit: int, offset: int = 0,
+             descending=False) -> pd.DataFrame:
+    """O7 limit+offset pagination (transaction_repository_impl.go:245-248,
+    round 1 shipped limit only): sort, take the first offset+limit rows
+    (a page is small by definition), slice the offset driver-side."""
+    head = ds.sort(sort_cols, descending=descending).limit(offset + limit).to_pandas()
+    return head.iloc[offset : offset + limit].reset_index(drop=True)
+
+
+def q16b_pagination_offset(sf_dir: str):
+    """O7 pagination with a non-zero offset (page 3 of 20)."""
+    return paginate(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        "o_orderkey", limit=20, offset=40,
+    )
+
+
 def q17_substring_filter(sf_dir: str):
     """M6 substring-match classifier analog
     (error-class predicates, ethereum_service.go:100-124): rows whose
@@ -685,6 +702,7 @@ QUERIES = {
     "q14_max_date": q14_max_date,
     "q15_union_counts": q15_union_counts,
     "q16_pagination": q16_pagination,
+    "q16b_pagination_offset": q16b_pagination_offset,
     "q17_substring_filter": q17_substring_filter,
     "q18_groupby_having": q18_groupby_having,
     "q19_region_rollup": q19_region_rollup,
@@ -782,6 +800,10 @@ ORACLE_SQL = {
     """,
     "q16_pagination": """
         SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20
+    """,
+    "q16b_pagination_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 20 OFFSET 40
     """,
     "q17_substring_filter": """
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events

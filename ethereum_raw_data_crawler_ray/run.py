@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="store: resident page-store shard actors; parquet: store-less index probes")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="persist seen-shard state every N rounds (resume replays the gap)")
+    p.add_argument("--watch-dir", default=None,
+                   help="incremental ingest: page parquet files appearing here are "
+                        "picked up at round boundaries (WS-push analog)")
+    p.add_argument("--error-backoff", action="store_true",
+                   help="shrink a host's next-round budget after fetch errors")
+    p.add_argument("--skew-threshold", type=int, default=50_000,
+                   help="candidate count above which a host is auto-salted")
     args = p.parse_args(argv)
 
     import ray
@@ -71,7 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     }
     if args.robots:
         extra["robots_path"] = args.robots
+    if args.watch_dir:
+        extra["watch_dir"] = args.watch_dir
+    if args.error_backoff:
+        extra["error_backoff"] = True
     cfg = CrawlConfig(
+        host_skew_threshold=args.skew_threshold,
         pages_path=args.pages,
         index_dir=args.index,
         out_dir=args.out,

@@ -213,9 +213,11 @@ def fetch_via_store(
 _BUCKET_FILE_CACHE: dict = {}
 
 
-def bucket_files_of(index_dir: str, n_buckets: int) -> dict:
-    """bucket → fragment paths, cached per worker process."""
-    key = (index_dir, n_buckets)
+def bucket_files_of(index_dir: str, n_buckets: int, version: int = 0) -> dict:
+    """bucket → fragment paths, cached per worker process. ``version``
+    (the count of watch-mode ingest batches) busts the cache when new
+    index files appear mid-run."""
+    key = (index_dir, n_buckets, version)
     if key not in _BUCKET_FILE_CACHE:
         _BUCKET_FILE_CACHE[key] = {
             j: sorted(glob.glob(os.path.join(index_dir, f"bucket={j}", "*.parquet")))
@@ -225,11 +227,11 @@ def bucket_files_of(index_dir: str, n_buckets: int) -> dict:
 
 
 def parquet_probe(index_dir: str, n_buckets: int, urls: np.ndarray,
-                  hashes: np.ndarray) -> list:
+                  hashes: np.ndarray, version: int = 0) -> list:
     """Store-less fetch: read only the owning buckets with an isin filter
     pushed into the Parquet scan. Returns per-url payloads (None = miss),
     aligned to input order."""
-    bucket_files = bucket_files_of(index_dir, n_buckets)
+    bucket_files = bucket_files_of(index_dir, n_buckets, version)
     buckets = (hashes.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
     by_url: dict = {}
     for j in np.unique(buckets):

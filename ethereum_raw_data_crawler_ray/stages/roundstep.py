@@ -126,7 +126,8 @@ def round_step(
             from .fetch import parquet_probe
 
             got = parquet_probe(
-                parquet_index[0], parquet_index[1], urls[~fail_now], hashes[~fail_now]
+                parquet_index[0], parquet_index[1], urls[~fail_now], hashes[~fail_now],
+                version=parquet_index[2] if len(parquet_index) > 2 else 0,
             )
         for k, i in enumerate(np.flatnonzero(~fail_now)):
             payloads[i] = got[k]

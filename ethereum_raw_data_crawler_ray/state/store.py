@@ -43,14 +43,24 @@ class PageStoreShard:
             if b % n_shards != shard_id:
                 continue
             for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))):
-                t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
-                for u, ts, h, lg in zip(
-                    t["url"].to_pylist(),
-                    t["warc_ts"].cast(pa.int64()).to_pylist(),
-                    t["html"].to_pylist(),
-                    t["lang"].to_pylist(),
-                ):
-                    self.store[u] = (ts, h, lg)
+                self._load_file(f)
+
+    def _load_file(self, path: str) -> int:
+        t = pq.read_table(path, columns=["url", "warc_ts", "html", "lang"])
+        for u, ts, h, lg in zip(
+            t["url"].to_pylist(),
+            t["warc_ts"].cast(pa.int64()).to_pylist(),
+            t["html"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            self.store[u] = (ts, h, lg)
+        return len(t)
+
+    def load_files(self, paths: list[str]) -> int:
+        """Incremental ingest (watch mode): add newly published pages.
+        Restart-safe for free — the files live under the index dir, so a
+        restarted shard's __init__ re-reads them."""
+        return sum(self._load_file(p) for p in paths)
 
     def fetch(self, urls: list[str]):
         """Point lookups; None marks a miss (404 analog)."""
@@ -90,6 +100,18 @@ class ActorPageStore:
 
     def wait_ready(self) -> int:
         return sum(ray.get([h.count.remote() for h in self.handles]))
+
+    def load_new_files(self, files_by_bucket: dict[int, list[str]]) -> int:
+        """Route newly written per-bucket index files to their owning
+        shards (bucket b → shard b % n_shards) and load them."""
+        per_shard: dict[int, list[str]] = {}
+        for b, paths in files_by_bucket.items():
+            per_shard.setdefault(b % self.n_shards, []).extend(paths)
+        refs = [
+            self.handles[j].load_files.remote(paths)
+            for j, paths in per_shard.items()
+        ]
+        return sum(ray.get(refs)) if refs else 0
 
     def kill(self) -> None:
         for h in self.handles:

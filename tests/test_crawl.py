@@ -391,6 +391,88 @@ class TestActorFaultTolerance:
         pipe.close()
 
 
+class TestWatchIngest:
+    """Incremental ingest (the WS-push analog): pages published to a
+    watched directory mid-run are picked up at the next round boundary;
+    resume across a push stays bit-identical."""
+
+    N_PUSH = 60
+
+    def _push_file(self, corpus_dir: str) -> str:
+        from ethereum_raw_data_crawler_ray.testdata import gen_chunk
+
+        path = "/tmp/watch_push_1500.parquet"
+        if not os.path.exists(path):
+            t = gen_chunk(1500, 1500 + self.N_PUSH, 1500, 20, 42)
+            pq.write_table(t, path)
+        return path
+
+    def _drive(self, cfg, corpus_dir, push_at: int, stop_pre: int | None = None):
+        pipe = CrawlPipeline(cfg)
+        pipe.prepare()
+        pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
+        pipe._backfill_offers(0)
+        r = 0
+        while r < 30:
+            if r == push_at:
+                shutil.copy(
+                    self._push_file(corpus_dir),
+                    os.path.join(cfg.extra["watch_dir"], "push1.parquet"),
+                )
+            pipe.ingest_new_pages(r)
+            if stop_pre is not None and r == stop_pre:
+                pipe._join_bg()
+                pipe.close()
+                return  # simulated crash AFTER ingest, BEFORE the round
+            if pipe._frontier_count(r) == 0:
+                break
+            pipe.run_round(r)
+            r += 1
+        pipe._join_bg()
+        pipe.close()
+
+    def _watch_cfg(self, corpus_dir, tag):
+        cfg = make_cfg(corpus_dir, tag)
+        wd = f"/tmp/watch_dir_{tag}"
+        shutil.rmtree(wd, ignore_errors=True)
+        os.makedirs(wd, exist_ok=True)
+        return CrawlConfig(**{**cfg.__dict__, "extra": {**cfg.extra, "watch_dir": wd}})
+
+    def test_pushed_pages_crawled(self, corpus_dir, ray_session):
+        cfg = self._watch_cfg(corpus_dir, "watch")
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        self._drive(cfg, corpus_dir, push_at=2)
+        df = _rounds_df(cfg.out_dir)
+        pushed = pq.read_table(self._push_file(corpus_dir), columns=["url"])
+        pushed_public = [u for u in pushed["url"].to_pylist() if "/private/" not in u]
+        got = set(df["url"])
+        hit = sum(1 for u in pushed_public if u in got)
+        assert hit == len(pushed_public), f"only {hit}/{len(pushed_public)} pushed pages crawled"
+        # pushed pages enter at the push round or later
+        sub = df[df["url"].isin(pushed_public)]
+        assert (sub["round"] >= 2).all()
+
+    def test_resume_across_push_bit_identical(self, corpus_dir, ray_session):
+        ref = self._watch_cfg(corpus_dir, "watch_ref")
+        shutil.rmtree(ref.out_dir, ignore_errors=True)
+        self._drive(ref, corpus_dir, push_at=2)
+
+        # crash AFTER the round-2 ingest but BEFORE round 2 executes —
+        # resume must re-claim the ingested rows (same seen state) and
+        # finish identically
+        cfg = self._watch_cfg(corpus_dir, "watch_resume")
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        self._drive(cfg, corpus_dir, push_at=2, stop_pre=2)
+        p2 = CrawlPipeline(cfg)
+        p2.run(max_rounds=60)
+        p2.close()
+
+        a = _rounds_df(ref.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
 class TestResume:
     def test_bit_identical_resume(self, crawl_run, corpus_dir):
         # FIXTURES.md case 6: kill after round 2, resume, outputs and
