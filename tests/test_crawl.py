@@ -436,7 +436,17 @@ class TestWatchIngest:
         wd = f"/tmp/watch_dir_{tag}"
         shutil.rmtree(wd, ignore_errors=True)
         os.makedirs(wd, exist_ok=True)
-        return CrawlConfig(**{**cfg.__dict__, "extra": {**cfg.extra, "watch_dir": wd}})
+        # own index dir: ingest APPENDS to the index, which must not leak
+        # into the tests sharing the read-only corpus index
+        idx = f"/tmp/watch_idx_{tag}"
+        shutil.rmtree(idx, ignore_errors=True)
+        return CrawlConfig(
+            **{
+                **cfg.__dict__,
+                "index_dir": idx,
+                "extra": {**cfg.extra, "watch_dir": wd},
+            }
+        )
 
     def test_pushed_pages_crawled(self, corpus_dir, ray_session):
         cfg = self._watch_cfg(corpus_dir, "watch")
