@@ -42,17 +42,21 @@ def run_bench() -> dict:
     sf = os.path.basename(os.path.normpath(sf_dir))
     n_pages = SF_PAGES.get(sf, 30_000)
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ethereum_raw_data_crawler_ray.logquiet import logging_env, quiet_ray_data_warts
+
+    os.environ.update(logging_env())
     if not ray.is_initialized():
         ray.init(
             address="local", num_cpus=ncpu, include_dashboard=False,
             logging_level="ERROR",
+            runtime_env={"env_vars": logging_env()},
         )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    quiet_ray_data_warts()
     from ethereum_raw_data_crawler_ray.config import CrawlConfig
     from ethereum_raw_data_crawler_ray.pipelines.crawl import CrawlPipeline
     from ethereum_raw_data_crawler_ray.stages.fetch import build_fetch_index

@@ -106,30 +106,36 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
     the corpus is a stop-shingle artifact, and emitting its O(n²) pairs
     would dominate the run without finding real near-dups)."""
 
+    _EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype=np.int64),
+         "id_b": pd.Series(dtype=np.int64),
+         "est_sim": pd.Series(dtype=np.float64)}
+    )
+
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) > max_bucket:  # stop-bucket: skip
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64),
-                 "id_b": pd.Series(dtype=np.int64),
-                 "est_sim": pd.Series(dtype=np.float64)}
-            )
+        n = len(g)
+        if n > max_bucket or n < 2:  # stop-bucket / singleton: skip
+            return _EMPTY
         ids = g[id_col].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        a_out, b_out, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[j]))
-                est.append(float((sigs[i] == sigs[j]).mean()))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_sim": est})
+        mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        ii, jj = np.triu_indices(n, k=1)
+        est = (mat[ii] == mat[jj]).mean(axis=1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "est_sim": est})
+
+    import ray
 
     sigs = ds.map_batches(
         minhash_stage,
         fn_kwargs=dict(text_col=text_col, id_col=id_col, n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=512,
     )
+    # groupby/map_groups parallelism follows the input block count; a
+    # small corpus collapsed to a handful of blocks serializes the sort
+    # AND the per-group apply — spread the (thin) signature rows first
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    sigs = sigs.repartition(max(2 * ncpu, 16))
     return sigs.groupby("band_key").map_groups(pairs_of_group, batch_format="pandas")
 
 

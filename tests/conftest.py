@@ -15,15 +15,20 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    from ethereum_raw_data_crawler_ray.logquiet import logging_env, quiet_ray_data_warts
+
+    os.environ.update(logging_env())
     ray.init(
         address="local",
         num_cpus=4,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"env_vars": logging_env()},
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    quiet_ray_data_warts()
     yield
     ray.shutdown()
 
