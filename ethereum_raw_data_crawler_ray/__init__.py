@@ -13,3 +13,11 @@ owned by the CLI entry points, ``bench.py`` and the test fixture.
 """
 
 __version__ = "0.1.0"
+
+# environment quirk: make fsspec's http module importable (no aiohttp
+# here) so concurrent Dataset executions can't race its failing import —
+# see logquiet.stub_fsspec_http for the full story
+from .logquiet import stub_fsspec_http as _stub_fsspec_http
+
+_stub_fsspec_http()
+del _stub_fsspec_http

@@ -33,3 +33,36 @@ def quiet_ray_data_warts() -> None:
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow"
     ).setLevel(logging.ERROR)
+
+
+def stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable without aiohttp.
+
+    Ray's path resolution probes ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY Dataset read. aiohttp is absent in
+    this environment, so that import fails — and a failed import is
+    retried every call (Python removes broken modules from sys.modules).
+    The import machinery is not safe under CONCURRENT failing imports:
+    when the round execution (main thread) and the background events
+    write resolve paths simultaneously, one thread can observe the
+    partially-initialized module and crash with ``ImportError: cannot
+    import name 'HTTPFileSystem'`` — which Ray does NOT catch (it only
+    handles ModuleNotFoundError). Installing a minimal stub makes the
+    import deterministic; the stub class never matches a real filesystem
+    instance, so behavior is identical to the ModuleNotFoundError path."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # placeholder — isinstance() is always False
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod

@@ -567,9 +567,6 @@ class CrawlPipeline:
         src = self._frontier_source(r)
         n_frontier = self._frontier_count(r)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # fine-grained blocks: the fused round_step is the whole round's
-        # compute, so even small rounds should spread across the cluster
-        blocks = max(1, min(2 * ncpu, -(-n_frontier // 1024)))
 
         if self.cutoff_pool.consume_fresh():
             # a cutoff shard restarted: its buffered offers for this
@@ -608,17 +605,17 @@ class CrawlPipeline:
             enrich=bool(cfg.extra.get("enrich", False)),
             error_backoff=bool(cfg.extra.get("error_backoff", False)),
         )
-        # batch_size sets the MINIMUM rows per map task (Ray bundles
-        # blocks up to it) — size it so the round spreads over ~3 tasks
-        # per CPU, bounded by the configured extract batch ceiling
-        batch = max(256, min(cfg.extract_batch_size, -(-n_frontier // (3 * ncpu))))
+        # ~4 waves of equal-sized tasks: the parquet read's natural blocks
+        # follow file boundaries (carry vs discovered files differ 5-10×),
+        # and uneven tasks turn the last wave into a straggler tail — a
+        # cheap repartition of the THIN frontier rows equalizes them
+        # (round-1 profiling showed 0.9-7.2s task skew; now ~3x max/min)
+        batch = max(256, min(cfg.extract_batch_size, -(-n_frontier // (4 * ncpu))))
+        ntasks = max(1, -(-n_frontier // batch))
         t_m0 = time.perf_counter()
         ds = (
-            rd.read_parquet(
-                src,
-                columns=[f.name for f in FRONTIER],
-                override_num_blocks=blocks,
-            )
+            rd.read_parquet(src, columns=[f.name for f in FRONTIER])
+            .repartition(ntasks)
             .map_batches(
                 round_step,
                 fn_kwargs=kwargs,
@@ -663,12 +660,16 @@ class CrawlPipeline:
         wall = time.perf_counter() - t0
 
         def _post():
-            self._write_events(r, rounds_dir)
-            self._lineage(r, rounds_dir, digests, wall)
+            try:
+                self._write_events(r, rounds_dir)
+                self._lineage(r, rounds_dir, digests, wall)
+            except BaseException as e:  # surfaced by the next _join_bg
+                self._bg_exc = e
 
         self._join_bg()
         import threading
 
+        self._bg_exc = None
         self._bg = threading.Thread(target=_post, daemon=False)
         self._bg.start()
         return {
@@ -685,6 +686,12 @@ class CrawlPipeline:
         if bg is not None:
             bg.join()
             self._bg = None
+            exc = getattr(self, "_bg_exc", None)
+            if exc is not None:
+                self._bg_exc = None
+                raise RuntimeError(
+                    "background events/lineage write failed"
+                ) from exc
 
     def _run_round_legacy(self, r: int) -> dict:
         cfg = self.cfg

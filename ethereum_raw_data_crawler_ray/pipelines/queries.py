@@ -530,6 +530,34 @@ def q29_knn_ivf(sf_dir: str):
     return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
 
 
+def q35_knn_lsh(sf_dir: str):
+    """Approximate top-10 via random-hyperplane LSH bucket probing (no
+    oracle; recall vs brute force asserted in tests)."""
+    out = ann.knn_lsh(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    ).to_pandas()
+    return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q36_knn_ivf_indexed(sf_dir: str):
+    """Approximate top-10 via the MATERIALIZED IVF index: cell id as a
+    hive partition column, probe prunes at the Parquet read (the 100-TB
+    shape of q29; no oracle — equality with streaming IVF tested)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = ann.build_ivf_index(
+            _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            f"/tmp/ivf_index/{base}",
+        )
+        _IVF_INDEX_CACHE[sf_dir] = idx
+    out = ann.knn_ivf_indexed(idx, _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
 def q30_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-dup pairs (exact, blocked distributed
     self-join; threshold 0.4 — the synthetic embeddings top out near
@@ -716,6 +744,8 @@ QUERIES = {
     "q27_dedup_groups": q27_dedup_groups,
     "q28_knn_brute": q28_knn_brute,
     "q29_knn_ivf": q29_knn_ivf,
+    "q35_knn_lsh": q35_knn_lsh,
+    "q36_knn_ivf_indexed": q36_knn_ivf_indexed,
     "q30_embedding_dedup": q30_embedding_dedup,
     "q34_embedding_dedup_lsh": q34_embedding_dedup_lsh,
     "q31_window_tumbling": q31_window_tumbling,

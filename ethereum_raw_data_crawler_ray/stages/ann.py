@@ -56,7 +56,10 @@ def hash_sample(ds: rd.Dataset, id_col: str, n_target: int, seed: int) -> "pd.Da
         m = (_mix64(ids ^ sd) >> np.uint64(1)).astype(np.int64) < thresh
         return t.filter(pa.array(m))
 
-    return ds.map_batches(keep, batch_format="pyarrow").limit(n_target).to_pandas()
+    # NO trailing limit(): a limit would truncate in dataset order and
+    # reintroduce the order dependence this function exists to remove;
+    # the binomial sample size (~n_target) is what k-means needs
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
 
 
 class _BruteTopK:
@@ -119,29 +122,41 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class _LshTopK:
+    """Multi-table hyperplane LSH probe: a row is a candidate for a
+    query if its bucket is in the query's probe ring (exact + single-bit
+    flips) in ANY of the L independent tables — the standard recall fix
+    when neighbors sit at moderate cosine (a single table's collision
+    probability is too small)."""
+
     def __init__(self, q_ref, planes_ref, k: int, n_probe_bits: int):
         import ray
 
         self.q = ray.get(q_ref)
-        self.planes = ray.get(planes_ref)
+        self.planes = ray.get(planes_ref)  # (L, n_bits, d)
         self.k = k
-        qb = _bucket_of(self.q, self.planes)
-        # probe ring: exact bucket + all single-bit flips
-        n_bits = self.planes.shape[0]
-        self.probe: list[set] = []
-        for b in qb:
-            s = {int(b)}
-            for j in range(min(n_bits, n_probe_bits)):
-                s.add(int(np.uint64(b) ^ (np.uint64(1) << np.uint64(j))))
-            self.probe.append(s)
+        n_tables, n_bits, _ = self.planes.shape
+        # probe[t][qi] = set of probed buckets in table t for query qi
+        self.probe: list[list[set]] = []
+        for ti in range(n_tables):
+            qb = _bucket_of(self.q, self.planes[ti])
+            per_q = []
+            for b in qb:
+                s = {int(b)}
+                for j in range(min(n_bits, n_probe_bits)):
+                    s.add(int(np.uint64(b) ^ (np.uint64(1) << np.uint64(j))))
+                per_q.append(s)
+            self.probe.append(per_q)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        buckets = _bucket_of(vecs, self.planes)
+        n_tables = self.planes.shape[0]
+        buckets = [_bucket_of(vecs, self.planes[ti]) for ti in range(n_tables)]
         q_out, id_out, s_out = [], [], []
         for qi in range(len(self.q)):
-            mask = np.isin(buckets, list(self.probe[qi]))
+            mask = np.zeros(len(ids), dtype=bool)
+            for ti in range(n_tables):
+                mask |= np.isin(buckets[ti], list(self.probe[ti][qi]))
             if not mask.any():
                 continue
             sims = vecs[mask] @ self.q[qi]
@@ -261,24 +276,154 @@ def knn_ivf(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_cells: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 23,
+) -> str:
+    """Materialized IVF index — THE scale path: train the coarse
+    quantizer once, stamp every row's cell id, and write the corpus
+    hive-partitioned by ``ivf_cell`` so a query's probe prunes at the
+    Parquet READ (only n_probe/n_cells of the files are opened), not per
+    batch. Centroids are stored beside the partitions. One all-to-all
+    pass at build time, amortized over every subsequent query."""
+    import os
+
+    import ray
+
+    marker = os.path.join(index_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return index_dir
+    sample = hash_sample(ds, "vec_id", train_sample, seed)
+    cent = kmeans_centroids(
+        np.asarray(sample["embedding"].to_list(), dtype=np.float32), n_cells, seed=seed
+    )
+    c_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        c = get_broadcast(c_ref)
+        vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+        cells = (vecs @ c.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("ivf_cell", pa.array(cells, type=pa.int64()))
+
+    # partitions under data/ — read_parquet must not trip over the
+    # centroids sidecar file
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["ivf_cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_ivf_indexed(
+    index_dir: str, queries: np.ndarray, k: int = 10, n_probe: int = 4
+) -> rd.Dataset:
+    """Query a :func:`build_ivf_index` index: read ONLY the probe cells'
+    partitions (filter on the hive partition column → file pruning), then
+    exact-rescore candidates per query within its own probe set."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    union_cells = sorted({int(c) for row in probe for c in row})
+    q_ref = ray.put(qn)
+    probe_ref = ray.put([set(map(int, row)) for row in probe])
+
+    class _StoredCellTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.probe = ray.get(probe_ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            cells = np.asarray(t["ivf_cell"].to_pylist(), dtype=np.int64)
+            q_out, id_out, s_out = [], [], []
+            for qi in range(len(self.q)):
+                mask = np.isin(cells, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                sims = vecs[mask] @ self.q[qi]
+                cand_ids = ids[mask]
+                kk = min(self.k, len(sims))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                for j in part:
+                    q_out.append(qi)
+                    id_out.append(int(cand_ids[j]))
+                    s_out.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, type=pa.int64()),
+                    "vec_id": pa.array(id_out, type=pa.int64()),
+                    "cosine": pa.array(s_out, type=pa.float64()),
+                }
+            )
+
+    # explicit partition pruning: only the probe cells' directories are
+    # ever opened — the 100-TB read-amplification win
+    parts = []
+    for c in union_cells:
+        d = os.path.join(index_dir, "data", f"ivf_cell={c}")
+        if not os.path.isdir(d):
+            continue
+
+        def stamp(t: pa.Table, c=c) -> pa.Table:
+            return t.append_column(
+                "ivf_cell", pa.array(np.full(len(t), c, dtype=np.int64))
+            )
+
+        parts.append(
+            rd.read_parquet(d, columns=["vec_id", "embedding"]).map_batches(
+                stamp, batch_format="pyarrow"
+            )
+        )
+    pruned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    partials = pruned.map_batches(
+        _StoredCellTopK, batch_format="pyarrow", batch_size=4096, concurrency=_pool()
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def knn_lsh(
     ds: rd.Dataset,
     queries: np.ndarray,
     k: int = 10,
     n_bits: int = 8,
     n_probe_bits: int = 8,
+    n_tables: int = 12,
     seed: int = 17,
 ) -> rd.Dataset:
-    """Approximate top-k: random-hyperplane buckets, probe ring of the
-    query bucket, exact rescoring within candidates. NOTE: hyperplane LSH
-    needs genuinely high-cosine neighbors to hit good recall; for
-    weakly-correlated corpora prefer :func:`knn_ivf`."""
+    """Approximate top-k: L independent random-hyperplane tables, probe
+    ring (exact bucket + single-bit flips) per table, exact rescoring
+    within the union of candidates. NOTE: hyperplane LSH is the weakest
+    path when neighbors sit at moderate cosine (it needs many tables to
+    reach recall, scanning a large corpus fraction) — prefer
+    :func:`knn_ivf` / :func:`knn_ivf_indexed` for such corpora; this
+    exists for the high-cosine near-dup regime."""
     import ray
     import pandas as pd
 
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, qn.shape[1])).astype(np.float32)
+    planes = rng.standard_normal((n_tables, n_bits, qn.shape[1])).astype(np.float32)
     q_ref = ray.put(qn)
     p_ref = ray.put(planes)
     partials = ds.map_batches(

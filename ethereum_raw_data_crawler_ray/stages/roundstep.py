@@ -89,7 +89,7 @@ def round_step(
 
     from ..functions.broadcast import get_broadcast
     from ..pipelines.crawl import _explode_outlinks
-    from ..state.seen import claim_scatter
+    from ..state.seen import claim_scatter_finish, claim_scatter_submit
     from ..state.store import fetch_scatter
 
     _timing = os.environ.get("ERDC_TIMING")
@@ -150,22 +150,30 @@ def round_step(
     carry = df[keep].assign(attempts=att[keep], skip_until_round=skip_until[keep])
     _mark()  # carry
 
-    # 4. discovered rows: explode fetched outlinks, seen-claim (first
-    #    claim wins across tasks; replay-safe under task retry via the
-    #    per-round claim-token log — see state.seen.claim_token) ----------
+    # 4+5. discovered rows (explode + seen-claim) interleaved with the
+    #    offers that don't depend on claim results: the claim calls are
+    #    SUBMITTED first, then the carry offers + error reports run while
+    #    those round trips are in flight, then claims are collected and
+    #    the novel discovered rows are offered (offers are additive
+    #    per-key top-k unions, so splitting them is semantics-free).
+    #    Claims stay replay-safe via the per-round claim-token log
+    #    (state.seen.claim_token).
     disc = _explode_outlinks(pages.select(["outlinks"]), round_no=round_no)
+    pending = None
     if len(disc):
         dh = np.asarray(disc["url_hash"].to_pandas(), dtype=np.uint64)
-        novel = claim_scatter(seen_handles, dh, round_no)
-        disc = disc.filter(pa.array(novel))
-    _mark()  # explode+seen
+        pending = claim_scatter_submit(seen_handles, dh, round_no)
 
-    # 5. offers for round r+1 (carry ∪ discovered candidates) --------------
-    next_rows = []
-    if len(carry):
-        next_rows.append(carry[_FRONTIER_COLS])
-    if len(disc):
-        next_rows.append(disc.to_pandas()[_FRONTIER_COLS])
+    offer_kwargs = dict(
+        robots=robots,
+        round_no=round_no + 1,
+        round_ms=round_ms,
+        default_delay_ms=default_delay_ms,
+        max_per_host=max_per_host,
+        n_salt=n_salt,
+        cutoff_handles=cutoff_handles,
+        hot=hot_offer,
+    )
     # error backoff signal: this batch's fetch-error hosts → the shard
     # that will compute next round's budgets for them
     if error_backoff and (status == STATUS_ERROR).any():
@@ -173,20 +181,14 @@ def round_step(
 
         eh = np.asarray(pages["host"].to_pandas(), dtype=object)[status == STATUS_ERROR]
         note_errors_scatter(cutoff_handles, round_no, eh)
-
-    if next_rows:
-        nxt = pd.concat(next_rows, ignore_index=True)
-        offer_candidates(
-            nxt,
-            robots=robots,
-            round_no=round_no + 1,
-            round_ms=round_ms,
-            default_delay_ms=default_delay_ms,
-            max_per_host=max_per_host,
-            n_salt=n_salt,
-            cutoff_handles=cutoff_handles,
-            hot=hot_offer,
-        )
+    if len(carry):
+        offer_candidates(carry[_FRONTIER_COLS], **offer_kwargs)
+    if pending is not None:
+        novel = claim_scatter_finish(*pending)
+        disc = disc.filter(pa.array(novel))
+    _mark()  # explode+seen
+    if len(disc):
+        offer_candidates(disc.to_pandas()[_FRONTIER_COLS], **offer_kwargs)
 
     _mark()  # offers
 

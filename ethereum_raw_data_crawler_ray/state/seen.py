@@ -281,15 +281,14 @@ class SeenFilterBatch:
         return batch.filter(pa.array(novel))
 
 
-def claim_scatter(
+def claim_scatter_submit(
     handles: list, hashes: np.ndarray, round_no: int | None = None
-) -> np.ndarray:
-    """Scatter-gather check_and_insert against the owning shards; with a
-    round_no, each sub-array carries its content-derived claim token so a
-    retried task replays its own claims instead of losing the rows."""
+) -> tuple[list, list, int]:
+    """Issue the shard claim calls WITHOUT waiting — lets the caller
+    overlap other work (e.g. politeness offers for rows that don't
+    depend on the claim results) with the actor round trips."""
     n_shards = len(handles)
     sid = shard_of(hashes, n_shards)
-    novel = np.zeros(len(hashes), dtype=bool)
     refs, ixs = [], []
     for j in range(n_shards):
         ix = np.flatnonzero(sid == j)
@@ -302,6 +301,20 @@ def claim_scatter(
                     handles[j].check_and_insert.remote(sub, round_no, claim_token(sub))
                 )
             ixs.append(ix)
+    return refs, ixs, len(hashes)
+
+
+def claim_scatter_finish(refs: list, ixs: list, n: int) -> np.ndarray:
+    novel = np.zeros(n, dtype=bool)
     for ix, res in zip(ixs, ray.get(refs)):
         novel[ix] = res
     return novel
+
+
+def claim_scatter(
+    handles: list, hashes: np.ndarray, round_no: int | None = None
+) -> np.ndarray:
+    """Scatter-gather check_and_insert against the owning shards; with a
+    round_no, each sub-array carries its content-derived claim token so a
+    retried task replays its own claims instead of losing the rows."""
+    return claim_scatter_finish(*claim_scatter_submit(handles, hashes, round_no))
