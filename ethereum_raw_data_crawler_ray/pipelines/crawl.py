@@ -247,8 +247,12 @@ class CrawlPipeline:
         self.store = None
         if cfg.extra.get("fetch_mode", "store") == "store":
             n_store = int(cfg.extra.get("n_store_shards", min(8, cfg.n_fetch_buckets)))
-            self.store = ActorPageStore(cfg.index_dir, cfg.n_fetch_buckets, n_store)
-            self.store.wait_ready()  # corpus loads ONCE per run, not per round
+            self.store = ActorPageStore(
+                cfg.index_dir, cfg.n_fetch_buckets, n_store,
+                mode=cfg.extra.get("store_mode", "preload"),
+                lru_groups=int(cfg.extra.get("store_lru_groups", 64)),
+            )
+            self.store.wait_ready()  # index loads ONCE per run, not per round
         self.cutoff_pool = None
         if cfg.extra.get("politeness_mode", "cutoff") == "cutoff":
             self.cutoff_pool = CutoffPool(
@@ -621,6 +625,11 @@ class CrawlPipeline:
                 fn_kwargs=kwargs,
                 batch_format="pandas",
                 batch_size=batch,
+                # slightly over 1 CPU per task leaves a few cores free
+                # for the (num_cpus=0) seen/store/cutoff actors, which
+                # do real work during the round — at full task
+                # concurrency they preempt the compute tasks instead
+                num_cpus=float(cfg.extra.get("round_task_cpus", 1.0)),
             )
             .map_batches(
                 lambda t, r=r: t.append_column(

@@ -487,6 +487,20 @@ def q25_simhash(sf_dir: str):
     return dedup.simhash_table(_t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
 
 
+def q37_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (banded candidates + exact Hamming ≤ 3
+    verification; no oracle — exactness property pinned in tests)."""
+    out = dedup.simhash_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q26_minhash_pairs(sf_dir: str):
     """MinHash-LSH candidate pairs (no oracle — approximate by design)."""
     return dedup.minhash_candidates(
@@ -740,6 +754,7 @@ QUERIES = {
     "q23_quality_score": q23_quality_score,
     "q24_fingerprint": q24_fingerprint,
     "q25_simhash": q25_simhash,
+    "q37_simhash_pairs": q37_simhash_pairs,
     "q26_minhash_pairs": q26_minhash_pairs,
     "q27_dedup_groups": q27_dedup_groups,
     "q28_knn_brute": q28_knn_brute,

@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--politeness-mode", choices=["cutoff", "groupby"], default="cutoff")
     p.add_argument("--fetch-mode", choices=["store", "parquet"], default="store",
                    help="store: resident page-store shard actors; parquet: store-less index probes")
+    p.add_argument("--store-mode", choices=["preload", "lazy"], default="preload",
+                   help="preload: shards decode their pages once; lazy: hash->row-group "
+                        "index + LRU of decoded groups (the 100-TB memory shape)")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="persist seen-shard state every N rounds (resume replays the gap)")
     p.add_argument("--watch-dir", default=None,
@@ -75,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         "politeness_mode": args.politeness_mode,
         "checkpoint_every": args.checkpoint_every,
         "fetch_mode": args.fetch_mode,
+        "store_mode": args.store_mode,
     }
     if args.robots:
         extra["robots_path"] = args.robots

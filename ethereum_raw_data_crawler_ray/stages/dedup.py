@@ -266,6 +266,66 @@ def simhash_table(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
+def simhash_pairs(
+    ds: rd.Dataset, text_col: str, id_col: str,
+    max_hamming: int = 3, max_bucket: int = 256,
+) -> rd.Dataset:
+    """SimHash near-dup pairs: banded candidate generation + exact
+    Hamming verification within buckets. By pigeonhole, any pair within
+    Hamming distance ≤ 3 agrees on at least one of the 4 16-bit bands,
+    so recall is EXACT for ≤ max_hamming=3 (modulo stop-buckets). The
+    shuffle moves (band_key, id, simhash) rows only."""
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        sh = np.asarray(t["simhash"].to_pandas(), dtype=np.uint64)
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        keys, out_ids, out_sh = [], [], []
+        for b in range(4):
+            band = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys.append((band << np.int64(2)) | np.int64(b))  # band id mixed in
+            out_ids.append(ids)
+            out_sh.append(sh)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                id_col: pa.array(np.concatenate(out_ids), type=pa.int64()),
+                "simhash": pa.array(np.concatenate(out_sh), type=pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        n = len(g)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
+        if n < 2 or n > max_bucket:
+            return empty
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(n, k=1)
+        x = (sh[ii] ^ sh[jj]).astype(np.uint64)
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        m = ham <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ii[m]], "id_b": ids[jj[m]], "hamming": ham[m].astype(np.int64)}
+        )
+
+    pairs = (
+        simhash_table(ds, text_col, id_col)
+        .map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # a pair can match in several bands — distinct it
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------

@@ -242,6 +242,27 @@ class TestAltConfigPaths:
         assert set(zip(ea["url"], ea["round"])) == set(zip(eb["url"], eb["round"]))
 
 
+class TestLazyStoreMode:
+    def test_lazy_store_matches_preload(self, crawl_run, corpus_dir):
+        # the 100-TB store shape: shards hold only a hash→row-group
+        # index + a bounded LRU of decoded groups; output must equal the
+        # full-preload crawl exactly
+        cfg_main, _, _ = crawl_run
+        cfg = make_cfg(corpus_dir, "lazystore")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__,
+               "extra": {**cfg.extra, "store_mode": "lazy", "store_lru_groups": 4}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        p = CrawlPipeline(cfg)
+        p.run(max_rounds=60)
+        p.close()
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth", "n_bytes"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
 class TestAutoSkewSalting:
     def test_mega_host_salted_and_matches_golden(self, corpus_dir, ray_session):
         # with a tiny skew threshold the corpus's biggest hosts exceed it:

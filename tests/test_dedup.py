@@ -58,6 +58,33 @@ class TestNearDupGroups:
         assert (out["group_id"].to_numpy() == out["doc_id"].to_numpy()).all()
 
 
+class TestSimhashPairs:
+    def test_exact_within_hamming_and_planted_found(self, ray_session):
+        from ethereum_raw_data_crawler_ray.functions.textstats import simhash64
+
+        docs = _mk_docs(1_000, 15)
+        ds = rd.from_pandas(docs).repartition(4)
+        out = dedup.simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+        sh = {i: simhash64(t) for i, t in zip(docs["doc_id"], docs["text"])}
+
+        def ham(a, b):
+            return bin(sh[a] ^ sh[b]).count("1")
+
+        # every emitted pair really is within the Hamming bound
+        for a, b in zip(out["id_a"], out["id_b"]):
+            assert ham(int(a), int(b)) <= 3
+        # pigeonhole exactness: every true pair ≤ 3 is found
+        ids = docs["doc_id"].to_numpy()
+        got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        import itertools
+
+        truth = set()
+        for a, b in itertools.combinations(ids[:120], 2):  # bounded check
+            if ham(int(a), int(b)) <= 3:
+                truth.add((int(a), int(b)))
+        assert truth <= got
+
+
 def _mk_embeddings(n: int, d: int = 16, n_dup: int = 15, seed: int = 9):
     """n vectors; ids (2i, 2i+1) for i < n_dup are near-duplicates
     (cosine ≳ 0.99); the rest are random (low pairwise cosine)."""
