@@ -659,6 +659,25 @@ def q33_multimodal_decode(sf_dir: str):
     return out.select_columns(["doc_id", "n_bytes", "width", "height", "format"])
 
 
+def q38_multimodal_resize(sf_dir: str):
+    """Binary payload resize via actor pool (fake codec — real plumbing;
+    decode → resize compose on the binary+metadata column layout)."""
+    blobs = multimodal.attach_blobs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+    out = multimodal.decode_pipeline(multimodal.resize_pipeline(blobs, 64, 48))
+    return out.select_columns(["doc_id", "n_bytes", "width", "height", "format"])
+
+
+def q39_multimodal_frame_sample(sf_dir: str):
+    """'Video' frame sampling: one output row per sampled frame (the
+    flat_map multimodal shape; fake demuxer, real Ray plumbing)."""
+    blobs = multimodal.attach_blobs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+    return multimodal.frame_sample_pipeline(blobs, stride=4, max_frames=8)
+
+
 # ==========================================================================
 # crawl pipeline (flagship; no SQL oracle — checked by golden parity tests)
 # ==========================================================================
@@ -766,6 +785,8 @@ QUERIES = {
     "q31_window_tumbling": q31_window_tumbling,
     "q32_sessionize": q32_sessionize,
     "q33_multimodal_decode": q33_multimodal_decode,
+    "q38_multimodal_resize": q38_multimodal_resize,
+    "q39_multimodal_frame_sample": q39_multimodal_frame_sample,
     "q40_crawl_pages": q40_crawl_pages,
     "q41_crawl_events": q41_crawl_events,
     "q42_crawl_lineage": q42_crawl_lineage,

@@ -94,11 +94,29 @@ class TestRowsOnly:
         assert (df["format"] == "fakeimg").all()
         assert (df["width"] >= 32).all() and (df["height"] >= 32).all()
 
-    def test_multimodal_real_codec_stubbed(self):
-        from ethereum_raw_data_crawler_ray.stages.multimodal import DecodeStage
+    def test_multimodal_resize(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q38_multimodal_resize"](sf_dir))
+        assert len(df) == 500
+        assert (df["width"] == 64).all() and (df["height"] == 48).all()
+        assert (df["format"] == "fakeimg").all()  # resized blobs re-decode
 
-        with pytest.raises(NotImplementedError):
-            DecodeStage(codec="pil")
+    def test_multimodal_frame_sample(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q39_multimodal_frame_sample"](sf_dir))
+        assert df["doc_id"].nunique() == 500  # every doc yields ≥1 frame
+        assert (df["frame_no"] % 4 == 0).all()  # stride respected
+        assert df.groupby("doc_id").size().max() <= 8
+
+    def test_multimodal_real_codec_stubbed(self):
+        from ethereum_raw_data_crawler_ray.stages.multimodal import (
+            DecodeStage,
+            FrameSampleStage,
+            ResizeStage,
+        )
+
+        for cls, args in ((DecodeStage, ()), (ResizeStage, (32, 32)),
+                          (FrameSampleStage, (256, 4, 8))):
+            with pytest.raises(NotImplementedError):
+                cls(*args, codec="pil")
 
 
 def test_entry_contract(ray_session):
