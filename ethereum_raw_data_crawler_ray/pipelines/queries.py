@@ -696,8 +696,11 @@ def _crawl_out(sf_dir: str) -> str:
     from .crawl import CrawlPipeline
 
     corpus = ensure_corpus(n_pages, n_hosts=40, n_seeds=16, base_dir="/tmp/q_corpus")
-    out_dir = f"/tmp/q_crawl_out/{base}_{n_pages}"
-    idx_dir = f"/tmp/q_crawl_idx/{base}_{n_pages}"
+    # rev-keyed: a cached crawl from an older engine revision must not be
+    # resumed/served after the engine's semantics change
+    rev = "r2"
+    out_dir = f"/tmp/q_crawl_out/{rev}_{base}_{n_pages}"
+    idx_dir = f"/tmp/q_crawl_idx/{rev}_{base}_{n_pages}"
     cfg = CrawlConfig(
         pages_path=corpus + "/pages.parquet",
         index_dir=idx_dir,
