@@ -1,16 +1,22 @@
 """Similarity search over an embedding column (``list<float>``).
 
-Two paths, per the engine spec:
-* :func:`knn_bruteforce` — exact cosine top-k: the query matrix is
-  broadcast (``ray.put`` once, read in every actor), each batch does one
-  numpy matmul and emits its partial top-k, and a final tiny sort+limit
-  merges partials. Per-batch work is O(batch × q × d); the corpus
-  streams, nothing materializes.
-* :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets
-  (sign bits of V·H). Probing searches only the query's bucket ring
-  (exact bucket + single-bit flips), so the candidate set is a tiny
-  fraction of the corpus. Recall is tunable via n_bits / n_probe; the
-  test asserts recall ≥ 0.6 vs brute force at the default setting.
+Four paths, cheapest-exact to scale-ready:
+* :func:`knn_bruteforce` — exact cosine top-k baseline: the query
+  matrix is broadcast (``ray.put`` once, read in every actor), each
+  batch does one numpy matmul and emits its partial top-k, and a final
+  tiny groupby merges partials. The corpus streams, nothing
+  materializes.
+* :func:`knn_ivf` — streaming IVF: coarse quantizer trained on a
+  deterministic order-independent hash sample; each batch rescores only
+  rows assigned to a query's n_probe nearest cells.
+* :func:`knn_ivf_indexed` (+ :func:`build_ivf_index`) — the 100-TB
+  shape: cell id stored as a hive partition column so a query's probe
+  prunes at the Parquet READ (only probe-cell directories are opened);
+  returns exactly the streaming-IVF result for the same quantizer.
+* :func:`knn_lsh` — multi-table random-hyperplane buckets with probe
+  rings, exact rescoring within the candidate union; best suited to the
+  high-cosine near-dup regime (at moderate cosine it needs many tables
+  to reach recall — recall pinned vs brute force in tests).
 """
 
 from __future__ import annotations
