@@ -73,3 +73,38 @@ def test_salt_budget_partitions_exactly(budget, n_salt):
     parts = [salt_budget(budget, n_salt, i) for i in range(n_salt)]
     assert sum(parts) == budget
     assert all(p >= 0 for p in parts)
+
+
+_host = st.text(
+    st.characters(min_codepoint=45, max_codepoint=122, blacklist_characters="#"),
+    min_size=1, max_size=30,
+)
+
+
+@given(
+    st.lists(_host, min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=8),
+    st.dictionaries(_host, st.integers(min_value=2, max_value=64), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_pkey_roundtrip_and_budget_consistency(hosts, base, hot):
+    import numpy as np
+
+    from ethereum_raw_data_crawler_ray.state.politeness import parse_pkey, pkey_of
+
+    harr = np.array(hosts, dtype=object)
+    uh = np.arange(len(hosts), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    pks = pkey_of(harr, uh, base, hot)
+    for host, h, pk in zip(hosts, uh, pks):
+        ph, salt, n = parse_pkey(pk)
+        assert ph == host
+        expected_n = max(base, hot.get(host, base))
+        if expected_n <= 1:
+            assert (salt, n) == (0, 1)
+        else:
+            assert n == expected_n
+            assert salt == int(h % np.uint64(n))
+    # every host's salted budgets still partition the host budget exactly
+    for host in set(hosts):
+        n = max(base, hot.get(host, base))
+        assert sum(salt_budget(1000, n, s) for s in range(n)) == 1000
