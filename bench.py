@@ -183,10 +183,7 @@ def run_map_bench() -> dict:
     import ray.data as rd
 
     from ethereum_raw_data_crawler_ray.functions.extract import extract_batch
-    from ethereum_raw_data_crawler_ray.functions.textstats import (
-        fingerprint64, lang_id, lsh_band_keys, minhash_signature,
-        quality_stats, simhash64, token_count_bpe, word_shingles,
-    )
+    from ethereum_raw_data_crawler_ray.functions.textstats import enrich_batch
     from ethereum_raw_data_crawler_ray.testdata import ensure_corpus
 
     corpus = ensure_corpus(
@@ -195,13 +192,10 @@ def run_map_bench() -> dict:
     )
 
     def work(t: pa.Table) -> pa.Table:
+        # the SAME per-page work as the crawl's enrichment (batched)
         texts, _ = extract_batch(t["html"].to_pylist())
-        sh = np.zeros(len(texts), dtype=np.uint64)
-        for i, x in enumerate(texts):
-            quality_stats(x); lang_id(x); token_count_bpe(x)
-            sh[i] = simhash64(x); fingerprint64(x)
-            lsh_band_keys(minhash_signature(word_shingles(x)), 4)
-        return pa.table({"url": t["url"], "simhash": pa.array(sh)})
+        res = enrich_batch(list(texts), n_bands=4)
+        return pa.table({"url": t["url"], "simhash": pa.array(res["simhash"])})
 
     t0 = time.perf_counter()
     ds = rd.read_parquet(

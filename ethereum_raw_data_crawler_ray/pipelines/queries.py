@@ -444,13 +444,14 @@ def q23_quality_score(sf_dir: str):
             pass  # regexes compiled at module import, once per worker
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from ..functions.textstats import quality_score
+
             texts = t["text"].to_pylist()
             rows = []
             for x in texts:
                 n_chars, n_tok, n_punct, n_stop = quality_stats(x)
-                score = min(1.0, n_tok / 64.0) * (1.0 - n_punct / max(1, n_chars))
-                score *= 0.5 + 0.5 * min(1.0, n_stop / max(1, n_tok) * 5)
-                rows.append((lang_id(x), round(score, 6), token_count_bpe(x)))
+                score = quality_score(n_chars, n_tok, n_punct, n_stop)
+                rows.append((lang_id(x), score, token_count_bpe(x)))
             return pa.table(
                 {
                     "doc_id": t["doc_id"],

@@ -149,17 +149,9 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
         # BPE-ish token count, SimHash, FNV-1a content fingerprint and
         # MinHash-LSH band keys — computed where the text already is,
         # avoiding a second pass over the corpus (this is the per-URL
-        # compute the throughput benchmark measures)
-        from ..functions.textstats import (
-            fingerprint64,
-            lang_id,
-            lsh_band_keys,
-            minhash_signature,
-            quality_stats,
-            simhash64,
-            token_count_bpe,
-            word_shingles,
-        )
+        # compute the throughput benchmark measures). Batched: one
+        # tokenization + one hash_array call per batch, not per page.
+        from ..functions.textstats import enrich_batch
 
         lg = np.full(n, None, dtype=object)
         qual = np.zeros(n, dtype=np.float64)
@@ -167,17 +159,15 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
         sh = np.zeros(n, dtype=np.uint64)
         fp = np.zeros(n, dtype=np.uint64)
         bands = np.zeros((n, 4), dtype=np.uint64)
-        for row in np.flatnonzero(has_page):
-            x = text[row]
-            n_chars, n_t, n_punct, n_stop = quality_stats(x)
-            score = min(1.0, n_t / 64.0) * (1.0 - n_punct / max(1, n_chars))
-            score *= 0.5 + 0.5 * min(1.0, n_stop / max(1, n_t) * 5)
-            lg[row] = lang_id(x)
-            qual[row] = round(score, 6)
-            ntok[row] = token_count_bpe(x)
-            sh[row] = simhash64(x)
-            fp[row] = fingerprint64(x)
-            bands[row] = lsh_band_keys(minhash_signature(word_shingles(x)), 4)
+        rows = np.flatnonzero(has_page)
+        if rows.size:
+            res = enrich_batch([text[r] for r in rows], n_bands=4)
+            lg[rows] = res["lang_guess"]
+            qual[rows] = res["quality"]
+            ntok[rows] = res["n_tokens_bpe"]
+            sh[rows] = res["simhash"]
+            fp[rows] = res["fingerprint"]
+            bands[rows] = res["minhash_bands"]
         cols["lang_guess"] = pa.array(lg, type=pa.string())
         cols["quality"] = pa.array(qual, type=pa.float64())
         cols["n_tokens_bpe"] = pa.array(ntok, type=pa.int64())

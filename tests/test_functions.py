@@ -103,3 +103,35 @@ class TestExtract:
         t = pq.read_table(corpus_dir + "/pages.parquet", columns=["html", "text"])
         texts, _ = extract_batch(t["html"].to_pylist())
         assert list(texts) == t["text"].to_pylist()
+
+
+class TestEnrichBatch:
+    def test_matches_scalar_functions(self):
+        from ethereum_raw_data_crawler_ray.functions.textstats import (
+            enrich_batch,
+            fingerprint64,
+            lang_id,
+            lsh_band_keys,
+            minhash_signature,
+            quality_score,
+            quality_stats,
+            simhash64,
+            token_count_bpe,
+            word_shingles,
+        )
+
+        rng = np.random.default_rng(3)
+        vocab = ["the", "and", "der", "une", "người", "w1", "w2", "w3", "punct!?"]
+        texts = [
+            " ".join(rng.choice(vocab, size=int(k)))
+            for k in rng.integers(0, 60, size=40)
+        ] + ["", "one", "a b", "ünïcode tëxt des la the", "  spaces   between  "]
+        res = enrich_batch(texts, n_bands=4)
+        for i, x in enumerate(texts):
+            assert res["lang_guess"][i] == lang_id(x)
+            assert res["quality"][i] == quality_score(*quality_stats(x))
+            assert res["n_tokens_bpe"][i] == token_count_bpe(x)
+            assert int(res["simhash"][i]) == simhash64(x)
+            assert int(res["fingerprint"][i]) == fingerprint64(x)
+            expect = lsh_band_keys(minhash_signature(word_shingles(x)), 4)
+            assert (res["minhash_bands"][i] == expect).all()
