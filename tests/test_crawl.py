@@ -483,6 +483,22 @@ class TestWatchIngest:
         sub = df[df["url"].isin(pushed_public)]
         assert (sub["round"] >= 2).all()
 
+    def test_push_with_parquet_fetch_mode(self, corpus_dir, ray_session):
+        # store-less parquet probes cache bucket→file maps per worker;
+        # the ingest version must bust that cache so pushed pages are
+        # found instead of 404ing forever
+        cfg = self._watch_cfg(corpus_dir, "watch_parquet")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__, "extra": {**cfg.extra, "fetch_mode": "parquet"}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        self._drive(cfg, corpus_dir, push_at=2)
+        df = _rounds_df(cfg.out_dir)
+        pushed = pq.read_table(self._push_file(corpus_dir), columns=["url"])
+        pushed_public = [u for u in pushed["url"].to_pylist() if "/private/" not in u]
+        got = set(df["url"])
+        assert all(u in got for u in pushed_public)
+
     def test_resume_across_push_bit_identical(self, corpus_dir, ray_session):
         ref = self._watch_cfg(corpus_dir, "watch_ref")
         shutil.rmtree(ref.out_dir, ignore_errors=True)
