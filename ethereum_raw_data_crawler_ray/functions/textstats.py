@@ -288,3 +288,25 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def word_gram_hash_set(text: str, k: int = 3) -> np.ndarray:
+    """Sorted UNIQUE word-k-gram hashes of a document — the reusable
+    form of the Jaccard verification input. Computing this once per
+    candidate document (instead of re-tokenizing both sides per PAIR —
+    each candidate appears in many pairs) turns near-dup verification
+    into an array intersection. Docs with < k tokens contribute one
+    whole-sequence gram, mirroring :func:`jaccard_ngrams`."""
+    h = _token_hashes(text)
+    if h.size == 0:
+        return h
+    kk = min(k, int(h.size))
+    return np.unique(_rolling_poly(h, kk))
+
+
+def jaccard_hashed(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard over pre-computed gram-hash sets (sorted unique)."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)

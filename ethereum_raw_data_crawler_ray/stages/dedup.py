@@ -28,10 +28,11 @@ import ray.data as rd
 from ..functions.hashing import hash_strings
 from ..functions.textstats import (
     char_shingles,
-    jaccard_ngrams,
+    jaccard_hashed,
     lsh_band_keys,
     minhash_signature,
     simhash64,
+    word_gram_hash_set,
 )
 
 
@@ -168,8 +169,10 @@ def near_dup_groups(
     assignment. The documents table itself is NEVER materialized on the
     driver (round-1 version did ``docs.to_pandas()`` — a driver OOM at
     corpus scale); only three corpus-independent small sets are:
-    candidate PAIRS, candidate TEXTS (candidates << corpus, the standard
-    near-dup regime) and the verified-pair union-find roots.
+    candidate PAIRS, candidate GRAM-HASH SETS (candidates << corpus, the
+    standard near-dup regime) and the verified-pair union-find roots.
+    Verification is Jaccard over hashed word 3-grams (each candidate
+    hashed once, pairs verified by array intersection).
 
     Output: one row per document, (id_col, group_id); group_id is the
     minimum doc id of the group (singletons map to themselves)."""
@@ -200,22 +203,40 @@ def near_dup_groups(
         m = np.fromiter((int(i) in cs for i in ids), dtype=bool, count=len(ids))
         return t.filter(pa.array(m))
 
+    # gram-hash each candidate ONCE (each candidate appears in many
+    # pairs; round-1 re-tokenized both texts per pair) — the broadcast
+    # side is {id: sorted unique gram hashes}, smaller than the texts
+    def gramify(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        grams = [word_gram_hash_set(x) for x in t[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "grams": pa.array([g.tobytes() for g in grams], type=pa.binary()),
+            }
+        )
+
     cand_docs = (
         ds.select_columns([id_col, text_col])
         .map_batches(keep_candidates, batch_format="pyarrow")
+        .map_batches(gramify, batch_format="pyarrow")
         .to_pandas()
     )
-    texts_ref = ray.put(
-        dict(zip(cand_docs[id_col].astype(np.int64), cand_docs[text_col]))
+    grams_ref = ray.put(
+        {
+            int(i): np.frombuffer(g, dtype=np.uint64)
+            for i, g in zip(cand_docs[id_col], cand_docs["grams"])
+        }
     )
 
-    # distributed verification over the pairs dataset
+    # distributed verification over the pairs dataset (array intersection
+    # per pair — Jaccard over hashed grams, collision-negligible)
     def verify(t: pa.Table) -> pa.Table:
-        texts = get_broadcast(texts_ref)
+        grams = get_broadcast(grams_ref)
         a = t["id_a"].to_pylist()
         b = t["id_b"].to_pylist()
         ok = [
-            jaccard_ngrams(texts[int(x)], texts[int(y)]) >= threshold
+            jaccard_hashed(grams[int(x)], grams[int(y)]) >= threshold
             for x, y in zip(a, b)
         ]
         return t.filter(pa.array(ok))
