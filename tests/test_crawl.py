@@ -369,6 +369,49 @@ class TestErrorBackoff:
         pd.testing.assert_frame_equal(a[cols], b[cols])
 
 
+class TestBackoffPlusAutoSalt:
+    def test_combined_features_match_golden(self, corpus_dir, ray_session):
+        # error backoff and automatic skew salting BOTH rewrite budgets
+        # (shrink host budget, then split across salts) — the engine and
+        # golden must agree on the composition order
+        thr = 25
+        cfg = make_cfg(corpus_dir, "backoffsalt")
+        cfg = CrawlConfig(
+            **{
+                **cfg.__dict__,
+                "host_skew_threshold": thr,
+                "extra": {**cfg.extra, "error_backoff": True},
+            }
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        pipe = CrawlPipeline(cfg)
+        totals = pipe.run(max_rounds=60)
+        pipe.close()
+        assert totals["errors"] > 0
+
+        from ethereum_raw_data_crawler_ray.state.politeness import load_robots
+
+        g = GoldenCrawl(
+            cfg.pages_path,
+            load_robots(cfg.extra["robots_path"]),
+            n_seen_shards=cfg.n_seen_shards,
+            seen_shard_capacity=cfg.seen_shard_capacity,
+            round_ms=cfg.round_ms,
+            default_crawl_delay_ms=cfg.default_crawl_delay_ms,
+            max_per_host_round=cfg.max_per_host_round,
+            max_retries=cfg.max_retries,
+            skip_rounds=cfg.skip_rounds,
+            error_permille=ERR_PERMILLE,
+            host_skew_threshold=thr,
+            error_backoff=True,
+        )
+        gold = g.run(pq.read_table(corpus_dir + "/seeds.parquet"), max_rounds=60)
+        df = _rounds_df(cfg.out_dir)
+        assert {u: t for u, t in zip(df["url"], df["text"])} == {
+            u: p["text"] for u, p in gold["pages"].items()
+        }
+
+
 class TestActorFaultTolerance:
     def test_shard_kills_mid_crawl_match_uninterrupted(self, crawl_run, corpus_dir):
         # kill one seen shard, one page-store shard and one cutoff shard
