@@ -172,6 +172,42 @@ def minhash_signature(shingle_hashes: np.ndarray, n_perm: int = 64, seed: int = 
     return vals.min(axis=0)
 
 
+def minhash_many(
+    shingle_arrays: list, n_perm: int = 64, seed: int = 7,
+    chunk_shingles: int = 65536,
+) -> np.ndarray:
+    """Batched :func:`minhash_signature` over many documents — one
+    (total_shingles × n_perm) multiply-add per chunk + a per-document
+    ``np.minimum.reduceat``, instead of a per-document matrix build
+    (the residual q26 hot loop flagged in the round-2 verdict).
+    ``chunk_shingles`` bounds the temporary matrix (64k × 64 × 8 B =
+    32 MB). Output identical to the scalar function per document
+    (same uint64 wraparound arithmetic; equivalence-tested)."""
+    n = len(shingle_arrays)
+    out = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return out
+    a, b = _mh_coeffs(n_perm, seed)
+    lens = np.fromiter((len(s) for s in shingle_arrays), dtype=np.int64, count=n)
+    nz = np.flatnonzero(lens > 0)
+    lo = 0
+    while lo < nz.size:
+        # greedy chunk: docs until the shingle total exceeds the bound
+        hi, total = lo, 0
+        while hi < nz.size and (total == 0 or total + lens[nz[hi]] <= chunk_shingles):
+            total += lens[nz[hi]]
+            hi += 1
+        docs = nz[lo:hi]
+        allsh = np.concatenate([shingle_arrays[i] for i in docs])
+        with np.errstate(over="ignore"):
+            vals = a[None, :] * allsh[:, None] + b[None, :]
+        offs = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(lens[docs][:-1], out=offs[1:])
+        out[docs] = np.minimum.reduceat(vals, offs, axis=0)
+        lo = hi
+    return out
+
+
 def lsh_band_keys(sig: np.ndarray, n_bands: int = 16) -> np.ndarray:
     """Split the signature into bands; one 64-bit key per band (band id
     mixed in). Docs sharing any band key are near-dup candidates.
@@ -240,12 +276,14 @@ def enrich_batch(texts: list[str], n_bands: int = 4, n_perm: int = 64,
         packed = np.packbits((v > 0).astype(np.uint8), bitorder="little")
         sim[i] = np.frombuffer(packed.tobytes(), dtype=np.uint64)[0]
 
-    # word-shingle MinHash signatures from the shared token hashes
-    sigs = np.empty((n, n_perm), dtype=np.uint64)
+    # word-shingle MinHash signatures from the shared token hashes —
+    # batched across the whole batch (minhash_many: one multiply-add
+    # matrix per ~64k shingles + per-doc reduceat)
+    shingles = []
     for i in range(n):
         h = th[offsets[i] : offsets[i + 1]]
-        sh = _rolling_poly(h, 3) if len(h) >= 3 else h
-        sigs[i] = minhash_signature(sh, n_perm, seed)
+        shingles.append(_rolling_poly(h, 3) if len(h) >= 3 else h)
+    sigs = minhash_many(shingles, n_perm, seed)
     bands = lsh_band_keys(sigs, n_bands)
 
     sw_en = _STOPWORDS["en"]

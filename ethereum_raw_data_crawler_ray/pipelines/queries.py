@@ -402,16 +402,17 @@ def q20_exact_dedup(sf_dir: str):
 
 
 def q21_token_count(sf_dir: str):
-    """Token counting (whitespace), vectorized per batch."""
+    """Token counting (whitespace) via the Arrow kernel:
+    count_substring(text, " ") + 1 == text.count(" ") + 1 for every
+    string including "" (both give 1 — matches token_count_simple)."""
 
     def f(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": pa.array(
-                    [token_count_simple(x) for x in t["text"].to_pylist()],
-                    type=pa.int64(),
-                ),
+                "n_tokens": pc.add(
+                    pc.count_substring(t["text"], " "), pa.scalar(1, type=pa.int32())
+                ).cast(pa.int64()),
             }
         )
 

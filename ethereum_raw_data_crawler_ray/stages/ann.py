@@ -68,32 +68,32 @@ def hash_sample(ds: rd.Dataset, id_col: str, n_target: int, seed: int) -> "pd.Da
     return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
 
 
-class _BruteTopK:
-    def __init__(self, q_ref, k: int):
-        import ray
+def _brute_topk_batch(t: pa.Table, *, q_ref, k: int) -> pa.Table:
+    """Stateless per-batch exact partial top-k. A plain TASK stage: the
+    only 'state' is the broadcast query matrix, resolved once per worker
+    process via the get_broadcast cache — an actor pool here paid its
+    spin-up cost inside a ~2 s query (the BENCH_r02 q28 regression)."""
+    from ..functions.broadcast import get_broadcast
 
-        self.q = ray.get(q_ref)  # (nq, d), L2-normalized
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        sims = self.q @ vecs.T  # (nq, batch)
-        q_out, id_out, s_out = [], [], []
-        for qi in range(sims.shape[0]):
-            k = min(self.k, sims.shape[1])
-            part = np.argpartition(-sims[qi], k - 1)[:k]
-            for j in part:
-                q_out.append(qi)
-                id_out.append(int(ids[j]))
-                s_out.append(float(sims[qi, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(q_out, type=pa.int64()),
-                "vec_id": pa.array(id_out, type=pa.int64()),
-                "cosine": pa.array(s_out, type=pa.float64()),
-            }
-        )
+    q = get_broadcast(q_ref)  # (nq, d), L2-normalized
+    vecs = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float32))
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    sims = q @ vecs.T  # (nq, batch)
+    q_out, id_out, s_out = [], [], []
+    for qi in range(sims.shape[0]):
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims[qi], kk - 1)[:kk]
+        for j in part:
+            q_out.append(qi)
+            id_out.append(int(ids[j]))
+            s_out.append(float(sims[qi, j]))
+    return pa.table(
+        {
+            "query_id": pa.array(q_out, type=pa.int64()),
+            "vec_id": pa.array(id_out, type=pa.int64()),
+            "cosine": pa.array(s_out, type=pa.float64()),
+        }
+    )
 
 
 def knn_bruteforce(ds: rd.Dataset, queries: np.ndarray, k: int = 10) -> rd.Dataset:
@@ -104,11 +104,10 @@ def knn_bruteforce(ds: rd.Dataset, queries: np.ndarray, k: int = 10) -> rd.Datas
 
     q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float32)))
     partials = ds.map_batches(
-        _BruteTopK,
-        fn_constructor_args=(q_ref, k),
+        _brute_topk_batch,
+        fn_kwargs={"q_ref": q_ref, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=_pool(),
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -394,6 +393,18 @@ def knn_ivf_indexed(
                 stamp, batch_format="pyarrow"
             )
         )
+    if not parts:
+        # every probe cell is empty (k-means can leave cells memberless on
+        # tiny/degenerate corpora) — return an empty, correctly-typed result
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty)
     pruned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     partials = pruned.map_batches(
         _StoredCellTopK, batch_format="pyarrow", batch_size=4096, concurrency=_pool()

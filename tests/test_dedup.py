@@ -123,3 +123,72 @@ class TestEmbeddingDedup:
         assert got <= ref
         recall = len(got & ref) / len(ref)
         assert recall >= 0.8, f"LSH recall {recall}"
+
+
+class TestCanonicalEmission:
+    """Round-3: pair distinctness comes from canonical-band/-table
+    emission inside the bucket groups — no second all-to-all distinct
+    shuffle. These pin (a) no duplicate pairs, (b) the pair SETS are
+    unchanged (simhash exactness test above already pins the set; the
+    LSH set equals the per-table union deduped)."""
+
+    def test_simhash_pairs_distinct(self, ray_session):
+        docs = _mk_docs(1_000, 15)
+        out = dedup.simhash_pairs(
+            rd.from_pandas(docs).repartition(4), "text", "doc_id", max_hamming=3
+        ).to_pandas()
+        assert not out.duplicated(subset=["id_a", "id_b"]).any()
+        assert len(out) > 0
+
+    def test_embedding_lsh_pairs_distinct_and_equal_union(self, ray_session):
+        df = _mk_embeddings(600)
+        ds = rd.from_pandas(df).repartition(6)
+        out = dedup.embedding_dedup_lsh(ds, threshold=0.9).to_pandas()
+        assert not out.duplicated(subset=["id_a", "id_b"]).any()
+        # reference: per-table brute-force union (what the old
+        # emit-everywhere + distinct produced)
+        mat = np.asarray(df["embedding"].to_list(), dtype=np.float32)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        rng = np.random.default_rng(31)
+        n_tables, n_bits = 6, 8
+        planes = rng.standard_normal((n_tables, n_bits, mat.shape[1])).astype(np.float32)
+        ref = set()
+        for ti in range(n_tables):
+            bits = (mat @ planes[ti].T) > 0
+            key = (bits.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+            for k in np.unique(key):
+                ix = np.flatnonzero(key == k)
+                sims = mat[ix] @ mat[ix].T
+                ii, jj = np.nonzero(sims >= 0.9)
+                ref |= {
+                    (int(ix[a]), int(ix[b])) for a, b in zip(ii, jj) if ix[a] < ix[b]
+                }
+        got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        assert got == ref
+
+
+class TestExactPathGuard:
+    def test_chunk_explosion_raises(self, ray_session):
+        df = _mk_embeddings(600)
+        ds = rd.from_pandas(df).repartition(6)
+        with pytest.raises(ValueError, match="embedding_dedup_lsh"):
+            dedup.embedding_dedup_pairs(ds, chunk_rows=16, max_chunks=8)
+
+
+class TestBatchedMinhashStage:
+    def test_batched_equals_scalar(self):
+        from ethereum_raw_data_crawler_ray.functions.textstats import (
+            char_shingles, lsh_band_keys, minhash_signature)
+
+        docs = _mk_docs(64, 4)
+        t = pa.table({"doc_id": docs["doc_id"].astype("int64"), "text": docs["text"]})
+        out = dedup.minhash_stage(t, text_col="text", id_col="doc_id")
+        # rebuild the scalar-path signatures and band keys
+        sigs = np.stack(
+            [minhash_signature(char_shingles(x)) for x in docs["text"]]
+        )
+        keys = lsh_band_keys(sigs, 16).reshape(-1).view(np.int64)
+        got_keys = np.asarray(out["band_key"].to_pandas(), dtype=np.int64)
+        assert (got_keys == keys).all()
+        sig_bytes = [sigs[i].tobytes() for i in range(len(docs)) for _ in range(16)]
+        assert out["sig"].to_pylist() == sig_bytes

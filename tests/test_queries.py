@@ -126,3 +126,40 @@ def test_entry_contract(ray_session):
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 30
+
+
+def test_knn_ivf_indexed_all_probe_cells_empty(ray_session, tmp_path):
+    # k-means can leave cells memberless; if EVERY probe cell of every
+    # query lacks a partition directory the query must return an empty,
+    # correctly-typed result instead of crashing (ADVICE r02)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ethereum_raw_data_crawler_ray.stages.ann import knn_ivf_indexed
+
+    d = 8
+    cent = np.zeros((4, d), dtype=np.float32)
+    for c in range(4):
+        cent[c, c] = 1.0
+    idx = str(tmp_path / "ivf")
+    import os
+
+    os.makedirs(os.path.join(idx, "data", "ivf_cell=3"))
+    np.save(os.path.join(idx, "centroids.npy"), cent)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], type=pa.int64()),
+                "embedding": pa.array([[0.0] * (d - 1) + [1.0]], type=pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(idx, "data", "ivf_cell=3", "part-0.parquet"),
+    )
+    # query nearest to cells 0 and 1 — neither has a partition dir
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 0.9
+    q[0, 1] = 0.5
+    out = knn_ivf_indexed(idx, q, k=5, n_probe=2)
+    assert out.schema().names == ["query_id", "vec_id", "cosine", "rank"]
+    assert out.count() == 0
