@@ -455,7 +455,18 @@ class CrawlPipeline:
 
         cfg = self.cfg
         wd = cfg.extra.get("watch_dir")
-        if not wd or not os.path.isdir(wd) or self.cutoff_pool is None:
+        if not wd:
+            return 0
+        if self.cutoff_pool is None:
+            # fail loudly instead of silently never ingesting (r02 verdict):
+            # push ingest offers candidates to the cutoff actors, which the
+            # legacy groupby politeness mode does not run
+            raise ValueError(
+                "watch_dir is configured but politeness_mode='groupby' has no "
+                "cutoff actors to offer pushed pages to — watch mode requires "
+                "the default politeness_mode='cutoff'"
+            )
+        if not os.path.isdir(wd):
             return 0
         processed = self._processed_watch_files()
         files = sorted(
@@ -553,8 +564,37 @@ class CrawlPipeline:
                 np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64)
             )
 
+    # --- seen-shard gap healing (ADVICE r02) ------------------------------
+    def _heal_seen(self, r: int) -> list[int]:
+        """A restarted seen shard restored the newest COMPLETE npz dump —
+        with checkpoint_every > 1 that dump can predate the last executed
+        round by up to N-1 rounds, silently forgetting their claims.
+        Detect the restart (consume_fresh, same pattern as CutoffPool)
+        and replay the gap rounds' claims from the committed frontier
+        outputs: the frontier rows of round f are exactly the urls
+        claimed as novel during round f-1 (plus round f's ingest), so
+        re-inserting frontier rounds dump+2 … r restores membership
+        exactly (inserting an existing member is a no-op)."""
+        states = self.seen.consume_fresh()
+        fresh = [(j, rr) for j, (f, rr) in enumerate(states) if f]
+        if not fresh:
+            return []
+        shard_ids = [j for j, _ in fresh]
+        base = min(rr for _, rr in fresh)
+        for rf in range(base + 2, r + 1):
+            files = self._frontier_source(rf)
+            if not files:
+                continue
+            t = pads.dataset(files, format="parquet").to_table(columns=["url_hash"])
+            if len(t):
+                self.seen.insert_to_shards(
+                    shard_ids, np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64)
+                )
+        return shard_ids
+
     # --- one round --------------------------------------------------------
     def run_round(self, r: int) -> dict:
+        self._heal_seen(r)
         if self.cutoff_pool is not None:
             return self._run_round_pipelined(r)
         return self._run_round_legacy(r)
@@ -646,6 +686,14 @@ class CrawlPipeline:
         # this round can never be replayed again
         self.seen.end_round(r)
 
+        # lineage bincounts were accumulated on the cutoff shards by the
+        # round's own tasks; completeness is verified by the row total
+        # (a cutoff-shard restart mid-round loses reports → sum short →
+        # fall back to the driver-side recount, the rare path)
+        lin_counts, lin_rows = self.cutoff_pool.collect_lineage(r)
+        if lin_counts is None or lin_rows != n_frontier:
+            lin_counts = None
+
         # next-frontier size from file metadata (cheap, needed now for the
         # loop/checkpoint decisions)
         n_next = self._frontier_count(r + 1)
@@ -671,7 +719,7 @@ class CrawlPipeline:
         def _post():
             try:
                 self._write_events(r, rounds_dir)
-                self._lineage(r, rounds_dir, digests, wall)
+                self._lineage(r, rounds_dir, digests, wall, pre=lin_counts)
             except BaseException as e:  # surfaced by the next _join_bg
                 self._bg_exc = e
 
@@ -938,11 +986,16 @@ class CrawlPipeline:
         os.rename(tmp, d)
         return len(nxt)
 
-    def _lineage_counts(self, rounds_dir: str) -> dict:
-        """Thin-column read of the round output → classification masks.
-        Works for both layouts: legacy flat (row_kind column in files) and
-        pipelined (hive-partitioned row_kind=... subdirs, where only the
-        relevant columns of each partition are read)."""
+    def _lineage_bincounts(self, rounds_dir: str) -> np.ndarray:
+        """Driver-side fallback: thin-column read of the round output →
+        per-seen-shard bincount matrix, rows = [scheduled, fetched,
+        deferred, failed, errors]. The pipelined mode normally gets the
+        SAME matrix from the per-batch reports accumulated on the cutoff
+        shards during the round (roundstep.py:5b — nothing corpus-sized
+        ever crosses the driver); this path serves the legacy mode and
+        the shard-restart-mid-round case where reports were lost.
+        Works for both layouts: legacy flat (row_kind column in files)
+        and pipelined (hive-partitioned row_kind=... subdirs)."""
         page_dir = os.path.join(rounds_dir, "row_kind=page")
         if os.path.exists(page_dir):
             pt = pads.dataset(page_dir, format="parquet").to_table(
@@ -951,14 +1004,12 @@ class CrawlPipeline:
             parts = [
                 (pt, np.ones(len(pt), dtype=bool)),
             ]
-            n_next = 0
             for kind in ("carry", "discovered"):
                 d = os.path.join(rounds_dir, f"row_kind={kind}")
                 if os.path.exists(d):
                     kt = pads.dataset(d, format="parquet").to_table(
                         columns=["url_hash", "gate", "status"]
                     )
-                    n_next += len(kt)
                     parts.append((kt, np.zeros(len(kt), dtype=bool)))
             t = pa.concat_tables([p for p, _ in parts])
             page = np.concatenate([m for _, m in parts])
@@ -968,36 +1019,38 @@ class CrawlPipeline:
             )
             row_kind = np.asarray(t["row_kind"].to_pandas(), dtype=object)
             page = row_kind == "page"
-            n_next = int((~page).sum())
         gate = np.asarray(t["gate"].to_pandas(), dtype=object)
         status = np.asarray(t["status"].to_pandas(), dtype=object)
-        return {
-            "url_hash": np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64),
-            "fetched": page & (gate == GATE_FETCH) & (status == STATUS_FETCHED),
-            "errors": page & (gate == GATE_FETCH) & (status == STATUS_ERROR),
-            "deferred": (gate == GATE_DEFER) | (gate == GATE_SKIPPED),
-            "failed": page & (gate == GATE_ROBOTS),
-            "scheduled": page & (gate == GATE_FETCH),
-            "next_frontier": n_next,
-        }
+        n = self.cfg.n_seen_shards
+        shard = (
+            np.asarray(t["url_hash"].to_pandas(), dtype=np.uint64) % np.uint64(n)
+        ).astype(np.int64)
+        masks = [
+            page & (gate == GATE_FETCH),
+            page & (gate == GATE_FETCH) & (status == STATUS_FETCHED),
+            (gate == GATE_DEFER) | (gate == GATE_SKIPPED),
+            page & (gate == GATE_ROBOTS),
+            page & (gate == GATE_FETCH) & (status == STATUS_ERROR),
+        ]
+        return np.stack(
+            [np.bincount(shard[m], minlength=n) for m in masks]
+        ).astype(np.int64)
 
     def _lineage(self, r: int, rounds_dir: str, digests: list[bytes],
-                 wall_s: float, pre: dict | None = None) -> dict:
+                 wall_s: float, pre: np.ndarray | None = None) -> dict:
         cfg = self.cfg
-        c = pre if pre is not None else self._lineage_counts(rounds_dir)
-        shard = (c["url_hash"] % np.uint64(cfg.n_seen_shards)).astype(np.int64)
-        fetched, errors = c["fetched"], c["errors"]
-        deferred, failed, scheduled = c["deferred"], c["failed"], c["scheduled"]
+        c = pre if pre is not None else self._lineage_bincounts(rounds_dir)
+        scheduled, fetched, deferred, failed, errors = c
 
         rows = {
             "round": np.full(cfg.n_seen_shards, r, dtype=np.int32),
             "partition_id": np.arange(cfg.n_seen_shards, dtype=np.int32),
             "seen_shard_digest": digests,
-            "urls_scheduled": np.bincount(shard[scheduled], minlength=cfg.n_seen_shards).astype(np.int64),
-            "urls_fetched": np.bincount(shard[fetched], minlength=cfg.n_seen_shards).astype(np.int64),
-            "urls_deferred": np.bincount(shard[deferred], minlength=cfg.n_seen_shards).astype(np.int64),
-            "urls_failed": np.bincount(shard[failed], minlength=cfg.n_seen_shards).astype(np.int64),
-            "errors": np.bincount(shard[errors], minlength=cfg.n_seen_shards).astype(np.int64),
+            "urls_scheduled": scheduled.astype(np.int64),
+            "urls_fetched": fetched.astype(np.int64),
+            "urls_deferred": deferred.astype(np.int64),
+            "urls_failed": failed.astype(np.int64),
+            "errors": errors.astype(np.int64),
             "wall_s": np.full(cfg.n_seen_shards, wall_s, dtype=np.float64),
         }
         lt = pa.table(

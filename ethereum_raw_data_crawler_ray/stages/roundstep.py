@@ -40,7 +40,7 @@ from ..state.politeness import (
     gate_full,
     offer_candidates,
 )
-from .fetch import STATUS_ERROR, _assemble, transient_fail_mask
+from .fetch import STATUS_ERROR, STATUS_FETCHED, _assemble, transient_fail_mask
 
 ROW_PAGE = "page"
 ROW_CARRY = "carry"
@@ -158,11 +158,19 @@ def round_step(
     #    per-key top-k unions, so splitting them is semantics-free).
     #    Claims stay replay-safe via the per-round claim-token log
     #    (state.seen.claim_token).
+    # stable task identity: the input frontier batch's url_hash content.
+    # Frontier batches partition a deduplicated frontier, so this is
+    # unique across tasks and reproduced exactly by a Ray retry — it
+    # salts the seen-claim tokens and keys the error report (ADVICE r02)
+    from ..state.seen import claim_token
+
+    task_key = claim_token(df["url_hash"].to_numpy(dtype=np.uint64))
+
     disc = _explode_outlinks(pages.select(["outlinks"]), round_no=round_no)
     pending = None
     if len(disc):
         dh = np.asarray(disc["url_hash"].to_pandas(), dtype=np.uint64)
-        pending = claim_scatter_submit(seen_handles, dh, round_no)
+        pending = claim_scatter_submit(seen_handles, dh, round_no, task_key)
 
     offer_kwargs = dict(
         robots=robots,
@@ -180,7 +188,7 @@ def round_step(
         from ..state.politeness import note_errors_scatter
 
         eh = np.asarray(pages["host"].to_pandas(), dtype=object)[status == STATUS_ERROR]
-        note_errors_scatter(cutoff_handles, round_no, eh)
+        note_errors_scatter(cutoff_handles, round_no, eh, task_key)
     if len(carry):
         offer_candidates(carry[_FRONTIER_COLS], **offer_kwargs)
     if pending is not None:
@@ -191,6 +199,34 @@ def round_step(
         offer_candidates(disc.to_pandas()[_FRONTIER_COLS], **offer_kwargs)
 
     _mark()  # offers
+
+    # 5b. lineage bincounts for this batch — reported to a cutoff shard
+    # keyed by the task token (retry-overwrite idempotent), so the driver
+    # never re-reads the round output to count (r02 verdict). Mirrors
+    # CrawlPipeline._lineage_bincounts exactly: rows = [scheduled,
+    # fetched, deferred, failed, errors] per seen shard.
+    n_seen = len(seen_handles)
+    page_hash = np.asarray(pages["url_hash"].to_pandas(), dtype=np.uint64)
+    page_shard = (page_hash % np.uint64(n_seen)).astype(np.int64)
+    df_shard = (
+        df["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(n_seen)
+    ).astype(np.int64)
+    page_gate = np.asarray(pages["gate"].to_pandas(), dtype=object)
+    lin = np.stack(
+        [
+            np.bincount(page_shard[page_gate == GATE_FETCH], minlength=n_seen),
+            np.bincount(page_shard[status == STATUS_FETCHED], minlength=n_seen),
+            np.bincount(
+                df_shard[(gate == GATE_DEFER) | (gate == GATE_SKIPPED)],
+                minlength=n_seen,
+            ),
+            np.bincount(page_shard[page_gate == GATE_ROBOTS], minlength=n_seen),
+            np.bincount(page_shard[status == STATUS_ERROR], minlength=n_seen),
+        ]
+    ).astype(np.int64)
+    lin_ref = cutoff_handles[task_key % len(cutoff_handles)].report_lineage.remote(
+        round_no, task_key, lin, len(df)
+    )
 
     # 6. combined output ----------------------------------------------------
     out_names = list(pages.schema.names) + ["row_kind"]
@@ -220,6 +256,9 @@ def round_step(
         parts.append(_null_fill_to(dt, out_names, parts[0]))
     parts[0] = _null_fill_to(parts[0], out_names, parts[0])
     out = pa.concat_tables(parts)
+    import ray as _ray
+
+    _ray.get(lin_ref)  # the report must land before the round barrier
     _mark()  # output-build
     if _timing:
         import json as _json

@@ -279,15 +279,21 @@ def offer_candidates(
     Alongside offers, each batch reports its RAW per-host candidate
     counts (pre-truncation, so the sum across batches is the exact
     candidate count — the skew signal for automatic salting); counts
-    route to one owning actor per host, no double counting."""
+    route to one owning actor per host, no double counting. Count
+    reports are keyed by a content-derived batch token (offered rows are
+    globally unique URLs, so batch tokens are unique across tasks and
+    stable across Ray task retries): a retried task OVERWRITES its own
+    contribution instead of double-counting it (ADVICE r02)."""
     import ray
 
     from ..functions.hashing import hash_strings
+    from ..state.seen import claim_token
 
     gate = gate_pre(df, robots, round_no)
     m = gate == GATE_CANDIDATE
     if not m.any():
         return
+    bkey = claim_token(df["url_hash"].to_numpy(dtype=np.uint64))
     hosts = df["host"].to_numpy()[m]
     h = df["url_hash"].to_numpy(dtype=np.uint64)[m]
     p = df["priority"].to_numpy(dtype=np.int64)[m]
@@ -339,27 +345,39 @@ def offer_candidates(
             payload = (mine, counts, p[ix], d[ix], t[ix], h[ix])
         else:
             payload = None
-        refs.append(cutoff_handles[j].offer.remote(round_no, payload, counts_j))
+        refs.append(cutoff_handles[j].offer.remote(round_no, payload, counts_j, bkey))
     ray.get(refs)
 
 
 def note_errors_scatter(cutoff_handles: list, round_no: int,
-                        error_hosts: np.ndarray) -> None:
+                        error_hosts: np.ndarray,
+                        task_key: int | None = None) -> None:
     """Report this batch's fetch-error hosts to their owning cutoff
-    shards (additive; same hash-by-host routing as offers/counts)."""
+    shards (same hash-by-host routing as offers/counts). ``task_key``
+    (the calling task's stable identity — hash of its input frontier
+    batch) keys the report so a retried task overwrites rather than
+    double-counts its errors (ADVICE r02); error-host LISTS are not
+    unique across tasks, so content alone cannot key them."""
     import ray
 
     from ..functions.hashing import hash_strings
+    from ..state.seen import claim_token
 
     if len(error_hosts) == 0:
         return
+    if task_key is None:
+        task_key = claim_token(
+            hash_strings(np.asarray(error_hosts, dtype=object))
+        )
     uh, uc = np.unique(error_hosts, return_counts=True)
     owner = hash_strings(list(uh)) % np.uint64(len(cutoff_handles))
     refs = []
     for j in range(len(cutoff_handles)):
         counts = {str(h): int(c) for h, c, o in zip(uh, uc, owner) if o == j}
         if counts:
-            refs.append(cutoff_handles[j].note_errors.remote(round_no, counts))
+            refs.append(
+                cutoff_handles[j].note_errors.remote(round_no, counts, task_key)
+            )
     ray.get(refs)
 
 
@@ -498,12 +516,18 @@ class CutoffPool:
                 self._backoff = error_backoff
                 self._host_budgets: dict = {}
                 self.rounds: dict[int, _CutoffState] = {}
-                # round → {host: raw candidate count} (skew signal; each
-                # host is counted by exactly one owning shard — offers,
-                # counts and errors all route by hash(host))
-                self.host_counts: dict[int, dict[str, int]] = {}
-                # round → {host: fetch-error count} (backoff signal)
-                self.errors: dict[int, dict[str, int]] = {}
+                # round → {batch_token: {host: raw candidate count}}
+                # (skew signal; each host is counted by exactly one
+                # owning shard — offers, counts and errors all route by
+                # hash(host)). Keyed per batch token so a retried task's
+                # report OVERWRITES its own prior one instead of
+                # double-counting (ADVICE r02); summed at collect.
+                self.host_counts: dict[int, dict[int, dict[str, int]]] = {}
+                # round → {batch_token: {host: fetch-error count}}
+                # (backoff signal; same idempotency scheme)
+                self.errors: dict[int, dict[int, dict[str, int]]] = {}
+                # round → {batch_token: (lineage bincounts, n_rows)}
+                self.lineage: dict[int, dict] = {}
                 # restart detection: offers buffered here are volatile; a
                 # restarted shard reports fresh=True once so the driver
                 # drops the round's offer state everywhere and re-derives
@@ -543,13 +567,12 @@ class CutoffPool:
                 return salt_budget(hb, n, salt)
 
             def offer(self, round_no: int, payload: tuple | None,
-                      host_counts: dict | None = None) -> None:
+                      host_counts: dict | None = None,
+                      bkey: int | None = None) -> None:
                 from ..state.politeness import _CutoffState
 
                 if host_counts:
-                    hc = self.host_counts.setdefault(round_no, {})
-                    for h, c in host_counts.items():
-                        hc[h] = hc.get(h, 0) + c
+                    self.host_counts.setdefault(round_no, {})[bkey] = host_counts
                 if payload is None:
                     return
                 st = self.rounds.get(round_no)
@@ -559,21 +582,58 @@ class CutoffPool:
                 # a backoff-shrunk collect will select — always safe)
                 st.offer(payload, {pk: self._budget(pk) for pk in payload[0]})
 
-            def note_errors(self, round_no: int, counts: dict) -> None:
-                e = self.errors.setdefault(round_no, {})
-                for h, c in counts.items():
-                    e[h] = e.get(h, 0) + c
+            def note_errors(self, round_no: int, counts: dict,
+                            bkey: int | None = None) -> None:
+                self.errors.setdefault(round_no, {})[bkey] = counts
+
+            def report_lineage(self, round_no: int, bkey: int,
+                               counts, n_rows: int) -> None:
+                """Per-batch lineage bincounts from inside round_step —
+                keyed by the batch token (retry overwrites, never
+                double-counts). Moves per-round lineage accounting OFF
+                the driver (r02 verdict: the driver re-read the whole
+                round's thin columns every round)."""
+                self.lineage.setdefault(round_no, {})[bkey] = (counts, n_rows)
+
+            def collect_lineage(self, round_no: int):
+                """→ (summed counts array, total frontier rows covered).
+                The driver checks the row total against the frontier size
+                to detect lost reports (shard restart mid-round) and
+                falls back to the driver-side recount."""
+                d = self.lineage.pop(round_no, None)
+                if not d:
+                    return None, 0
+                import numpy as _np
+
+                total = _np.zeros_like(next(iter(d.values()))[0])
+                n = 0
+                for counts, n_rows in d.values():
+                    total += counts
+                    n += n_rows
+                return total, n
 
             def set_errors(self, round_no: int, counts: dict) -> None:
                 """Authoritative overwrite (resume / restart backfill,
                 derived from the committed round output)."""
-                self.errors[round_no] = dict(counts)
+                self.errors[round_no] = {None: dict(counts)}
+
+            @staticmethod
+            def _sum_batches(per_batch: dict) -> dict:
+                out: dict = {}
+                for counts in per_batch.values():
+                    for h, c in counts.items():
+                        out[h] = out.get(h, 0) + c
+                return out
 
             def collect_and_drop(self, round_no: int) -> tuple[dict, dict]:
-                hc = self.host_counts.pop(round_no, {})
+                hc = self._sum_batches(self.host_counts.pop(round_no, {}))
                 st = self.rounds.pop(round_no, None)
                 # budgets for THIS round shrink by last round's errors
-                err = self.errors.pop(round_no - 1, {}) if self._backoff else None
+                err = (
+                    self._sum_batches(self.errors.pop(round_no - 1, {}))
+                    if self._backoff
+                    else None
+                )
                 self.errors = {r: v for r, v in self.errors.items() if r >= round_no - 1}
                 if st is None:
                     return {}, hc
@@ -583,6 +643,7 @@ class CutoffPool:
                 self.rounds = {}
                 self.host_counts = {}
                 self.errors = {}
+                self.lineage = {}
 
         self.handles = [
             CutoffShard.remote(
@@ -620,6 +681,19 @@ class CutoffPool:
             out.update(d)
             counts.update(hc)  # hosts are owned by exactly one shard
         return out, counts
+
+    def collect_lineage(self, round_no: int):
+        """→ (summed per-shard lineage bincounts | None, rows covered)."""
+        import ray
+
+        total, n = None, 0
+        for arr, nr in ray.get(
+            [h.collect_lineage.remote(round_no) for h in self.handles]
+        ):
+            if arr is not None:
+                total = arr if total is None else total + arr
+            n += nr
+        return total, n
 
     def kill(self) -> None:
         import ray

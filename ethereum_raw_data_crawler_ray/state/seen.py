@@ -73,16 +73,28 @@ class LocalSeenSet:
         return [s.count for s in self.shards]
 
 
-def claim_token(hashes: np.ndarray) -> int:
+def claim_token(hashes: np.ndarray, salt: int = 0) -> int:
     """Stable identity of one claim call's content. A retried Ray task
     re-derives the same discovered sub-array (round inputs are
     deterministic), so its token matches and the shard replays the claim
     instead of reporting the rows as duplicates (which would silently
-    drop them from the frontier — ADVICE r01, roundstep.py:158)."""
+    drop them from the frontier — ADVICE r01, roundstep.py:158).
+
+    ``salt`` mixes in a stable TASK identity (ADVICE r02: a purely
+    content-derived token mis-classifies a different task whose per-shard
+    sub-array happens to be byte-identical — e.g. two batches each
+    discovering the same single URL — as a retry, double-admitting the
+    URL). Callers pass the hash of the task's INPUT frontier batch:
+    frontier batches partition a deduplicated frontier, so they are
+    globally unique across tasks and reproduced exactly by a Ray retry."""
     import hashlib as _hl
 
     return int.from_bytes(
-        _hl.blake2b(hashes.astype(np.uint64).tobytes(), digest_size=8).digest(),
+        _hl.blake2b(
+            int(salt).to_bytes(8, "little", signed=False)
+            + hashes.astype(np.uint64).tobytes(),
+            digest_size=8,
+        ).digest(),
         "little",
     )
 
@@ -119,9 +131,12 @@ class SeenShard:
     reconnect-on-failure loops, ``crawler_service.go:727-864``): on actor
     RESTART the constructor rebuilds membership from the newest complete
     npz dump under ``ckpt_root`` (which must be shared storage on a real
-    cluster). Claims made since that dump are lost — a duplicate fetch at
-    worst, and the page-store write is idempotent; an exact recovery is
-    the process-level resume path."""
+    cluster) and raises the ``fresh`` flag with the dump's round. The
+    driver (``CrawlPipeline._heal_seen``) detects this at the next round
+    boundary and replays the claims of the GAP rounds (dump round+1 …
+    now) from the committed frontier outputs — so checkpoint_every > 1
+    no longer silently forgets up to N-1 rounds of claims on a shard
+    restart (ADVICE r02)."""
 
     def __init__(self, shard_id: int, capacity: int, ckpt_root: str | None = None):
         self.shard_id = shard_id
@@ -129,20 +144,26 @@ class SeenShard:
         # round → {url_hash → claimant token}; dropped by end_round once
         # the round's output is committed (no more task retries possible)
         self._claims: dict[int, dict[int, int]] = {}
+        # restart detection: (fresh flag, round of the restored dump;
+        # -1 = bootstrap dump, -2 = nothing restored)
+        self._fresh = False
+        self._restored_round = -2
         if ckpt_root:
             try:
                 restarted = ray.get_runtime_context().was_current_actor_reconstructed
             except Exception:
                 restarted = False
             if restarted:
-                path = self._newest_dump(ckpt_root)
+                self._fresh = True
+                path, rr = self._newest_dump(ckpt_root)
                 if path is not None:
                     z = np.load(path)
                     self.filter = CuckooFilter.restore(
                         {"table": z["table"], "count": int(z["count"]), "seed": shard_id}
                     )
+                    self._restored_round = rr
 
-    def _newest_dump(self, root: str) -> str | None:
+    def _newest_dump(self, root: str) -> tuple[str | None, int]:
         import glob as _glob
 
         dirs = sorted(_glob.glob(os.path.join(root, "round_*")), reverse=True)
@@ -151,8 +172,16 @@ class SeenShard:
             if os.path.exists(os.path.join(d, "_COMPLETE")):
                 f = os.path.join(d, f"shard_{self.shard_id}.npz")
                 if os.path.exists(f):
-                    return f
-        return None
+                    name = os.path.basename(d)
+                    rr = int(name.split("_")[1]) if name.startswith("round_") else -1
+                    return f, rr
+        return None, -2
+
+    def consume_fresh(self) -> tuple[bool, int]:
+        """→ (restarted since last check, restored dump round). The
+        driver replays gap-round claims to shards reporting fresh."""
+        f, self._fresh = self._fresh, False
+        return f, self._restored_round
 
     def check_and_insert(
         self, hashes: np.ndarray, round_no: int | None = None, token: int | None = None
@@ -185,6 +214,9 @@ class SeenShard:
         self.filter = CuckooFilter.restore(
             {"table": z["table"], "count": int(z["count"]), "seed": self.shard_id}
         )
+        # a driver-driven load is authoritative: the resume path rewinds
+        # to this dump's round and replays from there — no gap to heal
+        self._fresh = False
         return self.filter.digest()
 
 
@@ -230,6 +262,23 @@ class ActorSeenSet:
 
     def counts(self) -> list[int]:
         return ray.get([h.count.remote() for h in self.handles])
+
+    def consume_fresh(self) -> list[tuple[bool, int]]:
+        """Per shard: (restarted since last check, restored dump round)."""
+        return ray.get([h.consume_fresh.remote() for h in self.handles])
+
+    def insert_to_shards(self, shard_ids: list[int], hashes: np.ndarray) -> None:
+        """Route ``hashes`` by owner and re-insert into the GIVEN shards
+        only (gap-round claim replay after a shard restart; inserting an
+        existing member is a no-op, so over-replay is safe)."""
+        want = set(shard_ids)
+        sid = shard_of(hashes, self.n_shards)
+        refs = []
+        for j in shard_ids:
+            ix = np.flatnonzero(sid == j)
+            if ix.size and j in want:
+                refs.append(self.handles[j].check_and_insert.remote(hashes[ix]))
+        ray.get(refs)
 
     def save(self, dirpath: str) -> list[bytes]:
         os.makedirs(dirpath, exist_ok=True)
@@ -282,13 +331,22 @@ class SeenFilterBatch:
 
 
 def claim_scatter_submit(
-    handles: list, hashes: np.ndarray, round_no: int | None = None
+    handles: list, hashes: np.ndarray, round_no: int | None = None,
+    task_key: int | None = None,
 ) -> tuple[list, list, int]:
     """Issue the shard claim calls WITHOUT waiting — lets the caller
     overlap other work (e.g. politeness offers for rows that don't
-    depend on the claim results) with the actor round trips."""
+    depend on the claim results) with the actor round trips.
+
+    ``task_key``: stable identity of the calling task (hash of its input
+    frontier batch). Defaults to the full claimed array's own hash — the
+    per-shard token is then still salted by what the task claimed
+    OVERALL, so two tasks with identical per-shard sub-arrays but
+    different claim sets can no longer collide (ADVICE r02)."""
     n_shards = len(handles)
     sid = shard_of(hashes, n_shards)
+    if round_no is not None and task_key is None:
+        task_key = claim_token(hashes)
     refs, ixs = [], []
     for j in range(n_shards):
         ix = np.flatnonzero(sid == j)
@@ -298,7 +356,9 @@ def claim_scatter_submit(
                 refs.append(handles[j].check_and_insert.remote(sub))
             else:
                 refs.append(
-                    handles[j].check_and_insert.remote(sub, round_no, claim_token(sub))
+                    handles[j].check_and_insert.remote(
+                        sub, round_no, claim_token(sub, task_key)
+                    )
                 )
             ixs.append(ix)
     return refs, ixs, len(hashes)
@@ -312,9 +372,12 @@ def claim_scatter_finish(refs: list, ixs: list, n: int) -> np.ndarray:
 
 
 def claim_scatter(
-    handles: list, hashes: np.ndarray, round_no: int | None = None
+    handles: list, hashes: np.ndarray, round_no: int | None = None,
+    task_key: int | None = None,
 ) -> np.ndarray:
     """Scatter-gather check_and_insert against the owning shards; with a
-    round_no, each sub-array carries its content-derived claim token so a
+    round_no, each sub-array carries its task-salted claim token so a
     retried task replays its own claims instead of losing the rows."""
-    return claim_scatter_finish(*claim_scatter_submit(handles, hashes, round_no))
+    return claim_scatter_finish(
+        *claim_scatter_submit(handles, hashes, round_no, task_key)
+    )

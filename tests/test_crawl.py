@@ -455,6 +455,74 @@ class TestActorFaultTolerance:
         pipe.close()
 
 
+class TestSeenGapHeal:
+    def test_shard_kill_with_sparse_checkpoints_matches(self, crawl_run, corpus_dir):
+        # ADVICE r02: with checkpoint_every > 1 a restarted seen shard
+        # restores a dump up to N-1 rounds old; the driver must detect it
+        # (consume_fresh) and replay the gap rounds' claims from the
+        # committed frontier outputs — crawl output AND lineage
+        # (including the fetched/error counts) must match the
+        # uninterrupted run exactly
+        import ray
+
+        cfg_main, _, _ = crawl_run
+        cfg = make_cfg(corpus_dir, "gapheal")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__, "extra": {**cfg.extra, "checkpoint_every": 3}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        pipe = CrawlPipeline(cfg)
+        pipe.prepare()
+        pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
+        pipe._backfill_offers(0)
+        r = 0
+        while r < 60 and pipe._frontier_count(r) > 0:
+            stats = pipe.run_round(r)
+            if r == 1:  # newest complete dump is the bootstrap one
+                ray.kill(pipe.seen.handles[1], no_restart=False)
+            r += 1
+            if stats["next_frontier"] == 0:
+                break
+        pipe._join_bg()
+
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        cols = ["url", "text", "round", "depth"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+        la = lineage_output(cfg_main.out_dir).to_pandas()
+        lb = lineage_output(cfg.out_dir).to_pandas()
+        keep = ["round", "partition_id", "urls_scheduled", "urls_fetched",
+                "urls_deferred", "urls_failed", "errors"]
+        la = la[keep].sort_values(["round", "partition_id"]).reset_index(drop=True)
+        lb = lb[keep].sort_values(["round", "partition_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(la, lb)
+        pipe.close()
+
+
+class TestWatchLegacyModeRaises:
+    def test_watch_dir_with_groupby_politeness_raises(self, corpus_dir, ray_session):
+        # r02 verdict #7: watch mode silently no-oped under the legacy
+        # groupby politeness mode; it must now fail loudly
+        cfg = make_cfg(corpus_dir, "watchlegacy")
+        wd = "/tmp/watch_dir_legacy"
+        os.makedirs(wd, exist_ok=True)
+        cfg = CrawlConfig(
+            **{
+                **cfg.__dict__,
+                "extra": {
+                    **cfg.extra,
+                    "watch_dir": wd,
+                    "politeness_mode": "groupby",
+                },
+            }
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        p = CrawlPipeline(cfg)
+        with pytest.raises(ValueError, match="politeness_mode"):
+            p.run(max_rounds=2)
+        p.close()
+
+
 class TestWatchIngest:
     """Incremental ingest (the WS-push analog): pages published to a
     watched directory mid-run are picked up at the next round boundary;
