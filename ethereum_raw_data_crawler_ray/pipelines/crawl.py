@@ -205,6 +205,10 @@ class CrawlPipeline:
         self.out = cfg.out_dir
         self.seen: ActorSeenSet | None = None
         self.robots_ref = None
+        # round → [(frontier file, n_rows)] — footers read once per round
+        # (shared by the count, the balanced task assignment and resume
+        # healing; invalidated when watch-mode ingest adds files)
+        self._fplan_cache: dict[int, list] = {}
 
     # --- layout helpers ---------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -313,10 +317,54 @@ class CrawlPipeline:
             files.extend(sorted(_glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)))
         return files
 
+    def _frontier_plan(self, r: int) -> list:
+        """[(file, n_rows)] for round r's frontier — footer metadata only,
+        read in a thread pool and cached per round."""
+        plan = self._fplan_cache.get(r)
+        if plan is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            files = self._frontier_source(r)
+            if len(files) > 4:
+                with ThreadPoolExecutor(max_workers=16) as ex:
+                    rows = list(
+                        ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
+                    )
+            else:
+                rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
+            plan = self._fplan_cache[r] = list(zip(files, rows))
+        return plan
+
     def _frontier_count(self, r: int) -> int:
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows for f in self._frontier_source(r)
-        )
+        return sum(n for _, n in self._frontier_plan(r))
+
+    @staticmethod
+    def _balanced_items(plan: list, batch: int) -> list[dict]:
+        """Pack frontier file spans into items of ≈``batch`` rows each —
+        the shuffle-free replacement for ``repartition(ntasks)``: task
+        balance comes from the assignment, not from moving rows."""
+        items: list[dict] = []
+        cur_p: list = []
+        cur_o: list = []
+        cur_l: list = []
+        cur_rows = 0
+        for f, n in plan:
+            off = 0
+            while off < n:
+                take = min(n - off, batch - cur_rows)
+                cur_p.append(f)
+                cur_o.append(off)
+                cur_l.append(take)
+                cur_rows += take
+                off += take
+                if cur_rows >= batch:
+                    items.append(
+                        {"paths": cur_p, "offsets": cur_o, "lengths": cur_l}
+                    )
+                    cur_p, cur_o, cur_l, cur_rows = [], [], [], 0
+        if cur_rows:
+            items.append({"paths": cur_p, "offsets": cur_o, "lengths": cur_l})
+        return items
 
     # --- automatic host-skew salting state (SURVEY.md §4) ----------------
     # hot maps host → per-host salt count for one specific round; decided
@@ -402,21 +450,35 @@ class CrawlPipeline:
         src = page_dir if os.path.exists(page_dir) else self._p("rounds", f"round_{r:05d}")
         if not os.path.exists(src):
             return
-        t = pads.dataset(src, format="parquet").to_table(columns=["host", "status"])
+        t = pads.dataset(src, format="parquet").to_table(
+            columns=["host", "status", "error_class"]
+        )
         status = np.asarray(t["status"].to_pandas(), dtype=object)
-        hosts = np.asarray(t["host"].to_pandas(), dtype=object)[status == STATUS_ERROR]
+        err_m = status == STATUS_ERROR
+        hosts = np.asarray(t["host"].to_pandas(), dtype=object)[err_m]
+        rl = (
+            np.asarray(t["error_class"].to_pandas(), dtype=object)[err_m]
+            == "rate_limit"
+        )
         from ..functions.hashing import hash_strings
 
         handles = self.cutoff_pool.handles
         k = len(handles)
         if len(hosts):
-            uh, uc = np.unique(hosts, return_counts=True)
+            uh = np.unique(hosts)
             owner = hash_strings(list(uh)) % np.uint64(k)
+            per_host = {
+                str(h): (
+                    int(((hosts == h) & ~rl).sum()),
+                    int(((hosts == h) & rl).sum()),
+                )
+                for h in uh
+            }
         else:
-            uh, uc, owner = np.array([]), np.array([]), np.array([])
+            uh, owner, per_host = np.array([]), np.array([]), {}
         refs = []
         for j in range(k):
-            counts = {str(h): int(c) for h, c, o in zip(uh, uc, owner) if o == j}
+            counts = {str(h): per_host[str(h)] for h, o in zip(uh, owner) if o == j}
             refs.append(handles[j].set_errors.remote(r, counts))
         ray.get(refs)
 
@@ -534,6 +596,8 @@ class CrawlPipeline:
             json.dump(sorted(os.path.basename(p) for p in files), f)
         shutil.rmtree(d, ignore_errors=True)
         os.rename(tmp, d)
+        # new frontier files for this round → re-plan it
+        self._fplan_cache.pop(r, None)
 
         if len(ft):
             from ..state.politeness import offer_candidates
@@ -601,14 +665,17 @@ class CrawlPipeline:
 
     def _run_round_pipelined(self, r: int) -> dict:
         """Pipelined mode (default): ONE Ray execution per round — the
-        fused round_step does gate→fetch→extract→carry→discover→offer and
-        writes a combined table; see stages/roundstep.py."""
-        from ..stages.roundstep import round_step
+        fused round_task reads its pre-balanced frontier file spans and
+        runs round_step (gate→fetch→extract→carry→discover→offer),
+        writing a combined table; see stages/roundstep.py. No repartition
+        barrier, no separate read stage, no extra stamp stage — the
+        per-round fixed cost is one execution launch plus the atomic
+        write rename (r02 verdict #1)."""
+        from ..stages.roundstep import round_task
 
         cfg = self.cfg
         t0 = time.perf_counter()
         rounds_dir = self._p("rounds", f"round_{r:05d}")
-        src = self._frontier_source(r)
         n_frontier = self._frontier_count(r)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
 
@@ -649,34 +716,26 @@ class CrawlPipeline:
             enrich=bool(cfg.extra.get("enrich", False)),
             error_backoff=bool(cfg.extra.get("error_backoff", False)),
         )
-        # ~4 waves of equal-sized tasks: the parquet read's natural blocks
-        # follow file boundaries (carry vs discovered files differ 5-10×),
-        # and uneven tasks turn the last wave into a straggler tail — a
-        # cheap repartition of the THIN frontier rows equalizes them
-        # (round-1 profiling showed 0.9-7.2s task skew; now ~3x max/min)
+        # ~4 waves of equal-sized tasks: the parquet files' natural sizes
+        # follow the producing tasks' skew (carry vs discovered files
+        # differ 5-10×), and uneven tasks turn the last wave into a
+        # straggler tail. Balance comes from the ASSIGNMENT (file spans
+        # packed to equal row counts from footer metadata) instead of a
+        # repartition of the rows — same equal tasks, zero all-to-all,
+        # and the read happens inside the round task itself.
         batch = max(256, min(cfg.extract_batch_size, -(-n_frontier // (4 * ncpu))))
-        ntasks = max(1, -(-n_frontier // batch))
+        items = self._balanced_items(self._frontier_plan(r), batch)
         t_m0 = time.perf_counter()
-        ds = (
-            rd.read_parquet(src, columns=[f.name for f in FRONTIER])
-            .repartition(ntasks)
-            .map_batches(
-                round_step,
-                fn_kwargs=kwargs,
-                batch_format="pandas",
-                batch_size=batch,
-                # slightly over 1 CPU per task leaves a few cores free
-                # for the (num_cpus=0) seen/store/cutoff actors, which
-                # do real work during the round — at full task
-                # concurrency they preempt the compute tasks instead
-                num_cpus=float(cfg.extra.get("round_task_cpus", 1.0)),
-            )
-            .map_batches(
-                lambda t, r=r: t.append_column(
-                    "round", pa.array(np.full(len(t), r, dtype=np.int32))
-                ),
-                batch_format="pyarrow",
-            )
+        ds = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+            round_task,
+            fn_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=None,  # one pre-balanced item per task
+            # slightly over 1 CPU per task leaves a few cores free
+            # for the (num_cpus=0) seen/store/cutoff actors, which
+            # do real work during the round — at full task
+            # concurrency they preempt the compute tasks instead
+            num_cpus=float(cfg.extra.get("round_task_cpus", 1.0)),
         )
         # hive-partitioned by row_kind: the next round's frontier read and
         # the events/lineage reads each touch only their own files
@@ -719,6 +778,7 @@ class CrawlPipeline:
         def _post():
             try:
                 self._write_events(r, rounds_dir)
+                self._write_health(r)
                 self._lineage(r, rounds_dir, digests, wall, pre=lin_counts)
             except BaseException as e:  # surfaced by the next _join_bg
                 self._bg_exc = e
@@ -851,6 +911,7 @@ class CrawlPipeline:
             digests = self.seen.digests()
         t_ckpt = time.perf_counter() - t_c0
         t_l0 = time.perf_counter()
+        self._write_health(r)
         stats = self._lineage(r, rounds_dir, digests, time.perf_counter() - t0)
         stats["t_lineage"] = round(time.perf_counter() - t_l0, 2)
         stats["t_events"] = round(t_events, 2)
@@ -1036,6 +1097,49 @@ class CrawlPipeline:
             [np.bincount(shard[m], minlength=n) for m in masks]
         ).astype(np.int64)
 
+    def _write_health(self, r: int) -> None:
+        """Per-round component-health rows — the SystemHealth analog
+        (``crawler_metrics.go:46-68``; reconnect-on-failure
+        ``crawler_service.go:822-861``): one row per stateful shard actor
+        with its reconstruction flag and state size, so a cluster
+        operator can see which components restarted in which round.
+        Written BEFORE the lineage _COMPLETE marker, so every complete
+        round has health rows."""
+        comps: list[tuple[str, list[dict]]] = [("seen", self.seen.health())]
+        if getattr(self, "store", None) is not None:
+            comps.append(("store", self.store.health()))
+        if getattr(self, "cutoff_pool", None) is not None:
+            comps.append(("cutoff", self.cutoff_pool.health()))
+        comp_col, shard_col, rec_col, items_col = [], [], [], []
+        for name, rows in comps:
+            for j, h in enumerate(rows):
+                comp_col.append(name)
+                shard_col.append(j)
+                rec_col.append(bool(h["reconstructed"]))
+                items_col.append(int(h["items"]))
+        t = pa.table(
+            {
+                "round": pa.array(
+                    np.full(len(comp_col), r, dtype=np.int32), type=pa.int32()
+                ),
+                "component": pa.array(comp_col, type=pa.string()),
+                "shard_id": pa.array(
+                    np.asarray(shard_col, dtype=np.int32), type=pa.int32()
+                ),
+                "reconstructed": pa.array(rec_col, type=pa.bool_()),
+                "items": pa.array(
+                    np.asarray(items_col, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        d = self._p("health", f"round_{r:05d}")
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+
     def _lineage(self, r: int, rounds_dir: str, digests: list[bytes],
                  wall_s: float, pre: np.ndarray | None = None) -> dict:
         cfg = self.cfg
@@ -1156,3 +1260,7 @@ def events_output(out_dir: str) -> rd.Dataset:
 
 def lineage_output(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(out_dir, "lineage"))
+
+
+def health_output(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(out_dir, "health"))

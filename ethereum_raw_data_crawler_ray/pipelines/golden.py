@@ -76,10 +76,11 @@ class GoldenCrawl:
         # candidate count exceeds the threshold in round r is salted
         # from round r+1 on)
         self.hot: dict[str, int] = {}
-        # per-host fetch-error counts from the PREVIOUS round (error
-        # backoff signal, same one-round lag as the engine)
+        # per-host (timeout, rate_limit) fetch-error counts from the
+        # PREVIOUS round (class-aware backoff signal, same one-round lag
+        # and same class derivation as the engine)
         self.error_backoff = error_backoff
-        self.err_prev: dict[str, int] = {}
+        self.err_prev: dict[str, tuple[int, int]] = {}
 
         self.fetch_order: list[list[str]] = []  # per round, in crawl order
         self.pages: dict[str, dict] = {}
@@ -90,7 +91,8 @@ class GoldenCrawl:
             host, self.robots, self.round_ms, self.default_delay, self.max_per_host
         )
         if self.error_backoff:
-            hb = backoff_budget(hb, self.err_prev.get(host, 0))
+            to, rl = self.err_prev.get(host, (0, 0))
+            hb = backoff_budget(hb, to, rl)
         return salt_budget(hb, n_salt, salt)
 
     def _transient_fail(self, url_hash: int, attempts: int) -> bool:
@@ -192,11 +194,25 @@ class GoldenCrawl:
 
         # actually errored rows: status error — distinguish fetched vs error
         err_urls = {row["url"] for row in errored}
-        # error-backoff signal for the NEXT round (same lag as engine)
+        # class-aware error-backoff signal for the NEXT round (same lag
+        # and class rule as the engine: injected failures carry a
+        # url-hash-derived class, store misses count as timeouts)
+        from ..stages.fetch import ERR_RATE_LIMIT, transient_error_class
+
         self.err_prev = {}
         for row in errored:
             h = row["host"]
-            self.err_prev[h] = self.err_prev.get(h, 0) + 1
+            if self._transient_fail(int(row["url_hash"]), int(row["attempts"])):
+                cls = transient_error_class(
+                    np.array([row["url_hash"]], dtype=np.uint64)
+                )[0]
+            else:
+                cls = "timeout"
+            to, rl = self.err_prev.get(h, (0, 0))
+            if cls == ERR_RATE_LIMIT:
+                self.err_prev[h] = (to, rl + 1)
+            else:
+                self.err_prev[h] = (to + 1, rl)
 
         # carry (same semantics as CrawlPipeline carry_fn) — vectorized:
         # row-wise pd.DataFrame(list-of-Series) would upcast uint64 hashes

@@ -700,7 +700,7 @@ def _crawl_out(sf_dir: str) -> str:
     corpus = ensure_corpus(n_pages, n_hosts=40, n_seeds=16, base_dir="/tmp/q_corpus")
     # rev-keyed: a cached crawl from an older engine revision must not be
     # resumed/served after the engine's semantics change
-    rev = "r2"
+    rev = "r3"
     out_dir = f"/tmp/q_crawl_out/{rev}_{base}_{n_pages}"
     idx_dir = f"/tmp/q_crawl_idx/{rev}_{base}_{n_pages}"
     cfg = CrawlConfig(
@@ -745,6 +745,17 @@ def q42_crawl_lineage(sf_dir: str):
     return lineage_output(_crawl_out(sf_dir)).select_columns(
         ["round", "partition_id", "urls_scheduled", "urls_fetched",
          "urls_deferred", "urls_failed", "errors"]
+    )
+
+
+def q43_crawl_health(sf_dir: str):
+    """Per-round component health (SystemHealth analog,
+    crawler_metrics.go:46-68): one row per stateful shard actor per
+    round with its reconstruction flag and state size."""
+    from .crawl import health_output
+
+    return health_output(_crawl_out(sf_dir)).select_columns(
+        ["round", "component", "shard_id", "reconstructed", "items"]
     )
 
 
@@ -795,6 +806,7 @@ QUERIES = {
     "q40_crawl_pages": q40_crawl_pages,
     "q41_crawl_events": q41_crawl_events,
     "q42_crawl_lineage": q42_crawl_lineage,
+    "q43_crawl_health": q43_crawl_health,
 }
 
 ORACLE_SQL = {

@@ -66,6 +66,10 @@ def build_fetch_index(pages_path: str, index_dir: str, n_buckets: int) -> str:
     return index_dir
 
 
+ERR_TIMEOUT = "timeout"
+ERR_RATE_LIMIT = "rate_limit"
+
+
 def transient_fail_mask(hashes: np.ndarray, attempts: np.ndarray, permille: int) -> np.ndarray:
     """Deterministic transient error injection (first attempt only)."""
     if permille <= 0:
@@ -76,12 +80,26 @@ def transient_fail_mask(hashes: np.ndarray, attempts: np.ndarray, permille: int)
     return transient & (attempts == 0)
 
 
+def transient_error_class(hashes: np.ndarray) -> np.ndarray:
+    """Deterministic error class for injected transient failures — the
+    analog of the reference distinguishing 429-rate-limit from timeout
+    errors (``ethereum_service.go:594-624``): a pure function of the url
+    hash (NOT the attempt), so golden and engine always agree. ~Half the
+    injected errors are rate-limit (quadratic backoff signal), half
+    timeout (linear)."""
+    with np.errstate(over="ignore"):
+        z = (hashes.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & _M64
+    rl = ((z >> np.uint64(20)) & np.uint64(1)).astype(bool)
+    return np.where(rl, ERR_RATE_LIMIT, ERR_TIMEOUT).astype(object)
+
+
 def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
               fail_now: np.ndarray, enrich: bool = False) -> pa.Table:
     """Common output builder: frontier batch + per-url payload lookups
     (None = miss) → the round-table Arrow batch (extraction inline)."""
     n = len(df)
     status = np.full(n, None, dtype=object)
+    err_class = np.full(n, None, dtype=object)
     page_ts = np.zeros(n, dtype=np.int64)
     has_page = np.zeros(n, dtype=bool)
     lang = np.full(n, None, dtype=object)
@@ -89,11 +107,19 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
     n_bytes = np.zeros(n, dtype=np.int64)
     outlinks: list = [[] for _ in range(n)]
 
+    # injected transient failures carry a url-derived class (rate_limit /
+    # timeout); store misses behave as timeouts — both deterministic
+    inj_class = transient_error_class(
+        df["url_hash"].to_numpy().astype(np.uint64)[fetch_ix]
+        if len(fetch_ix)
+        else np.zeros(0, dtype=np.uint64)
+    )
     htmls, html_rows = [], []
     for k, row in enumerate(fetch_ix):
         p = payloads[k]
         if fail_now[k] or p is None:
             status[row] = STATUS_ERROR
+            err_class[row] = inj_class[k] if fail_now[k] else ERR_TIMEOUT
         else:
             status[row] = STATUS_FETCHED
             htmls.append(p[1])
@@ -131,6 +157,7 @@ def _assemble(df: pd.DataFrame, payloads: list, fetch_ix: np.ndarray,
     cols.update(
         {
             "status": pa.array(status, type=pa.string()),
+            "error_class": pa.array(err_class, type=pa.string()),
             "page_ts": pa.array(page_ts, type=pa.int64(), mask=~has_page).cast(
                 pa.timestamp("us")
             ),

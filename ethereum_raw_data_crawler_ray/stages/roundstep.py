@@ -49,6 +49,32 @@ ROW_DISC = "discovered"
 _FRONTIER_COLS = [f.name for f in FRONTIER]
 
 
+def round_task(batch: pa.Table, *, round_no: int, **kwargs) -> pa.Table:
+    """Fused read + round_step task (r02 verdict #1 — the execution
+    floor). One item = one pre-balanced list of frontier file SPANS
+    (path, row offset, row count) packed by the driver from Parquet
+    footer metadata, so every task processes the same number of frontier
+    rows without the per-round ``repartition(ntasks)`` all-to-all
+    barrier the previous layout paid (read → repartition → map became
+    one task: read own spans → round_step → write). The round column is
+    stamped here too, removing the extra map stage."""
+    import pyarrow.parquet as _pq
+
+    tables = []
+    for paths, offs, lens in zip(
+        batch["paths"].to_pylist(), batch["offsets"].to_pylist(),
+        batch["lengths"].to_pylist(),
+    ):
+        for p, o, ln in zip(paths, offs, lens):
+            t = _pq.read_table(p, columns=_FRONTIER_COLS)
+            tables.append(t if (o == 0 and ln == len(t)) else t.slice(o, ln))
+    df = pa.concat_tables(tables).to_pandas()
+    out = round_step(df, round_no=round_no, **kwargs)
+    return out.append_column(
+        "round", pa.array(np.full(len(out), round_no, dtype=np.int32))
+    )
+
+
 def _null_fill_to(t: pa.Table, names: list[str], template: pa.Table) -> pa.Table:
     """Add missing columns (typed nulls per the template) and order them."""
     n = len(t)
@@ -187,8 +213,10 @@ def round_step(
     if error_backoff and (status == STATUS_ERROR).any():
         from ..state.politeness import note_errors_scatter
 
-        eh = np.asarray(pages["host"].to_pandas(), dtype=object)[status == STATUS_ERROR]
-        note_errors_scatter(cutoff_handles, round_no, eh, task_key)
+        err_m = status == STATUS_ERROR
+        eh = np.asarray(pages["host"].to_pandas(), dtype=object)[err_m]
+        ec = np.asarray(pages["error_class"].to_pandas(), dtype=object)[err_m]
+        note_errors_scatter(cutoff_handles, round_no, eh, task_key, ec)
     if len(carry):
         offer_candidates(carry[_FRONTIER_COLS], **offer_kwargs)
     if pending is not None:

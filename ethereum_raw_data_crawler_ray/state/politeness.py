@@ -53,6 +53,11 @@ import pyarrow.parquet as pq
 # politeness actors the serial floor.
 ORDER_COLS = ["priority", "depth", "warc_ts", "url_hash"]
 
+# cutoff sentinel: this politeness key selects NOTHING this round (its
+# budget is 0 — e.g. a salt's share of a backoff-shrunk budget of 1).
+# Distinct from "no cutoff entry", which means all candidates fetch.
+CUTOFF_NONE = "none"
+
 GATE_CANDIDATE = "candidate"
 GATE_FETCH = "fetch"
 GATE_DEFER = "defer"
@@ -110,16 +115,19 @@ def salt_count_for(count: int, threshold: int, base: int, cap: int = 64) -> int:
     return max(base, min(cap, -(-count // threshold)))
 
 
-def backoff_budget(budget: int, n_errors: int) -> int:
-    """Per-host error backoff (analog of the reference's rate-limit /
-    timeout backoff, ``ethereum_service.go:594-624``): a host that
-    produced ``n_errors`` fetch errors last round behaves as if its
-    crawl delay were (1 + n_errors)× longer this round, so its budget
-    shrinks to ``max(1, budget // (1 + n_errors))`` — and recovers the
-    round after the errors stop (no sticky state)."""
-    if n_errors <= 0:
+def backoff_budget(budget: int, n_timeout: int, n_rate_limit: int = 0) -> int:
+    """Per-host error-CLASS backoff (analog of the reference's split
+    backoff, ``ethereum_service.go:594-624``: timeout errors back off
+    linearly in the attempt, rate-limit errors quadratically). A host
+    that produced ``n_timeout`` timeout errors and ``n_rate_limit``
+    rate-limit errors last round behaves as if its crawl delay were
+    ``(1 + n_timeout) * (1 + n_rate_limit)²`` times longer this round —
+    linear in timeouts, quadratic in rate-limits — so its budget shrinks
+    to ``max(1, budget // that)``, recovering the round after the errors
+    stop (no sticky state)."""
+    if n_timeout <= 0 and n_rate_limit <= 0:
         return budget
-    return max(1, budget // (1 + n_errors))
+    return max(1, budget // ((1 + n_timeout) * (1 + n_rate_limit) ** 2))
 
 
 def parse_pkey(pk: str) -> tuple[str, int, int]:
@@ -351,13 +359,15 @@ def offer_candidates(
 
 def note_errors_scatter(cutoff_handles: list, round_no: int,
                         error_hosts: np.ndarray,
-                        task_key: int | None = None) -> None:
+                        task_key: int | None = None,
+                        error_classes: np.ndarray | None = None) -> None:
     """Report this batch's fetch-error hosts to their owning cutoff
-    shards (same hash-by-host routing as offers/counts). ``task_key``
-    (the calling task's stable identity — hash of its input frontier
-    batch) keys the report so a retried task overwrites rather than
-    double-counts its errors (ADVICE r02); error-host LISTS are not
-    unique across tasks, so content alone cannot key them."""
+    shards as per-class (timeout, rate_limit) counts (same hash-by-host
+    routing as offers/counts). ``task_key`` (the calling task's stable
+    identity — hash of its input frontier batch) keys the report so a
+    retried task overwrites rather than double-counts its errors
+    (ADVICE r02); error-host LISTS are not unique across tasks, so
+    content alone cannot key them."""
     import ray
 
     from ..functions.hashing import hash_strings
@@ -369,11 +379,21 @@ def note_errors_scatter(cutoff_handles: list, round_no: int,
         task_key = claim_token(
             hash_strings(np.asarray(error_hosts, dtype=object))
         )
-    uh, uc = np.unique(error_hosts, return_counts=True)
+    if error_classes is None:
+        error_classes = np.full(len(error_hosts), "timeout", dtype=object)
+    rl = np.asarray(error_classes, dtype=object) == "rate_limit"
+    uh = np.unique(error_hosts)
     owner = hash_strings(list(uh)) % np.uint64(len(cutoff_handles))
+    per_host = {
+        str(h): (
+            int(((error_hosts == h) & ~rl).sum()),
+            int(((error_hosts == h) & rl).sum()),
+        )
+        for h in uh
+    }
     refs = []
     for j in range(len(cutoff_handles)):
-        counts = {str(h): int(c) for h, c, o in zip(uh, uc, owner) if o == j}
+        counts = {str(h): per_host[str(h)] for h, o in zip(uh, owner) if o == j}
         if counts:
             refs.append(
                 cutoff_handles[j].note_errors.remote(round_no, counts, task_key)
@@ -414,7 +434,10 @@ def gate_full(
             if c is None:
                 continue  # fewer candidates than budget → all selected
             m = sub_pk == pk
-            fetch[m] = _leq_cutoff(p[m], d[m], t[m], h[m], c)
+            if c == CUTOFF_NONE:  # zero budget → nothing fetches
+                fetch[m] = False
+            else:
+                fetch[m] = _leq_cutoff(p[m], d[m], t[m], h[m], c)
         gate[cand_ix[fetch]] = GATE_FETCH
         gate[cand_ix[~fetch]] = GATE_DEFER
     return gate, pkeys
@@ -462,6 +485,12 @@ class _CutoffState:
         out = {}
         for pk, chunks in self.keys.items():
             b = budgets[pk]
+            if b <= 0:
+                # zero budget (a salt's share of a backoff-shrunk budget
+                # of 1): absence of a cutoff means ALL-fetch, so emit the
+                # explicit select-none sentinel instead
+                out[pk] = CUTOFF_NONE
+                continue
             if self.counts.get(pk, 0) < b:
                 continue  # fewer candidates than budget → all selected
             p, d, t, h = self._topk(chunks, b)
@@ -538,6 +567,21 @@ class CutoffPool:
                 f, self._fresh = self._fresh, False
                 return f
 
+            def health(self) -> dict:
+                """SystemHealth analog (crawler_metrics.go:46-68)."""
+                import ray as _ray
+
+                try:
+                    rec = (
+                        _ray.get_runtime_context().was_current_actor_reconstructed
+                    )
+                except Exception:
+                    rec = False
+                return {
+                    "reconstructed": bool(rec),
+                    "items": sum(len(s.keys) for s in self.rounds.values()),
+                }
+
             def drop_round(self, round_no: int) -> None:
                 self.rounds.pop(round_no, None)
                 self.host_counts.pop(round_no, None)
@@ -563,7 +607,8 @@ class CutoffPool:
                 host, salt, n = parse_pkey(pk)
                 hb = self._host_budget(host)
                 if err:
-                    hb = backoff_budget(hb, err.get(host, 0))
+                    to, rl = err.get(host, (0, 0))
+                    hb = backoff_budget(hb, to, rl)
                 return salt_budget(hb, n, salt)
 
             def offer(self, round_no: int, payload: tuple | None,
@@ -619,10 +664,17 @@ class CutoffPool:
 
             @staticmethod
             def _sum_batches(per_batch: dict) -> dict:
+                """Sum per-batch contributions; values are ints (host
+                candidate counts) or (timeout, rate_limit) pairs (error
+                class counts)."""
                 out: dict = {}
                 for counts in per_batch.values():
                     for h, c in counts.items():
-                        out[h] = out.get(h, 0) + c
+                        if isinstance(c, (tuple, list)):
+                            p = out.get(h, (0, 0))
+                            out[h] = (p[0] + c[0], p[1] + c[1])
+                        else:
+                            out[h] = out.get(h, 0) + c
                 return out
 
             def collect_and_drop(self, round_no: int) -> tuple[dict, dict]:
@@ -668,6 +720,11 @@ class CutoffPool:
         import ray
 
         ray.get([h.drop_round.remote(round_no) for h in self.handles])
+
+    def health(self) -> list[dict]:
+        import ray
+
+        return ray.get([h.health.remote() for h in self.handles])
 
     def collect(self, round_no: int) -> tuple[dict, dict]:
         """→ (cutoffs, per-host raw candidate counts) for the round."""

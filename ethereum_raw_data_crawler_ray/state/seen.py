@@ -183,6 +183,15 @@ class SeenShard:
         f, self._fresh = self._fresh, False
         return f, self._restored_round
 
+    def health(self) -> dict:
+        """SystemHealth analog (crawler_metrics.go:46-68): has this
+        shard ever been reconstructed, and how much state does it hold."""
+        try:
+            rec = ray.get_runtime_context().was_current_actor_reconstructed
+        except Exception:
+            rec = False
+        return {"reconstructed": bool(rec), "items": int(self.filter.count)}
+
     def check_and_insert(
         self, hashes: np.ndarray, round_no: int | None = None, token: int | None = None
     ) -> np.ndarray:
@@ -266,6 +275,9 @@ class ActorSeenSet:
     def consume_fresh(self) -> list[tuple[bool, int]]:
         """Per shard: (restarted since last check, restored dump round)."""
         return ray.get([h.consume_fresh.remote() for h in self.handles])
+
+    def health(self) -> list[dict]:
+        return ray.get([h.health.remote() for h in self.handles])
 
     def insert_to_shards(self, shard_ids: list[int], hashes: np.ndarray) -> None:
         """Route ``hashes`` by owner and re-insert into the GIVEN shards

@@ -186,6 +186,15 @@ class PageStoreShard:
         buf = b"".join(m[1] for m in metas if m is not None and len(m[1]))
         return found, ts, langs, offs, buf
 
+    def health(self) -> dict:
+        """SystemHealth analog (crawler_metrics.go:46-68)."""
+        try:
+            rec = ray.get_runtime_context().was_current_actor_reconstructed
+        except Exception:
+            rec = False
+        n = len(self.store) if self.mode == "preload" else self._n_pages
+        return {"reconstructed": bool(rec), "items": int(n)}
+
     def count(self) -> int:
         return self._n_pages
 
@@ -202,6 +211,9 @@ class ActorPageStore:
             PageStoreShard.remote(index_dir, n_buckets, n_shards, j, mode, lru_groups)
             for j in range(n_shards)
         ]
+
+    def health(self) -> list[dict]:
+        return ray.get([h.health.remote() for h in self.handles])
 
     def wait_ready(self) -> int:
         return sum(ray.get([h.count.remote() for h in self.handles]))

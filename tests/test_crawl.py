@@ -15,6 +15,7 @@ from ethereum_raw_data_crawler_ray.config import CrawlConfig  # noqa: F401
 from ethereum_raw_data_crawler_ray.pipelines.crawl import (
     CrawlPipeline,
     events_output,
+    health_output,
     lineage_output,
     pages_output,
 )
@@ -452,7 +453,30 @@ class TestActorFaultTolerance:
         ).reset_index(drop=True)
         keep = [c for c in la.columns if c != "wall_s"]
         pd.testing.assert_frame_equal(la[keep], lb[keep])
+        # component-health rows (SystemHealth analog): the killed shards
+        # must show up as reconstructed in a later round's health output
+        h = health_output(cfg.out_dir).to_pandas()
+        assert set(h["component"]) == {"seen", "store", "cutoff"}
+        rec = h[h["reconstructed"]]
+        assert {("seen", 0), ("store", 0), ("cutoff", 0)} <= set(
+            zip(rec["component"], rec["shard_id"])
+        )
         pipe.close()
+
+
+class TestHealthOutput:
+    def test_healthy_run_all_components_not_reconstructed(self, crawl_run):
+        cfg, _, totals = crawl_run
+        h = health_output(cfg.out_dir).to_pandas()
+        assert set(h["component"]) == {"seen", "store", "cutoff"}
+        assert not h["reconstructed"].any()
+        # one row per shard per round for every component
+        per_round = h.groupby(["round", "component"])["shard_id"].nunique()
+        assert (per_round.xs("seen", level="component") == cfg.n_seen_shards).all()
+        assert h["round"].nunique() == totals["rounds"]
+        # seen item counts are monotone in rounds (claims only grow)
+        seen_items = h[h["component"] == "seen"].groupby("round")["items"].sum()
+        assert (seen_items.diff().dropna() >= 0).all()
 
 
 class TestSeenGapHeal:

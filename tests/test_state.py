@@ -173,13 +173,36 @@ class TestPoliteness:
         assert salt_count_for(2500, 0, 1) == 1          # disabled
 
     def test_backoff_budget(self):
+        # class-aware rule (ethereum_service.go:594-624 analog): linear
+        # in timeout errors, QUADRATIC in rate-limit errors
         from ethereum_raw_data_crawler_ray.state.politeness import backoff_budget
 
         assert backoff_budget(100, 0) == 100
-        assert backoff_budget(100, 1) == 50   # delay behaves 2x longer
-        assert backoff_budget(100, 3) == 25
+        assert backoff_budget(100, 1) == 50    # 1 timeout → delay 2x
+        assert backoff_budget(100, 3) == 25    # 3 timeouts → delay 4x
         assert backoff_budget(100, 1000) == 1  # never below 1
         assert backoff_budget(1, 5) == 1
+        assert backoff_budget(100, 0, 1) == 25   # 1 rate-limit → (1+1)² = 4x
+        assert backoff_budget(100, 0, 2) == 100 // 9  # quadratic
+        assert backoff_budget(100, 1, 1) == 100 // 8  # composed
+        assert backoff_budget(100, 0, 1000) == 1
+
+    def test_transient_error_class_deterministic_and_split(self):
+        import numpy as np
+
+        from ethereum_raw_data_crawler_ray.stages.fetch import (
+            ERR_RATE_LIMIT,
+            ERR_TIMEOUT,
+            transient_error_class,
+        )
+
+        h = np.arange(10_000, dtype=np.uint64) * np.uint64(2654435761)
+        c1 = transient_error_class(h)
+        c2 = transient_error_class(h)
+        assert (c1 == c2).all()  # pure function of the hash
+        frac_rl = (c1 == ERR_RATE_LIMIT).mean()
+        assert 0.4 < frac_rl < 0.6  # ~half rate-limit, half timeout
+        assert set(np.unique(c1)) <= {ERR_RATE_LIMIT, ERR_TIMEOUT}
 
     def test_parse_pkey(self):
         from ethereum_raw_data_crawler_ray.state.politeness import parse_pkey, pkey_of
