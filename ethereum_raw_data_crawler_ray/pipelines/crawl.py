@@ -1217,12 +1217,27 @@ class CrawlPipeline:
         limit = max_rounds if max_rounds is not None else cfg.max_rounds
         totals = {"rounds": 0, "fetched": 0, "scheduled": 0, "errors": 0, "failed": 0}
         r = start
+        # hybrid fallback (scheduler_service.go:250-263,427-519 analog):
+        # with watch mode on, an exhausted frontier does not terminate the
+        # run immediately — the loop idles up to watch_idle_rounds poll
+        # ticks re-scanning the watch dir, and switches back to crawling
+        # the moment pushed pages revive the frontier. The idle wait is
+        # pure polling (no state written), so determinism of the outputs
+        # is untouched: they remain a function of which files appear.
+        idle_limit = int(cfg.extra.get("watch_idle_rounds", 0))
+        poll_s = float(cfg.extra.get("watch_poll_s", 0.05))
+        idle = 0
         while r < start + limit:
             # watch mode: pick up newly published pages at the round
             # boundary — they can revive an otherwise-empty frontier
             self.ingest_new_pages(r)
             if self._frontier_count(r) == 0:
+                if cfg.extra.get("watch_dir") and idle < idle_limit:
+                    idle += 1
+                    time.sleep(poll_s)
+                    continue
                 break
+            idle = 0
             stats = self.run_round(r)
             totals["rounds"] += 1
             for k in ("fetched", "scheduled", "errors", "failed"):

@@ -634,6 +634,52 @@ class TestWatchIngest:
         got = set(df["url"])
         assert all(u in got for u in pushed_public)
 
+    def test_idle_fallback_revives_on_late_push(self, corpus_dir, ray_session):
+        # hybrid fallback/switchback (scheduler_service.go:250-263,
+        # 427-519 analog): frontier exhausts, the run idles polling the
+        # watch dir instead of terminating, a LATE push arrives, the loop
+        # switches back and crawls it
+        import threading
+
+        base = self._watch_cfg(corpus_dir, "watch_idle")
+        shutil.rmtree(base.out_dir, ignore_errors=True)
+        p1 = CrawlPipeline(base)
+        p1.run(max_rounds=60)  # crawl to frontier exhaustion, no pushes
+        p1.close()
+
+        cfg = CrawlConfig(
+            **{
+                **base.__dict__,
+                "extra": {
+                    **base.extra,
+                    "watch_idle_rounds": 400,
+                    "watch_poll_s": 0.05,
+                },
+            }
+        )
+
+        def late_push():
+            shutil.copy(
+                self._push_file(corpus_dir),
+                os.path.join(cfg.extra["watch_dir"], "late.parquet"),
+            )
+
+        # resume on the exhausted frontier: the loop must IDLE (not
+        # terminate) until the push lands 2 s later, then switch back
+        t = threading.Timer(2.0, late_push)
+        t.start()
+        pipe = CrawlPipeline(cfg)
+        try:
+            pipe.run(max_rounds=60)
+        finally:
+            t.join()
+            pipe.close()
+        df = _rounds_df(cfg.out_dir)
+        pushed = pq.read_table(self._push_file(corpus_dir), columns=["url"])
+        pushed_public = [u for u in pushed["url"].to_pylist() if "/private/" not in u]
+        got = set(df["url"])
+        assert all(u in got for u in pushed_public), "late push not crawled"
+
     def test_resume_across_push_bit_identical(self, corpus_dir, ray_session):
         ref = self._watch_cfg(corpus_dir, "watch_ref")
         shutil.rmtree(ref.out_dir, ignore_errors=True)
