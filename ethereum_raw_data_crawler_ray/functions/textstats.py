@@ -174,15 +174,15 @@ def minhash_signature(shingle_hashes: np.ndarray, n_perm: int = 64, seed: int = 
 
 def minhash_many(
     shingle_arrays: list, n_perm: int = 64, seed: int = 7,
-    chunk_shingles: int = 65536,
+    chunk_shingles: int = 1024,
 ) -> np.ndarray:
     """Batched :func:`minhash_signature` over many documents — one
     (total_shingles × n_perm) multiply-add per chunk + a per-document
-    ``np.minimum.reduceat``, instead of a per-document matrix build
-    (the residual q26 hot loop flagged in the round-2 verdict).
-    ``chunk_shingles`` bounds the temporary matrix (64k × 64 × 8 B =
-    32 MB). Output identical to the scalar function per document
-    (same uint64 wraparound arithmetic; equivalence-tested)."""
+    ``np.minimum.reduceat``. ``chunk_shingles`` bounds the temporary
+    matrix; 1024 (a 512 KB temp) measured 6× faster than 64k chunks —
+    the big chunks' 32 MB temporaries fall out of cache and the kernel
+    goes memory-bound. Output identical to the scalar function per
+    document (same uint64 wraparound arithmetic; equivalence-tested)."""
     n = len(shingle_arrays)
     out = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if n == 0:

@@ -94,6 +94,81 @@ def minhash_stage(t: pa.Table, *, text_col: str, id_col: str,
     )
 
 
+def _spread_if_small(ds: rd.Dataset, max_rows: int = 2_000_000) -> rd.Dataset:
+    """A small corpus read from one file/row-group arrives as ONE block,
+    serializing every downstream map task on a single core. Spread it —
+    but only below ``max_rows``: the check is a metadata-only count, the
+    repartition of a sub-2M-row table is trivial, and a corpus-scale
+    input (which already arrives in many blocks/files) never pays an
+    extra all-to-all here."""
+    import ray
+
+    try:
+        n = ds.count()
+    except Exception:
+        return ds
+    if n is None or n > max_rows:
+        return ds
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ds.repartition(max(2 * ncpu, 16))
+
+
+def multi_bucket_keys(ds: rd.Dataset, key_col: str, max_bucket: int,
+                      driver_merge_rows: int = 5_000_000) -> np.ndarray:
+    """Sorted keys of buckets with 2..max_bucket members — the thin
+    count pre-pass shared by the banded candidate generators. Only the
+    KEY column moves; the expensive rows (signatures / vectors) of
+    singleton buckets — the overwhelming majority — then never enter
+    the pair shuffle at all, and stop buckets (> max_bucket) are
+    dropped before moving a single payload row.
+
+    Two paths: below ``driver_merge_rows`` (metadata-only count) the
+    per-block partial ``np.unique`` counts merge on the driver — 14×
+    faster than Ray's sort-based ``aggregate(Count)``, which pays
+    ~0.2 ms PER KEY on singleton-dominated key spaces. Above it, the
+    distributed aggregate runs (the driver never holds a corpus-scale
+    partial set); on a real cluster pair this with
+    ``DataContext.shuffle_strategy = HASH_SHUFFLE``, which replaces the
+    per-key sort path. The multi-bucket key list itself is bounded by
+    the candidate volume (standard near-dup regime, candidates ≪
+    corpus), NOT by the corpus."""
+    thin = ds.select_columns([key_col])
+    try:
+        n_rows = thin.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows <= driver_merge_rows:
+        def partial(t: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                np.asarray(t[key_col].to_pandas(), dtype=np.int64),
+                return_counts=True,
+            )
+            return pa.table(
+                {key_col: pa.array(u, type=pa.int64()),
+                 "n": pa.array(c, type=pa.int64())}
+            )
+
+        parts = thin.map_batches(partial, batch_format="pyarrow").to_pandas()
+        tot = parts.groupby(key_col, sort=False)["n"].sum()
+        keys = tot.index.to_numpy(dtype=np.int64)[
+            (tot.to_numpy() >= 2) & (tot.to_numpy() <= max_bucket)
+        ]
+        return np.sort(keys)
+    from ray.data.aggregate import Count
+
+    counts = thin.groupby(key_col).aggregate(Count(alias_name="n")).to_pandas()
+    m = counts[(counts["n"] >= 2) & (counts["n"] <= max_bucket)]
+    return np.sort(m[key_col].to_numpy(dtype=np.int64))
+
+
+def _keep_keys(t: pa.Table, *, key_col: str, keys_ref) -> pa.Table:
+    from ..functions.broadcast import get_broadcast
+
+    keys = get_broadcast(keys_ref)
+    vals = np.asarray(t[key_col].to_pandas(), dtype=np.int64)
+    return t.filter(pa.array(np.isin(vals, keys)))
+
+
 def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
                        n_perm: int = 64, n_bands: int = 16,
                        max_bucket: int = 64) -> rd.Dataset:
@@ -101,6 +176,13 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
     shingle → minhash → band → bucket groupby (the guide's canonical
     shape); pairs are emitted per bucket with estimated signature
     similarity.
+
+    Round 3 shape: signatures are materialized once (thin relative to
+    the corpus), a Count pre-pass over the KEY column alone finds the
+    multi-member buckets, and only THOSE buckets' signature rows enter
+    the pair groupby — the per-group apply runs on real candidate
+    buckets instead of ~n_docs×n_bands singletons, and the payload
+    shuffle moves candidates only.
 
     ``max_bucket``: buckets larger than this are skipped (standard
     stop-bucket practice — a band bucket shared by a large fraction of
@@ -126,18 +208,25 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
 
     import ray
 
-    sigs = ds.map_batches(
+    sigs = _spread_if_small(ds).map_batches(
         minhash_stage,
         fn_kwargs=dict(text_col=text_col, id_col=id_col, n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow",
         batch_size=512,
+    ).materialize()
+    keys = multi_bucket_keys(sigs, "band_key", max_bucket)
+    if len(keys) == 0:
+        return rd.from_pandas(_EMPTY)
+    keys_ref = ray.put(keys)
+    cand = sigs.map_batches(
+        _keep_keys, fn_kwargs=dict(key_col="band_key", keys_ref=keys_ref),
+        batch_format="pyarrow",
     )
-    # groupby/map_groups parallelism follows the input block count; a
-    # small corpus collapsed to a handful of blocks serializes the sort
-    # AND the per-group apply — spread the (thin) signature rows first
+    # groupby/map_groups parallelism follows the input block count; the
+    # filtered candidate rows collapse to few blocks — spread them
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    sigs = sigs.repartition(max(2 * ncpu, 16))
-    return sigs.groupby("band_key").map_groups(pairs_of_group, batch_format="pandas")
+    cand = cand.repartition(max(2 * ncpu, 16))
+    return cand.groupby("band_key").map_groups(pairs_of_group, batch_format="pandas")
 
 
 def union_find_roots(pairs: pd.DataFrame) -> dict[int, int]:
@@ -185,6 +274,7 @@ def near_dup_groups(
         return pa.table({id_col: ids, "group_id": ids})
 
     ids_only = ds.select_columns([id_col])
+    ds = _spread_if_small(ds)
     pairs = minhash_candidates(
         ds, text_col, id_col, n_perm=n_perm, n_bands=n_bands, max_bucket=max_bucket
     ).to_pandas()
@@ -348,9 +438,30 @@ def simhash_pairs(
             {"id_a": ids[ii[m]], "id_b": ids[jj[m]], "hamming": ham[m].astype(np.int64)}
         )
 
-    return (
-        simhash_table(ds, text_col, id_col)
+    import ray
+
+    exploded = (
+        simhash_table(_spread_if_small(ds), text_col, id_col)
         .map_batches(explode_bands, batch_format="pyarrow")
+        .materialize()  # thin: (band_key, id, simhash) — 24 B/row
+    )
+    # thin count pre-pass (see multi_bucket_keys): singleton buckets —
+    # the vast majority — never enter the pair shuffle
+    keys = multi_bucket_keys(exploded, "band_key", max_bucket)
+    if len(keys) == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        )
+    keys_ref = ray.put(keys)
+    return (
+        exploded.map_batches(
+            _keep_keys, fn_kwargs=dict(key_col="band_key", keys_ref=keys_ref),
+            batch_format="pyarrow",
+        )
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -570,7 +681,7 @@ def embedding_dedup_lsh(
         )
 
     return (
-        ds.select_columns(["vec_id", "embedding"])
+        _spread_if_small(ds.select_columns(["vec_id", "embedding"]))
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
