@@ -339,11 +339,16 @@ class CrawlPipeline:
         return sum(n for _, n in self._frontier_plan(r))
 
     @staticmethod
-    def _balanced_items(plan: list, batch: int) -> list[dict]:
-        """Pack frontier file spans into items of ≈``batch`` rows each —
-        the shuffle-free replacement for ``repartition(ntasks)``: task
-        balance comes from the assignment, not from moving rows."""
-        items: list[dict] = []
+    def _balanced_items(plan: list, batch: int, max_tasks: int) -> list[dict]:
+        """Pack frontier file spans into ``batch``-row processing groups,
+        then those groups into ≤ ``max_tasks`` task items — the
+        shuffle-free replacement for ``repartition(ntasks)``: task
+        balance comes from the assignment, not from moving rows. Item
+        count stays O(cluster cores) regardless of frontier size (a
+        10^10-URL round must not enumerate one driver item per batch);
+        within a task, ``round_task`` streams one batch group at a time
+        (generator), so task memory stays one batch wide."""
+        groups: list[tuple[list, list, list]] = []
         cur_p: list = []
         cur_o: list = []
         cur_l: list = []
@@ -358,12 +363,27 @@ class CrawlPipeline:
                 cur_rows += take
                 off += take
                 if cur_rows >= batch:
-                    items.append(
-                        {"paths": cur_p, "offsets": cur_o, "lengths": cur_l}
-                    )
+                    groups.append((cur_p, cur_o, cur_l))
                     cur_p, cur_o, cur_l, cur_rows = [], [], [], 0
         if cur_rows:
-            items.append({"paths": cur_p, "offsets": cur_o, "lengths": cur_l})
+            groups.append((cur_p, cur_o, cur_l))
+        if not groups:
+            return []
+        # round-robin batch groups across tasks: consecutive groups read
+        # consecutive file regions, so striding also spreads any residual
+        # per-file skew across tasks
+        n_tasks = max(1, min(len(groups), max_tasks))
+        items: list[dict] = []
+        for t in range(n_tasks):
+            mine = groups[t::n_tasks]
+            items.append(
+                {
+                    "paths": [p for g in mine for p in g[0]],
+                    "offsets": [o for g in mine for o in g[1]],
+                    "lengths": [ln for g in mine for ln in g[2]],
+                    "batch_id": [bi for bi, g in enumerate(mine) for _ in g[0]],
+                }
+            )
         return items
 
     # --- automatic host-skew salting state (SURVEY.md §4) ----------------
@@ -724,7 +744,7 @@ class CrawlPipeline:
         # repartition of the rows — same equal tasks, zero all-to-all,
         # and the read happens inside the round task itself.
         batch = max(256, min(cfg.extract_batch_size, -(-n_frontier // (4 * ncpu))))
-        items = self._balanced_items(self._frontier_plan(r), batch)
+        items = self._balanced_items(self._frontier_plan(r), batch, 4 * ncpu)
         t_m0 = time.perf_counter()
         ds = rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
             round_task,

@@ -49,30 +49,38 @@ ROW_DISC = "discovered"
 _FRONTIER_COLS = [f.name for f in FRONTIER]
 
 
-def round_task(batch: pa.Table, *, round_no: int, **kwargs) -> pa.Table:
+def round_task(batch: pa.Table, *, round_no: int, **kwargs):
     """Fused read + round_step task (r02 verdict #1 — the execution
-    floor). One item = one pre-balanced list of frontier file SPANS
-    (path, row offset, row count) packed by the driver from Parquet
-    footer metadata, so every task processes the same number of frontier
-    rows without the per-round ``repartition(ntasks)`` all-to-all
-    barrier the previous layout paid (read → repartition → map became
-    one task: read own spans → round_step → write). The round column is
-    stamped here too, removing the extra map stage."""
+    floor). One item = a pre-balanced set of frontier file SPANS (path,
+    row offset, row count) grouped into batch-sized processing groups
+    (``batch_id``), packed by the driver from Parquet footer metadata —
+    so every task processes the same number of frontier rows without
+    the per-round ``repartition(ntasks)`` all-to-all barrier the
+    previous layout paid (read → repartition → map became one task:
+    read own spans → round_step → write). A GENERATOR over the batch
+    groups: task memory stays one batch wide however many groups the
+    item carries (item count is O(cluster cores), not O(frontier)).
+    The round column is stamped here too, removing the extra map
+    stage."""
     import pyarrow.parquet as _pq
 
-    tables = []
-    for paths, offs, lens in zip(
+    for paths, offs, lens, bids in zip(
         batch["paths"].to_pylist(), batch["offsets"].to_pylist(),
-        batch["lengths"].to_pylist(),
+        batch["lengths"].to_pylist(), batch["batch_id"].to_pylist(),
     ):
-        for p, o, ln in zip(paths, offs, lens):
-            t = _pq.read_table(p, columns=_FRONTIER_COLS)
-            tables.append(t if (o == 0 and ln == len(t)) else t.slice(o, ln))
-    df = pa.concat_tables(tables).to_pandas()
-    out = round_step(df, round_no=round_no, **kwargs)
-    return out.append_column(
-        "round", pa.array(np.full(len(out), round_no, dtype=np.int32))
-    )
+        groups: dict[int, list] = {}
+        for p, o, ln, bi in zip(paths, offs, lens, bids):
+            groups.setdefault(bi, []).append((p, o, ln))
+        for bi in sorted(groups):
+            tables = []
+            for p, o, ln in groups[bi]:
+                t = _pq.read_table(p, columns=_FRONTIER_COLS)
+                tables.append(t if (o == 0 and ln == len(t)) else t.slice(o, ln))
+            df = pa.concat_tables(tables).to_pandas()
+            out = round_step(df, round_no=round_no, **kwargs)
+            yield out.append_column(
+                "round", pa.array(np.full(len(out), round_no, dtype=np.int32))
+            )
 
 
 def _null_fill_to(t: pa.Table, names: list[str], template: pa.Table) -> pa.Table:

@@ -464,6 +464,41 @@ class TestActorFaultTolerance:
         pipe.close()
 
 
+class TestBalancedItems:
+    def test_packing_complete_disjoint_capped(self):
+        # the shuffle-free replacement for repartition(ntasks): spans
+        # must cover every frontier row exactly once, batch groups must
+        # respect the batch bound, and item count must stay O(max_tasks)
+        # however large the frontier (a 10^10-URL round must not build
+        # one driver item per batch)
+        plan = [("a", 100), ("b", 5), ("c", 2048), ("d", 0), ("e", 999)]
+        items = CrawlPipeline._balanced_items(plan, 512, 4)
+        assert len(items) <= 4
+        assert sum(sum(i["lengths"]) for i in items) == 3152
+        for it in items:
+            per_batch: dict = {}
+            for ln, bi in zip(it["lengths"], it["batch_id"]):
+                per_batch[bi] = per_batch.get(bi, 0) + ln
+            assert all(v <= 512 for v in per_batch.values())
+        cov: dict = {}
+        for it in items:
+            for p, o, ln in zip(it["paths"], it["offsets"], it["lengths"]):
+                cov.setdefault(p, []).append((o, ln))
+        for f, n in plan:
+            if n == 0:
+                assert f not in cov
+                continue
+            pos = 0
+            for o, ln in sorted(cov[f]):
+                assert o == pos
+                pos += ln
+            assert pos == n
+        # item count capped at max_tasks regardless of frontier size
+        many = CrawlPipeline._balanced_items([("x", 100_000)], 512, 8)
+        assert len(many) == 8
+        assert sum(sum(i["lengths"]) for i in many) == 100_000
+
+
 class TestHealthOutput:
     def test_healthy_run_all_components_not_reconstructed(self, crawl_run):
         cfg, _, totals = crawl_run
