@@ -759,6 +759,77 @@ def q43_crawl_health(sf_dir: str):
     )
 
 
+def q44_asof_join(sf_dir: str):
+    """As-of join (stages/joins.py): each purchase event matched to the
+    same user's most recent click at-or-before it; unmatched → -1
+    sentinels (keeps every column BIGINT for the oracle compare)."""
+    from ..stages.joins import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        # merge_asof consumes the right `on` column, so carry the click
+        # time twice: once as the join key, once as a value column
+        lambda t: t.select(["event_id", "ts", "ts", "user_id"]).rename_columns(
+            ["click_id", "ts", "click_ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_id", "click_ts"], fill_value={"click_id": -1},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cts = t["click_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cid = t["click_id"].to_numpy(zero_copy_only=False)
+        gap = np.where(cid >= 0, ts - cts, -1)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "click_id": t["click_id"],
+                "gap_us": pa.array(gap, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q45_range_window_agg(sf_dir: str):
+    """Range-join windowed aggregate (stages/joins.py): per purchase, the
+    count and value-sum of the same user's clicks in the hour before it
+    (half-open [t-1h, t); cumulative-difference trick, exact in cents)."""
+    from ..stages.joins import range_join_agg
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["ts", "user_id", "value"]
+    )
+    out = range_join_agg(
+        purchases, clicks, on="ts", by="user_id",
+        lower_us=-3_600_000_000, upper_us=0, value_col="value",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "n_win": t["n_win"].cast(pa.int64()),
+                "sum_win": pc.round(t["sum_win"], 2),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -807,6 +878,8 @@ QUERIES = {
     "q41_crawl_events": q41_crawl_events,
     "q42_crawl_lineage": q42_crawl_lineage,
     "q43_crawl_health": q43_crawl_health,
+    "q44_asof_join": q44_asof_join,
+    "q45_range_window_agg": q45_range_window_agg,
 }
 
 ORACLE_SQL = {
@@ -945,5 +1018,24 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+    """,
+    "q44_asof_join": """
+        WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, ts, user_id FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               COALESCE(c.click_id, -1) AS click_id,
+               COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS gap_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "q45_range_window_agg": """
+        WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT ts, user_id, value FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               CAST(COUNT(c.ts) AS BIGINT) AS n_win,
+               ROUND(COALESCE(SUM(c.value), 0), 2) AS sum_win
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        GROUP BY p.event_id, p.user_id
     """,
 }

@@ -1,0 +1,274 @@
+"""Time-travel joins Ray Data lacks natively: as-of join and windowed
+range-join aggregation.
+
+Both follow the same distributed recipe (SURVEY.md §2.7 "custom
+operators" guidance):
+
+1. hash-bucket BOTH inputs on the equality key (``by``) into
+   ``n_buckets`` buckets — ONE all-to-all exchange, the minimum any
+   equi-join needs;
+2. tag each side, unify schemas (missing columns as nulls) and union;
+3. ``groupby("__bucket").map_groups`` — each group is a *bucket* of many
+   keys, not a single key, so the per-group pandas overhead (50-100 µs)
+   is amortized over ~|data|/n_buckets rows and the kernel inside is a
+   fully vectorized ``pd.merge_asof(..., by=key)``.
+
+Partitioning assumptions (documented per the operator contract):
+
+- ``n_buckets`` bounds per-task memory: a bucket must fit in a worker's
+  heap.  Size it ~ total_bytes / 256 MB on real data (callers pass it);
+  the default scales with cluster CPUs for bench-sized inputs.
+- A pathologically hot ``by`` key lands in one bucket (same limit as any
+  hash join); per-key work is linear (sort-merge), so a hot key degrades
+  to single-task linear time, not quadratic.
+- The windowed aggregate uses per-key *cumulative* counts/sums plus two
+  as-of probes (count in [t+lo, t+hi) = cum(<t+hi) − cum(<t+lo)), so the
+  window width never multiplies the work.
+
+Reference parity: the reference engine has no joins beyond key lookup
+(SURVEY.md §2.7 J1-J5); these extend the engine for the training-data
+pipeline axis (event-history features), mirroring DuckDB ``ASOF JOIN``
+semantics (oracle-checked in queries q44/q45).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _arrow_fields(ds: rd.Dataset) -> list[pa.Field]:
+    """Dataset schema as pyarrow fields — Ray's Schema wraps either an
+    arrow schema (parquet-backed) or a PandasBlockSchema (from_pandas),
+    whose types are numpy dtypes."""
+    s = ds.schema()
+    base = s.base_schema
+    if isinstance(base, pa.Schema):
+        return list(base)
+    out = []
+    for name, typ in zip(s.names, s.types):
+        if not isinstance(typ, pa.DataType):
+            typ = pa.from_numpy_dtype(typ)
+        out.append(pa.field(name, typ))
+    return out
+
+
+def _int_cols(fields: list[pa.Field], names: list[str]) -> list[str]:
+    """Columns to restore to int64 after the side-split: the union pads
+    each side's missing columns with nulls, so pandas widens ints to
+    float64 inside the bucket group — slicing one side back out leaves
+    the widened dtype unless we re-cast (ints are canonicalized to
+    int64, matching the oracle compare)."""
+    out = []
+    for f in fields:
+        if f.name in names and (pa.types.is_integer(f.type) or pa.types.is_boolean(f.type)):
+            out.append(f.name)
+    return out
+
+
+def _default_buckets() -> int:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2 * ncpu, 16)
+
+
+def _bucket_of(arr: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized key→bucket (splitmix-style mix for int
+    keys; pandas hash_array for everything else)."""
+    if np.issubdtype(arr.dtype, np.integer):
+        x = arr.astype(np.uint64)
+        x = (x ^ (x >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> 27)) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> 31
+    else:
+        x = pd.util.hash_array(arr)
+    return (x % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _tagged_union(
+    left: rd.Dataset, right: rd.Dataset, by: str, n_buckets: int
+) -> rd.Dataset:
+    """Bucket + side-tag both inputs and union them under one schema so a
+    single groupby co-partitions the join."""
+    lschema = _arrow_fields(left)
+    rschema = _arrow_fields(right)
+    lcols = [f.name for f in lschema]
+    rcols = [f.name for f in rschema]
+    all_fields: list[pa.Field] = []
+    seen = set()
+    for f in lschema + rschema:
+        if f.name not in seen:
+            seen.add(f.name)
+            all_fields.append(pa.field(f.name, f.type))
+    unified = pa.schema(all_fields)
+
+    def make_tagger(side: int, have: list[str]):
+        def tag(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for f in unified:
+                if f.name in have:
+                    cols[f.name] = t[f.name].cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, type=f.type)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            key = t[by].to_numpy(zero_copy_only=False)
+            cols["__bucket"] = pa.array(_bucket_of(key, n_buckets))
+            return pa.table(cols)
+
+        return tag
+
+    lt = left.map_batches(make_tagger(0, lcols), batch_format="pyarrow")
+    rt = right.map_batches(make_tagger(1, rcols), batch_format="pyarrow")
+    return lt.union(rt)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    allow_exact_matches: bool = True,
+    fill_value: dict[str, int | float] | None = None,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """For every left row, attach the most recent right row of the same
+    ``by`` key with ``right.on <= left.on`` (DuckDB ``ASOF LEFT JOIN``
+    semantics; strict ``<`` when allow_exact_matches=False).
+
+    ``right_cols`` are carried from the matched right row (renamed with
+    ``suffix`` when they collide with a left column); unmatched left rows
+    get nulls.  ``fill_value`` maps OUTPUT column names to a sentinel for
+    the unmatched rows — required for integer right columns, otherwise a
+    bucket with an unmatched row emits float64 while an all-matched
+    bucket emits int64 and the block schemas diverge.  Ties on (by, on)
+    are broken by right input order within the bucket — the test corpus
+    has no (by, on) duplicates (checked).
+    """
+    n_buckets = n_buckets or _default_buckets()
+    lfields = _arrow_fields(left)
+    lcols = [f.name for f in lfields]
+    rkeep = list(dict.fromkeys([by, on, *right_cols]))
+    rename = {c: (c + suffix if c in lcols else c) for c in right_cols if c != by}
+    fill = fill_value or {}
+    u = _tagged_union(left, right.select_columns(rkeep), by, n_buckets)
+
+    l_ints = _int_cols(lfields, lcols)
+    r_ints = _int_cols(_arrow_fields(right), rkeep)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0]
+        rf = g[g["__side"] == 1]
+        lf = lf[lcols].astype({c: np.int64 for c in l_ints}).sort_values(on, kind="mergesort")
+        rf = rf[rkeep].astype({c: np.int64 for c in r_ints}).sort_values(on, kind="mergesort")
+        merged = pd.merge_asof(
+            lf,
+            rf.rename(columns=rename),
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", suffix),
+        )
+        for col, v in fill.items():
+            dt = rf[{v: k for k, v in rename.items()}.get(col, col)].dtype
+            merged[col] = merged[col].fillna(v).astype(dt)
+        return merged
+
+    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join_agg(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    by: str,
+    lower_us: int,
+    upper_us: int,
+    value_col: str | None = None,
+    value_scale: int = 100,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Windowed range-join aggregate: for every left row, the COUNT (and
+    optional SUM of ``value_col``) of right rows with the same ``by`` key
+    and ``right.on`` in ``[left.on + lower_us, left.on + upper_us)``
+    (half-open, microsecond offsets, lower_us < upper_us <= 0 typical
+    for a look-back window).
+
+    Implementation: per-key cumulative count/sum over the right side and
+    TWO as-of probes — cum(< t+upper) − cum(< t+lower) — so the window
+    width never multiplies work.  Sums run in integers (``value_scale``
+    fixed-point, default cents) so the cumulative-difference trick stays
+    exact; the output ``sum_win`` is scaled back to float.
+
+    Output: all left columns + ``n_win`` (int64) [+ ``sum_win``].
+    """
+    n_buckets = n_buckets or _default_buckets()
+    lfields = _arrow_fields(left)
+    lcols = [f.name for f in lfields]
+    rkeep = [by, on] + ([value_col] if value_col else [])
+    u = _tagged_union(left, right.select_columns(rkeep), by, n_buckets)
+
+    l_ints = _int_cols(lfields, lcols)
+    r_ints = _int_cols(_arrow_fields(right), rkeep)
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][lcols].astype({c: np.int64 for c in l_ints}).copy()
+        rf = (
+            g[g["__side"] == 1][rkeep]
+            .astype({c: np.int64 for c in r_ints})
+            .sort_values(on, kind="mergesort")
+            .copy()
+        )
+        rf["__cum_n"] = rf.groupby(by, sort=False).cumcount() + 1
+        if value_col:
+            cents = np.round(rf[value_col].to_numpy(dtype=np.float64) * value_scale)
+            rf["__cents"] = cents.astype(np.int64)
+            rf["__cum_s"] = rf.groupby(by, sort=False)["__cents"].cumsum()
+        probe_cols = [by, on, "__cum_n"] + (["__cum_s"] if value_col else [])
+        probe = rf[probe_cols]
+
+        t = lf[on]
+        is_dt = pd.api.types.is_datetime64_any_dtype(t)
+        if is_dt:
+            # keep the source resolution — timedelta addition promotes
+            # us→ns and merge_asof requires exactly-matching key dtypes
+            lo = (t + pd.to_timedelta(lower_us, "us")).astype(t.dtype)
+            hi = (t + pd.to_timedelta(upper_us, "us")).astype(t.dtype)
+        else:
+            lo, hi = t + lower_us, t + upper_us
+
+        def cum_at(bound: pd.Series) -> pd.DataFrame:
+            q = lf[[by]].copy()
+            q["__b"] = bound.to_numpy()
+            q["__row"] = np.arange(len(q))
+            q = q.sort_values("__b", kind="mergesort")
+            m = pd.merge_asof(
+                q,
+                probe.rename(columns={on: "__b"}),
+                on="__b",
+                by=by,
+                direction="backward",
+                allow_exact_matches=False,  # strictly-less-than → half-open window
+            ).sort_values("__row", kind="mergesort")
+            return m
+
+        m_hi, m_lo = cum_at(hi), cum_at(lo)
+        out = lf.reset_index(drop=True)
+        n_hi = m_hi["__cum_n"].fillna(0).to_numpy(dtype=np.int64)
+        n_lo = m_lo["__cum_n"].fillna(0).to_numpy(dtype=np.int64)
+        out["n_win"] = n_hi - n_lo
+        if value_col:
+            s_hi = m_hi["__cum_s"].fillna(0).to_numpy(dtype=np.int64)
+            s_lo = m_lo["__cum_s"].fillna(0).to_numpy(dtype=np.int64)
+            out["sum_win"] = (s_hi - s_lo) / float(value_scale)
+        return out
+
+    return u.groupby("__bucket").map_groups(agg_bucket, batch_format="pandas")

@@ -1,0 +1,180 @@
+"""Tests for stages/joins.py: as-of join and range-join aggregate.
+
+Correctness model: a single-process pandas/brute-force reference over
+small synthetic frames; distribution invariants (bucket-count
+independence) pin that the hash co-partition does not change results.
+The sf-table versions (q44/q45) are oracle-checked against DuckDB in
+test_queries.py / the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ethereum_raw_data_crawler_ray.stages.joins import asof_join, range_join_agg
+
+RNG = np.random.default_rng(7)
+
+
+def _events(n: int, n_users: int, start="2024-01-01") -> pd.DataFrame:
+    ts = pd.Timestamp(start) + pd.to_timedelta(
+        np.sort(RNG.integers(0, 30 * 86_400_000_000, size=n)), "us"
+    )
+    return pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "uid": RNG.integers(0, n_users, size=n).astype(np.int64),
+            "value": np.round(RNG.uniform(0.01, 50.0, size=n), 2),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def frames():
+    left = _events(400, 23)
+    right = _events(700, 23).rename(columns={"eid": "rid"})
+    return left, right
+
+
+def _ref_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    r = right[["uid", "ts", "rid"]].sort_values("ts", kind="mergesort")
+    m = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"), r,
+        on="ts", by="uid", direction="backward",
+    )
+    m["rid"] = m["rid"].fillna(-1).astype(np.int64)
+    return m.sort_values("eid").reset_index(drop=True)
+
+
+def test_asof_join_matches_pandas(frames):
+    left, right = frames
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right[["rid", "ts", "uid"]]),
+            on="ts", by="uid", right_cols=["rid"],
+            fill_value={"rid": -1}, n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    ref = _ref_asof(left, right)
+    pd.testing.assert_frame_equal(
+        out[["eid", "uid", "rid"]], ref[["eid", "uid", "rid"]]
+    )
+
+
+def test_asof_bucket_count_invariance(frames):
+    """The co-partition is an implementation detail: 1 bucket (single
+    group) and 7 buckets must give identical results."""
+    left, right = frames
+    outs = []
+    for nb in (1, 7):
+        outs.append(
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right[["rid", "ts", "uid"]]),
+                on="ts", by="uid", right_cols=["rid"],
+                fill_value={"rid": -1}, n_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_asof_empty_right(frames):
+    """No right rows at all → every left row gets the sentinel."""
+    left, right = frames
+    empty = right[["rid", "ts", "uid"]].iloc[:0]
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(empty),
+            on="ts", by="uid", right_cols=["rid"],
+            fill_value={"rid": -1}, n_buckets=3,
+        )
+        .to_pandas()
+    )
+    assert len(out) == len(left)
+    assert (out["rid"] == -1).all()
+
+
+def test_asof_strict_inequality(frames):
+    """allow_exact_matches=False must never match a right row at the
+    exact same timestamp."""
+    left, _ = frames
+    # right = left itself: backward-strict can only match EARLIER rows
+    right = left.rename(columns={"eid": "rid"})[["rid", "ts", "uid"]]
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", by="uid", right_cols=["rid"],
+            allow_exact_matches=False, fill_value={"rid": -1}, n_buckets=4,
+        )
+        .to_pandas()
+    )
+    merged = out.merge(left[["eid", "ts"]], on="eid", suffixes=("", "_l"))
+    matched = merged[merged["rid"] >= 0].merge(
+        left[["eid", "ts"]].rename(columns={"eid": "rid", "ts": "ts_r"}), on="rid"
+    )
+    assert (matched["ts_r"] < matched["ts_l"]).all()
+    # each user's earliest row has nothing strictly earlier
+    first = left.sort_values("ts").groupby("uid").head(1)
+    sentinel = out.set_index("eid").loc[first["eid"], "rid"]
+    assert (sentinel == -1).all()
+
+
+def _ref_range(left, right, lower_us, upper_us):
+    """O(n·m) reference for the windowed aggregate."""
+    rows = []
+    for _, lrow in left.iterrows():
+        lo = lrow["ts"] + pd.to_timedelta(lower_us, "us")
+        hi = lrow["ts"] + pd.to_timedelta(upper_us, "us")
+        sel = right[(right["uid"] == lrow["uid"]) & (right["ts"] >= lo) & (right["ts"] < hi)]
+        rows.append(
+            (lrow["eid"], len(sel), round(float(np.round(sel["value"] * 100).sum()) / 100, 2))
+        )
+    return pd.DataFrame(rows, columns=["eid", "n_win", "sum_win"])
+
+
+def test_range_agg_matches_bruteforce(frames):
+    left, right = frames
+    W = 6 * 3_600_000_000  # 6-hour look-back
+    out = (
+        range_join_agg(
+            rd.from_pandas(left),
+            rd.from_pandas(right[["ts", "uid", "value"]]),
+            on="ts", by="uid", lower_us=-W, upper_us=0,
+            value_col="value", n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    ref = _ref_range(left, right, -W, 0).sort_values("eid").reset_index(drop=True)
+    assert (out["n_win"].to_numpy() == ref["n_win"].to_numpy()).all()
+    assert np.allclose(out["sum_win"].round(2), ref["sum_win"], rtol=0, atol=1e-9)
+    assert out["n_win"].sum() > 0  # the window is not degenerate
+
+
+def test_range_agg_count_only(frames):
+    left, right = frames
+    W = 3_600_000_000
+    out = (
+        range_join_agg(
+            rd.from_pandas(left),
+            rd.from_pandas(right[["ts", "uid"]]),
+            on="ts", by="uid", lower_us=-W, upper_us=0, n_buckets=3,
+        )
+        .to_pandas()
+    )
+    assert "sum_win" not in out.columns
+    ref = _ref_range(left, right.assign(value=0.0), -W, 0)
+    m = out.merge(ref, on="eid", suffixes=("", "_ref"))
+    assert (m["n_win"] == m["n_win_ref"]).all()
