@@ -777,9 +777,15 @@ def q44_asof_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    TS = pa.timestamp("us")
     joined = asof_join(
         purchases, clicks, on="ts", by="user_id",
         right_cols=["click_id", "click_ts"], fill_value={"click_id": -1},
+        # explicit schemas skip the ds.schema() sample executions
+        left_fields=[pa.field("event_id", pa.int64()), pa.field("ts", TS),
+                     pa.field("user_id", pa.int64())],
+        right_fields=[pa.field("click_id", pa.int64()), pa.field("ts", TS),
+                      pa.field("click_ts", TS), pa.field("user_id", pa.int64())],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -812,9 +818,14 @@ def q45_range_window_agg(sf_dir: str):
     clicks = ev.filter(expr="event_type == 'click'").select_columns(
         ["ts", "user_id", "value"]
     )
+    TS = pa.timestamp("us")
     out = range_join_agg(
         purchases, clicks, on="ts", by="user_id",
         lower_us=-3_600_000_000, upper_us=0, value_col="value",
+        left_fields=[pa.field("event_id", pa.int64()), pa.field("ts", TS),
+                     pa.field("user_id", pa.int64())],
+        right_fields=[pa.field("ts", TS), pa.field("user_id", pa.int64()),
+                      pa.field("value", pa.float64())],
     )
 
     def finish(t: pa.Table) -> pa.Table:

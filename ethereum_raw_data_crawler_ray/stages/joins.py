@@ -42,7 +42,12 @@ import ray.data as rd
 def _arrow_fields(ds: rd.Dataset) -> list[pa.Field]:
     """Dataset schema as pyarrow fields — Ray's Schema wraps either an
     arrow schema (parquet-backed) or a PandasBlockSchema (from_pandas),
-    whose types are numpy dtypes."""
+    whose types are numpy dtypes.
+
+    NOTE: ``ds.schema()`` on a transformed dataset triggers a small
+    sample execution; callers on a hot path should pass explicit
+    ``fields=[pa.field(...)]`` to asof_join / range_join_agg instead.
+    """
     s = ds.schema()
     base = s.base_schema
     if isinstance(base, pa.Schema):
@@ -89,12 +94,15 @@ def _bucket_of(arr: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _tagged_union(
-    left: rd.Dataset, right: rd.Dataset, by: str, n_buckets: int
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    n_buckets: int,
+    lschema: list[pa.Field],
+    rschema: list[pa.Field],
 ) -> rd.Dataset:
     """Bucket + side-tag both inputs and union them under one schema so a
     single groupby co-partitions the join."""
-    lschema = _arrow_fields(left)
-    rschema = _arrow_fields(right)
     lcols = [f.name for f in lschema]
     rcols = [f.name for f in rschema]
     all_fields: list[pa.Field] = []
@@ -137,6 +145,8 @@ def asof_join(
     allow_exact_matches: bool = True,
     fill_value: dict[str, int | float] | None = None,
     n_buckets: int | None = None,
+    left_fields: list[pa.Field] | None = None,
+    right_fields: list[pa.Field] | None = None,
 ) -> rd.Dataset:
     """For every left row, attach the most recent right row of the same
     ``by`` key with ``right.on <= left.on`` (DuckDB ``ASOF LEFT JOIN``
@@ -152,15 +162,16 @@ def asof_join(
     has no (by, on) duplicates (checked).
     """
     n_buckets = n_buckets or _default_buckets()
-    lfields = _arrow_fields(left)
+    lfields = left_fields or _arrow_fields(left)
     lcols = [f.name for f in lfields]
     rkeep = list(dict.fromkeys([by, on, *right_cols]))
     rename = {c: (c + suffix if c in lcols else c) for c in right_cols if c != by}
     fill = fill_value or {}
-    u = _tagged_union(left, right.select_columns(rkeep), by, n_buckets)
+    rfields = [f for f in (right_fields or _arrow_fields(right)) if f.name in rkeep]
+    u = _tagged_union(left, right.select_columns(rkeep), by, n_buckets, lfields, rfields)
 
     l_ints = _int_cols(lfields, lcols)
-    r_ints = _int_cols(_arrow_fields(right), rkeep)
+    r_ints = _int_cols(rfields, rkeep)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == 0]
@@ -195,6 +206,8 @@ def range_join_agg(
     value_col: str | None = None,
     value_scale: int = 100,
     n_buckets: int | None = None,
+    left_fields: list[pa.Field] | None = None,
+    right_fields: list[pa.Field] | None = None,
 ) -> rd.Dataset:
     """Windowed range-join aggregate: for every left row, the COUNT (and
     optional SUM of ``value_col``) of right rows with the same ``by`` key
@@ -211,13 +224,14 @@ def range_join_agg(
     Output: all left columns + ``n_win`` (int64) [+ ``sum_win``].
     """
     n_buckets = n_buckets or _default_buckets()
-    lfields = _arrow_fields(left)
+    lfields = left_fields or _arrow_fields(left)
     lcols = [f.name for f in lfields]
     rkeep = [by, on] + ([value_col] if value_col else [])
-    u = _tagged_union(left, right.select_columns(rkeep), by, n_buckets)
+    rfields = [f for f in (right_fields or _arrow_fields(right)) if f.name in rkeep]
+    u = _tagged_union(left, right.select_columns(rkeep), by, n_buckets, lfields, rfields)
 
     l_ints = _int_cols(lfields, lcols)
-    r_ints = _int_cols(_arrow_fields(right), rkeep)
+    r_ints = _int_cols(rfields, rkeep)
 
     def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == 0][lcols].astype({c: np.int64 for c in l_ints}).copy()
