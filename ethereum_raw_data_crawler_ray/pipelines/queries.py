@@ -841,6 +841,38 @@ def q45_range_window_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q46_percentiles(sf_dir: str):
+    """Exact distributed order statistics (stages/sketches.py): p25/50/
+    90/99 of order totalprice via two-pass sparse-histogram refinement —
+    shuffle is O(histogram), never O(n); no global sort."""
+    from ..stages.sketches import exact_quantiles
+
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+    return exact_quantiles(ds, "o_totalprice", [0.25, 0.5, 0.9, 0.99])
+
+
+def q47_heavy_hitters(sf_dir: str):
+    """Heavy hitters with exact counts (stages/sketches.py): top-10
+    customers by order count — per-batch top-m partials (MG/space-saving
+    shape) then an exact recount of candidates; ties broken by key."""
+    from ..stages.sketches import heavy_hitters
+
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+    out = heavy_hitters(ds, "o_custkey", 10)
+    return out.rename(columns={"key": "o_custkey"})
+
+
+def q48_distinct_hll(sf_dir: str):
+    """Approximate distinct count (HyperLogLog, stages/sketches.py):
+    no SQL oracle (approximate by design) — the ±1.04/√m error bound
+    vs the exact count is pinned in tests/test_sketches.py."""
+    from ..stages.sketches import hll_distinct
+
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+    est = hll_distinct(ds, "o_custkey", p=14)
+    return pd.DataFrame({"distinct_est": [round(est)]})
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -891,6 +923,9 @@ QUERIES = {
     "q43_crawl_health": q43_crawl_health,
     "q44_asof_join": q44_asof_join,
     "q45_range_window_agg": q45_range_window_agg,
+    "q46_percentiles": q46_percentiles,
+    "q47_heavy_hitters": q47_heavy_hitters,
+    "q48_distinct_hll": q48_distinct_hll,
 }
 
 ORACLE_SQL = {
@@ -1048,5 +1083,19 @@ ORACLE_SQL = {
           ON c.user_id = p.user_id
          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         GROUP BY p.event_id, p.user_id
+    """,
+    "q46_percentiles": """
+        SELECT 0.25 AS q, ROUND(quantile_disc(o_totalprice, 0.25), 6) AS value FROM orders
+        UNION ALL
+        SELECT 0.5, ROUND(quantile_disc(o_totalprice, 0.5), 6) FROM orders
+        UNION ALL
+        SELECT 0.9, ROUND(quantile_disc(o_totalprice, 0.9), 6) FROM orders
+        UNION ALL
+        SELECT 0.99, ROUND(quantile_disc(o_totalprice, 0.99), 6) FROM orders
+    """,
+    "q47_heavy_hitters": """
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+        ORDER BY n DESC, o_custkey LIMIT 10
     """,
 }

@@ -1,0 +1,238 @@
+"""Sketch / order-statistics operators for the 100-TB pipeline
+(SURVEY.md §2.6 extension; "novel sketch" slot of the operator brief).
+
+Three operators, each with a different exactness contract:
+
+- ``exact_quantiles``: EXACT distributed order statistics without a
+  global sort — pass 1 builds a sparse fixed-point histogram (one small
+  groupby over ≤ n_hist distinct bucket ids), the driver locates the
+  target bucket per quantile from the tiny cumulative histogram, pass 2
+  re-reads ONLY the rows in the target buckets (predicate-pushdown
+  filter, ~n/n_hist rows) and picks the exact k-th element.  Shuffle
+  volume is O(n_hist), never O(n).
+- ``heavy_hitters``: top-k by frequency with a candidate pass (per-batch
+  top-m partial counts — the Misra-Gries/space-saving shape) and an
+  EXACT recount of the surviving candidates.  Exact whenever per-batch
+  distinct ≤ m (no truncation); on skewed data the truncated path keeps
+  every key with true count > Σᵢ errᵢ (tested on zipf input).
+- ``hll_distinct``: HyperLogLog distinct count — per-batch register
+  blobs, elementwise-max merged in a tree (never n rows to the driver),
+  ±1.04/√m relative error (property-tested against the exact count).
+
+All three follow the combiner discipline: per-batch partials are tiny
+(≤ m rows / one blob), so the wide step ships kilobytes per block no
+matter how big the block is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+# ==========================================================================
+# exact distributed quantiles (two-pass histogram refinement)
+# ==========================================================================
+def exact_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    scale: int = 100,
+    n_hist: int = 1 << 16,
+) -> pd.DataFrame:
+    """Exact ``quantile_disc`` values of ``ds[col]`` for each q in
+    ``qs`` (the element at 0-based index max(0, ceil(q·n)−1) of the
+    sorted column — DuckDB's quantile_disc definition).
+
+    ``scale`` fixes the decimal precision (100 = cents); values are
+    histogrammed in fixed-point so bucket membership is exact.  Two
+    linear passes, no global sort: the only wide op is a groupby over at
+    most ``n_hist`` distinct bucket ids.
+    """
+    lohi = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t[col]).as_py()], type=pa.float64()),
+                "hi": pa.array([pc.max(t[col]).as_py()], type=pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo_c = int(np.floor(lohi["lo"].min() * scale))
+    hi_c = int(np.ceil(lohi["hi"].max() * scale))
+    width = max(1, (hi_c - lo_c + n_hist) // n_hist)  # cents per bucket
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t[col].to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        b = (cents - lo_c) // width
+        ids, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ids), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    cum = h["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    buckets = h["bucket"].to_numpy()
+
+    # locate each quantile's target bucket from the tiny cumulative hist
+    wants = []  # (q, k, target_bucket, rows_before_bucket)
+    for q in qs:
+        # DuckDB quantile_disc rank rule (verified empirically):
+        # the element at 0-based index max(0, ceil(q·n) − 1)
+        k = max(0, int(np.ceil(q * n)) - 1)
+        bi = int(np.searchsorted(cum, k + 1))
+        wants.append((q, k, int(buckets[bi]), int(cum[bi - 1]) if bi > 0 else 0))
+    targets = np.array(sorted({w[2] for w in wants}), dtype=np.int64)
+
+    # pass 2: ONE filtered scan fetching only the target buckets' rows
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        cents = np.round(v * scale).astype(np.int64)
+        b = (cents - lo_c) // width
+        m = np.isin(b, targets)
+        return pa.table({col: pa.array(v[m]), "bucket": pa.array(b[m])})
+
+    rows = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    out = []
+    for q, k, target, before in wants:
+        vals = np.sort(rows.loc[rows["bucket"] == target, col].to_numpy())
+        out.append((q, round(float(vals[k - before]), 6)))
+    return pd.DataFrame(out, columns=["q", "value"])
+
+
+# ==========================================================================
+# heavy hitters (partial top-m + exact recount)
+# ==========================================================================
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    k: int,
+    *,
+    n_counters: int = 4096,
+) -> pd.DataFrame:
+    """Top-``k`` values of ``ds[col]`` by frequency with EXACT counts.
+
+    Candidate pass: each batch emits its top-``n_counters`` local counts
+    (plus the largest truncated count as its error bound).  A key
+    whose true count exceeds Σ batch-errors cannot be missed — on
+    batches whose local distinct ≤ n_counters the error is 0 and the
+    result is unconditionally exact.  Recount pass: exact groupby-count
+    restricted to the candidate keys, then top-k (ties broken by key).
+    Shuffle volume: ≤ n_counters rows per batch, then |candidates| rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(vals, return_counts=True)
+        if len(keys) > n_counters:
+            keep = np.argsort(counts)[::-1][:n_counters]
+            err = int(counts[np.argsort(counts)[::-1][n_counters]])
+            keys, counts = keys[keep], counts[keep]
+        else:
+            err = 0
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "n": pa.array(counts.astype(np.int64)),
+                "err": pa.array(np.full(len(keys), err, dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n_lower"), Max("err", alias_name="err"))
+        .to_pandas()
+    )
+    # every key that survived any batch's top-m is a candidate; a key
+    # absent everywhere has global count ≤ Σ batch-errors (MG bound)
+    cand_keys = np.sort(cand["key"].to_numpy())
+
+    def recount(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        m = np.isin(vals, cand_keys)
+        kk, cc = np.unique(vals[m], return_counts=True)
+        return pa.table({"key": pa.array(kk), "n": pa.array(cc.astype(np.int64))})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    exact = exact.sort_values(["n", "key"], ascending=[False, True], kind="mergesort")
+    out = exact.head(k).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+# ==========================================================================
+# HyperLogLog distinct count
+# ==========================================================================
+def _hll_registers(vals: np.ndarray, p: int) -> np.ndarray:
+    """Register array (2^p uint8) for a batch of values."""
+    h = pd.util.hash_array(np.asarray(vals)).astype(np.uint64)
+    m = np.uint64((1 << p) - 1)
+    idx = (h & m).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rank = position of the first set bit in the remaining 64-p bits
+    nz = w != 0
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    if nz.any():
+        # trailing-zeros via bit tricks: isolate lowest set bit, log2
+        low = (w[nz] & (~w[nz] + np.uint64(1))).astype(np.float64)
+        rank[nz] = (np.log2(low).astype(np.uint8) + 1).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_distinct(ds: rd.Dataset, col: str, *, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch HLL register blobs,
+    tree-merged by elementwise max (a merge stage halves the blob count
+    so the driver never sees more than a handful), standard HLL
+    estimator with small-range correction.  Error ~1.04/√(2^p)."""
+
+    def blob(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(t[col].to_numpy(zero_copy_only=False), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for b in t["regs"].to_pylist():
+            acc = np.maximum(acc, np.frombuffer(b, dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], type=pa.binary())})
+
+    blobs = (
+        ds.map_batches(blob, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for b in blobs["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+
+    m = float(1 << p)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for the small range
+    return float(est)

@@ -1,0 +1,100 @@
+"""Tests for stages/sketches.py: exact quantiles, heavy hitters, HLL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ethereum_raw_data_crawler_ray.stages.sketches import (
+    exact_quantiles,
+    heavy_hitters,
+    hll_distinct,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _duck_rank(q: float, n: int) -> int:
+    return max(0, int(np.ceil(q * n)) - 1)
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_reference(self):
+        vals = np.round(RNG.lognormal(4.0, 1.0, size=20_000), 2)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+        qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+        out = exact_quantiles(ds, "x", qs, n_hist=1 << 12)
+        sv = np.sort(vals)
+        for q, got in zip(out["q"], out["value"]):
+            assert got == round(float(sv[_duck_rank(q, len(sv))]), 6), q
+
+    def test_single_value_column(self):
+        ds = rd.from_pandas(pd.DataFrame({"x": np.full(100, 7.77)}))
+        out = exact_quantiles(ds, "x", [0.5])
+        assert out["value"].iloc[0] == 7.77
+
+    def test_coarse_histogram_still_exact(self):
+        """Exactness must not depend on histogram resolution — a tiny
+        n_hist only grows the pass-2 fetch, never changes the answer."""
+        vals = np.round(RNG.uniform(0, 1000, size=5_000), 2)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(4)
+        a = exact_quantiles(ds, "x", [0.5, 0.9], n_hist=16)
+        b = exact_quantiles(ds, "x", [0.5, 0.9], n_hist=1 << 16)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestHeavyHitters:
+    def test_exact_topk_on_zipf_with_truncation(self):
+        """Per-batch truncation to 32 counters on zipf-skewed keys must
+        still recover the exact top-10 (the MG candidate guarantee)."""
+        keys = RNG.zipf(1.4, size=50_000) % 10_000
+        ds = rd.from_pandas(pd.DataFrame({"k": keys.astype(np.int64)})).repartition(16)
+        out = heavy_hitters(ds, "k", 10, n_counters=32)
+        ref = (
+            pd.Series(keys).value_counts().rename_axis("key").reset_index(name="n")
+            .sort_values(["n", "key"], ascending=[False, True], kind="mergesort")
+            .head(10).reset_index(drop=True)
+        )
+        assert out["key"].tolist() == ref["key"].tolist()
+        assert out["n"].tolist() == ref["n"].tolist()
+
+    def test_exact_when_no_truncation(self):
+        keys = RNG.integers(0, 50, size=2_000)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys.astype(np.int64)}))
+        out = heavy_hitters(ds, "k", 5, n_counters=4096)
+        ref = (
+            pd.Series(keys).value_counts().rename_axis("key").reset_index(name="n")
+            .sort_values(["n", "key"], ascending=[False, True], kind="mergesort")
+            .head(5).reset_index(drop=True)
+        )
+        assert out["key"].tolist() == ref["key"].tolist()
+        assert out["n"].tolist() == ref["n"].tolist()
+
+    def test_string_keys(self):
+        keys = np.array([f"host{i % 7}.example" for i in range(700)])
+        ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+        out = heavy_hitters(ds, "k", 3)
+        assert len(out) == 3
+        assert (out["n"] == 100).all()
+        assert out["key"].tolist() == sorted(out["key"].tolist())  # tie → key order
+
+
+class TestHLL:
+    def test_error_bound(self):
+        for card in (500, 5_000, 40_000):
+            vals = RNG.integers(0, card * 100, size=card)  # ~card distinct draws
+            exact = len(np.unique(vals))
+            ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(8)
+            est = hll_distinct(ds, "k", p=14)
+            # 1.04/sqrt(2^14) ≈ 0.8 %; allow 5 sigma
+            assert abs(est - exact) / exact < 0.05, (card, est, exact)
+
+    def test_partition_invariance(self):
+        """Register merge is associative: the estimate must not depend
+        on how the input is blocked."""
+        vals = RNG.integers(0, 10_000, size=20_000)
+        df = pd.DataFrame({"k": vals})
+        a = hll_distinct(rd.from_pandas(df).repartition(2), "k", p=12)
+        b = hll_distinct(rd.from_pandas(df).repartition(17), "k", p=12)
+        assert a == b
