@@ -873,6 +873,25 @@ def q48_distinct_hll(sf_dir: str):
     return pd.DataFrame({"distinct_est": [round(est)]})
 
 
+def q49_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling (stages/sampling.py): exactly
+    min(50, |group|) docs per language by smallest keyed hash; this
+    query reports the per-group sample sizes (the sampled-id properties
+    — determinism, partition-invariance, hash-rank choice — are pinned
+    in tests/test_sampling.py)."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    sample = stratified_sample(ds, "lang", "doc_id", 50)
+    out = (
+        sample.groupby("lang")
+        .aggregate(Count(alias_name="n_sampled"))
+        .to_pandas()
+    )
+    out["n_sampled"] = out["n_sampled"].astype(np.int64)
+    return out
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -926,6 +945,7 @@ QUERIES = {
     "q46_percentiles": q46_percentiles,
     "q47_heavy_hitters": q47_heavy_hitters,
     "q48_distinct_hll": q48_distinct_hll,
+    "q49_stratified_sample": q49_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1097,5 +1117,9 @@ ORACLE_SQL = {
         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
         FROM orders GROUP BY o_custkey
         ORDER BY n DESC, o_custkey LIMIT 10
+    """,
+    "q49_stratified_sample": """
+        SELECT lang, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_sampled
+        FROM documents GROUP BY lang
     """,
 }
