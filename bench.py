@@ -131,6 +131,7 @@ def run_bench() -> dict:
     qnames = [
         "q01_pricing_summary", "q10_revenue_by_nation", "q20_exact_dedup",
         "q26_minhash_pairs", "q28_knn_brute", "q31_window_tumbling",
+        "q44_asof_join", "q46_percentiles",  # round 3: joins + order stats
     ]
     qtimes = {}
     for name in qnames:

@@ -892,6 +892,19 @@ def q49_stratified_sample(sf_dir: str):
     return out
 
 
+def q50_grouped_percentiles(sf_dir: str):
+    """Per-group exact order statistics (stages/sketches.py): median and
+    p90 of document length per language via the (group, bucket) sparse
+    histogram two-pass — no per-group sort, no full shuffle."""
+    from ..stages.sketches import grouped_quantiles
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_quantiles(ds, "lang", "n_chars", [0.5, 0.9], scale=1)
+    out["value"] = out["value"].astype(np.float64)
+    out["q"] = out["q"].astype(np.float64)
+    return out
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -946,6 +959,7 @@ QUERIES = {
     "q47_heavy_hitters": q47_heavy_hitters,
     "q48_distinct_hll": q48_distinct_hll,
     "q49_stratified_sample": q49_stratified_sample,
+    "q50_grouped_percentiles": q50_grouped_percentiles,
 }
 
 ORACLE_SQL = {
@@ -1120,6 +1134,15 @@ ORACLE_SQL = {
     """,
     "q49_stratified_sample": """
         SELECT lang, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_sampled
+        FROM documents GROUP BY lang
+    """,
+    "q50_grouped_percentiles": """
+        SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+               CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS value
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.9 AS DOUBLE),
+               CAST(quantile_disc(n_chars, 0.9) AS DOUBLE)
         FROM documents GROUP BY lang
     """,
 }

@@ -142,15 +142,19 @@ def asof_join(
     by: str,
     right_cols: list[str],
     suffix: str = "_r",
+    direction: str = "backward",
     allow_exact_matches: bool = True,
     fill_value: dict[str, int | float] | None = None,
     n_buckets: int | None = None,
     left_fields: list[pa.Field] | None = None,
     right_fields: list[pa.Field] | None = None,
 ) -> rd.Dataset:
-    """For every left row, attach the most recent right row of the same
-    ``by`` key with ``right.on <= left.on`` (DuckDB ``ASOF LEFT JOIN``
-    semantics; strict ``<`` when allow_exact_matches=False).
+    """For every left row, attach the closest right row of the same
+    ``by`` key: ``direction="backward"`` (default) takes the most recent
+    right row with ``right.on <= left.on`` (DuckDB ``ASOF LEFT JOIN``
+    semantics; strict ``<`` when allow_exact_matches=False);
+    ``"forward"`` the earliest with ``right.on >= left.on``;
+    ``"nearest"`` whichever is closer in ``on``.
 
     ``right_cols`` are carried from the matched right row (renamed with
     ``suffix`` when they collide with a left column); unmatched left rows
@@ -183,7 +187,7 @@ def asof_join(
             rf.rename(columns=rename),
             on=on,
             by=by,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=allow_exact_matches,
             suffixes=("", suffix),
         )

@@ -115,6 +115,96 @@ def exact_quantiles(
     return pd.DataFrame(out, columns=["q", "value"])
 
 
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    scale: int = 100,
+    n_hist: int = 1 << 16,
+) -> pd.DataFrame:
+    """Per-group exact ``quantile_disc``: the same two-pass histogram
+    refinement as :func:`exact_quantiles`, with (group, bucket) keys.
+
+    The driver holds one sparse histogram row per (group, touched
+    bucket) — designed for group cardinalities up to ~10^5 (languages,
+    sources, shards), not per-user groups; pass 2 fetches only the rows
+    of each group's target buckets."""
+    lohi = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t[col]).as_py()], type=pa.float64()),
+                "hi": pa.array([pc.max(t[col]).as_py()], type=pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo_c = int(np.floor(lohi["lo"].min() * scale))
+    hi_c = int(np.ceil(lohi["hi"].max() * scale))
+    width = max(1, (hi_c - lo_c + n_hist) // n_hist)
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t[group_col].to_numpy(zero_copy_only=False),
+                "bucket": (
+                    np.round(t[col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+                    - lo_c
+                )
+                // width,
+            }
+        )
+        out = df.groupby(["g", "bucket"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["g", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["g", "bucket"])
+    )
+
+    # per group: locate each quantile's target bucket
+    wants: list[tuple[object, float, int, int, int]] = []  # (g, q, k, bucket, before)
+    for g, hg in h.groupby("g", sort=False):
+        cum = hg["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        buckets = hg["bucket"].to_numpy()
+        for q in qs:
+            k = max(0, int(np.ceil(q * n)) - 1)
+            bi = int(np.searchsorted(cum, k + 1))
+            wants.append((g, q, k, int(buckets[bi]), int(cum[bi - 1]) if bi > 0 else 0))
+    targets = pd.DataFrame(
+        sorted({(w[0], w[3]) for w in wants}), columns=["g", "bucket"]
+    )
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "g": t[group_col].to_numpy(zero_copy_only=False),
+                "bucket": (np.round(v * scale).astype(np.int64) - lo_c) // width,
+                col: v,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.merge(targets, on=["g", "bucket"]), preserve_index=False
+        )
+
+    rows = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    out = []
+    for g, q, k, target, before in wants:
+        vals = np.sort(
+            rows.loc[(rows["g"] == g) & (rows["bucket"] == target), col].to_numpy()
+        )
+        out.append((g, q, round(float(vals[k - before]), 6)))
+    return pd.DataFrame(out, columns=[group_col, "q", "value"])
+
+
 # ==========================================================================
 # heavy hitters (partial top-m + exact recount)
 # ==========================================================================
@@ -141,24 +231,17 @@ def heavy_hitters(
         keys, counts = np.unique(vals, return_counts=True)
         if len(keys) > n_counters:
             keep = np.argsort(counts)[::-1][:n_counters]
-            err = int(counts[np.argsort(counts)[::-1][n_counters]])
             keys, counts = keys[keep], counts[keep]
-        else:
-            err = 0
         return pa.table(
-            {
-                "key": pa.array(keys),
-                "n": pa.array(counts.astype(np.int64)),
-                "err": pa.array(np.full(len(keys), err, dtype=np.int64)),
-            }
+            {"key": pa.array(keys), "n": pa.array(counts.astype(np.int64))}
         )
 
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     cand = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("key")
-        .aggregate(Sum("n", alias_name="n_lower"), Max("err", alias_name="err"))
+        .aggregate(Sum("n", alias_name="n_lower"))
         .to_pandas()
     )
     # every key that survived any batch's top-m is a candidate; a key

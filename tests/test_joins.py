@@ -130,6 +130,30 @@ def test_asof_strict_inequality(frames):
     assert (sentinel == -1).all()
 
 
+def test_asof_forward_direction(frames):
+    """direction='forward' matches pandas merge_asof forward exactly."""
+    left, right = frames
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right[["rid", "ts", "uid"]]),
+            on="ts", by="uid", right_cols=["rid"], direction="forward",
+            fill_value={"rid": -1}, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right[["uid", "ts", "rid"]].sort_values("ts", kind="mergesort"),
+        on="ts", by="uid", direction="forward",
+    )
+    ref["rid"] = ref["rid"].fillna(-1).astype(np.int64)
+    ref = ref.sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["eid", "rid"]], ref[["eid", "rid"]])
+
+
 def _ref_range(left, right, lower_us, upper_us):
     """O(n·m) reference for the windowed aggregate."""
     rows = []

@@ -44,6 +44,27 @@ class TestExactQuantiles:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestGroupedQuantiles:
+    def test_matches_per_group_reference(self):
+        from ethereum_raw_data_crawler_ray.stages.sketches import grouped_quantiles
+
+        df = pd.DataFrame(
+            {
+                "g": RNG.choice(["a", "b", "c"], size=9_000, p=[0.6, 0.3, 0.1]),
+                "x": np.round(RNG.lognormal(3.0, 0.8, size=9_000), 2),
+            }
+        )
+        out = grouped_quantiles(
+            rd.from_pandas(df).repartition(6), "g", "x", [0.1, 0.5, 0.95], n_hist=1 << 10
+        )
+        for g, sub in df.groupby("g"):
+            sv = np.sort(sub["x"].to_numpy())
+            for q in (0.1, 0.5, 0.95):
+                want = round(float(sv[_duck_rank(q, len(sv))]), 6)
+                got = out[(out["g"] == g) & (out["q"] == q)]["value"].iloc[0]
+                assert got == want, (g, q)
+
+
 class TestHeavyHitters:
     def test_exact_topk_on_zipf_with_truncation(self):
         """Per-batch truncation to 32 counters on zipf-skewed keys must
