@@ -97,7 +97,23 @@ def exact_quantiles(
         k = max(0, int(np.ceil(q * n)) - 1)
         bi = int(np.searchsorted(cum, k + 1))
         wants.append((q, k, int(buckets[bi]), int(cum[bi - 1]) if bi > 0 else 0))
+
+    if width == 1:
+        # every bucket is one exact fixed-point value — the histogram IS
+        # the answer; no second pass (also covers the degenerate
+        # all-rows-one-value case without a driver pull)
+        return pd.DataFrame(
+            [(q, round((lo_c + b) / scale, 6)) for q, _k, b, _ in wants],
+            columns=["q", "value"],
+        )
+
     targets = np.array(sorted({w[2] for w in wants}), dtype=np.int64)
+    fetch = int(h.set_index("bucket")["n"].loc[targets].sum())
+    if fetch > 50_000_000:
+        raise ValueError(
+            f"quantile refinement would pull {fetch} rows to the driver "
+            "(heavily repeated values?); raise n_hist or scale"
+        )
 
     # pass 2: ONE filtered scan fetching only the target buckets' rows
     def in_buckets(t: pa.Table) -> pa.Table:
@@ -178,6 +194,14 @@ def grouped_quantiles(
             k = max(0, int(np.ceil(q * n)) - 1)
             bi = int(np.searchsorted(cum, k + 1))
             wants.append((g, q, k, int(buckets[bi]), int(cum[bi - 1]) if bi > 0 else 0))
+
+    if width == 1:
+        # single-cent buckets: the histogram is exact (see exact_quantiles)
+        return pd.DataFrame(
+            [(g, q, round((lo_c + b) / scale, 6)) for g, q, _k, b, _ in wants],
+            columns=[group_col, "q", "value"],
+        )
+
     targets = pd.DataFrame(
         sorted({(w[0], w[3]) for w in wants}), columns=["g", "bucket"]
     )
@@ -217,11 +241,12 @@ def heavy_hitters(
 ) -> pd.DataFrame:
     """Top-``k`` values of ``ds[col]`` by frequency with EXACT counts.
 
-    Candidate pass: each batch emits its top-``n_counters`` local counts
-    (plus the largest truncated count as its error bound).  A key
-    whose true count exceeds Σ batch-errors cannot be missed — on
-    batches whose local distinct ≤ n_counters the error is 0 and the
-    result is unconditionally exact.  Recount pass: exact groupby-count
+    Candidate pass: each batch emits its top-``n_counters`` local
+    counts.  A key truncated everywhere has per-batch count ≤ each
+    batch's n_counters-th largest, so any key whose true count exceeds
+    the sum of those thresholds cannot be missed (the Misra-Gries
+    bound); on batches whose local distinct ≤ n_counters no truncation
+    happens and the result is unconditionally exact.  Recount pass: exact groupby-count
     restricted to the candidate keys, then top-k (ties broken by key).
     Shuffle volume: ≤ n_counters rows per batch, then |candidates| rows.
     """

@@ -44,6 +44,18 @@ class TestExactQuantiles:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestQuantileShortcut:
+    def test_width1_shortcut_equals_refinement(self):
+        """When buckets resolve to single fixed-point values the
+        histogram-only path must equal the two-pass refinement."""
+        vals = np.round(RNG.uniform(0, 100, size=6_000), 2)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(5)
+        qs = [0.1, 0.5, 0.99]
+        a = exact_quantiles(ds, "x", qs, n_hist=1 << 16)  # width == 1
+        b = exact_quantiles(ds, "x", qs, n_hist=1 << 10)  # refinement
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestGroupedQuantiles:
     def test_matches_per_group_reference(self):
         from ethereum_raw_data_crawler_ray.stages.sketches import grouped_quantiles
