@@ -43,6 +43,7 @@ def exact_quantiles(
     *,
     scale: int = 100,
     n_hist: int = 1 << 16,
+    max_fetch: int = 50_000_000,
 ) -> pd.DataFrame:
     """Exact ``quantile_disc`` values of ``ds[col]`` for each q in
     ``qs`` (the element at 0-based index max(0, ceil(q·n)−1) of the
@@ -109,7 +110,7 @@ def exact_quantiles(
 
     targets = np.array(sorted({w[2] for w in wants}), dtype=np.int64)
     fetch = int(h.set_index("bucket")["n"].loc[targets].sum())
-    if fetch > 50_000_000:
+    if fetch > max_fetch:
         raise ValueError(
             f"quantile refinement would pull {fetch} rows to the driver "
             "(heavily repeated values?); raise n_hist or scale"

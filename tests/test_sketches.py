@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from ethereum_raw_data_crawler_ray.stages.sketches import (
@@ -42,6 +43,16 @@ class TestExactQuantiles:
         a = exact_quantiles(ds, "x", [0.5, 0.9], n_hist=16)
         b = exact_quantiles(ds, "x", [0.5, 0.9], n_hist=1 << 16)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestQuantileGuard:
+    def test_oversized_refinement_raises(self):
+        """A hot bucket beyond max_fetch must fail loudly with advice,
+        not silently pull the rows to the driver."""
+        vals = np.round(np.full(4_000, 3.33) + RNG.uniform(0, 0.001, 4_000), 2)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals + RNG.integers(0, 2, 4_000) * 500}))
+        with pytest.raises(ValueError, match="raise n_hist"):
+            exact_quantiles(ds, "x", [0.25], n_hist=4, max_fetch=10)
 
 
 class TestQuantileShortcut:
