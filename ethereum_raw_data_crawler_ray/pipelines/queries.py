@@ -905,6 +905,16 @@ def q50_grouped_percentiles(sf_dir: str):
     return out
 
 
+def q51_topk_per_group(sf_dir: str):
+    """Exact per-group top-k (stages/sketches.py): the 3 longest docs
+    per language — batch-local top-k combiner, candidates-only groupby."""
+    from ..stages.sketches import topk_per_group
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = topk_per_group(ds, "lang", "n_chars", 3, tiebreak_col="doc_id")
+    return out.select_columns(["lang", "doc_id", "n_chars"])
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -960,6 +970,7 @@ QUERIES = {
     "q48_distinct_hll": q48_distinct_hll,
     "q49_stratified_sample": q49_stratified_sample,
     "q50_grouped_percentiles": q50_grouped_percentiles,
+    "q51_topk_per_group": q51_topk_per_group,
 }
 
 ORACLE_SQL = {
@@ -1144,5 +1155,14 @@ ORACLE_SQL = {
         SELECT lang, CAST(0.9 AS DOUBLE),
                CAST(quantile_disc(n_chars, 0.9) AS DOUBLE)
         FROM documents GROUP BY lang
+    """,
+    "q51_topk_per_group": """
+        SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 3
     """,
 }

@@ -230,6 +230,47 @@ def grouped_quantiles(
     return pd.DataFrame(out, columns=[group_col, "q", "value"])
 
 
+def topk_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    k: int,
+    *,
+    tiebreak_col: str,
+    descending: bool = True,
+) -> rd.Dataset:
+    """Exact top-``k`` rows per group by ``value_col`` (ties broken by
+    ``tiebreak_col`` ascending) — the per-source best-quality selection
+    of a training-data pipeline.
+
+    Combiner shape: each batch forwards at most k rows per group it
+    contains (batch-local top-k), so the final per-group rank sees
+    ≤ k·n_batches candidate rows, never the full group; the only wide
+    step is a groupby over those candidates.
+    """
+    asc = [not descending, True]
+    cols = [group_col, value_col, tiebreak_col]
+
+    def candidates(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = (
+            df.sort_values([value_col, tiebreak_col], ascending=asc, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([value_col, tiebreak_col], ascending=asc, kind="mergesort").head(k)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 # ==========================================================================
 # heavy hitters (partial top-m + exact recount)
 # ==========================================================================

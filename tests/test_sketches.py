@@ -124,6 +124,35 @@ class TestHeavyHitters:
         assert out["key"].tolist() == sorted(out["key"].tolist())  # tie → key order
 
 
+class TestTopkPerGroup:
+    def test_matches_pandas_reference(self):
+        from ethereum_raw_data_crawler_ray.stages.sketches import topk_per_group
+
+        df = pd.DataFrame(
+            {
+                "g": RNG.choice(["a", "b", "c", "d"], size=5_000),
+                "v": RNG.integers(0, 200, size=5_000).astype(np.int64),  # many ties
+                "id": np.arange(5_000, dtype=np.int64),
+            }
+        )
+        out = (
+            topk_per_group(
+                rd.from_pandas(df).repartition(9), "g", "v", 5, tiebreak_col="id"
+            )
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        ref = (
+            df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+            .groupby("g", sort=False)
+            .head(5)
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["g", "v", "id"]], ref[["g", "v", "id"]])
+
+
 class TestHLL:
     def test_error_bound(self):
         for card in (500, 5_000, 40_000):
