@@ -700,7 +700,7 @@ def _crawl_out(sf_dir: str) -> str:
     corpus = ensure_corpus(n_pages, n_hosts=40, n_seeds=16, base_dir="/tmp/q_corpus")
     # rev-keyed: a cached crawl from an older engine revision must not be
     # resumed/served after the engine's semantics change
-    rev = "r3"
+    rev = "r3b"  # bumped for the round-task packing change (c4e3d48)
     out_dir = f"/tmp/q_crawl_out/{rev}_{base}_{n_pages}"
     idx_dir = f"/tmp/q_crawl_idx/{rev}_{base}_{n_pages}"
     cfg = CrawlConfig(
