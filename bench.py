@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "q01_pricing_summary", "q10_revenue_by_nation", "q20_exact_dedup",
         "q26_minhash_pairs", "q28_knn_brute", "q31_window_tumbling",
         "q44_asof_join", "q46_percentiles",  # round 3: joins + order stats
+        "q52_inverted_index", "q55_jaccard_pairs",  # round 3: corpus index ops
     ]
     qtimes = {}
     for name in qnames:

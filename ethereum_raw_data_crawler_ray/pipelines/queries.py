@@ -915,6 +915,53 @@ def q51_topk_per_group(sf_dir: str):
     return out.select_columns(["lang", "doc_id", "n_chars"])
 
 
+def q52_inverted_index(sf_dir: str):
+    """Corpus vocabulary statistics (stages/corpus.py inverted index):
+    per token, document frequency + total term frequency. The shuffle
+    carries one row per distinct (token, doc) pair (per-batch combiner)."""
+    from ..stages.corpus import inverted_index
+
+    return inverted_index(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q53_tfidf_topk(sf_dir: str):
+    """Top-3 distinctive terms per document by tf×(N/df) — broadcast df
+    table, shuffle-free scoring pass (stages/corpus.tfidf_topk)."""
+    from ..stages.corpus import tfidf_topk
+
+    return tfidf_topk(_t(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+def q54_repetition_stats(sf_dir: str):
+    """Gopher-style repetition/quality signals per document
+    (stages/corpus.repetition_stats): distinct-token ratio, top-token
+    and top-bigram mass fractions."""
+    from ..stages.corpus import repetition_stats
+
+    return repetition_stats(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q55_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs ≥ 0.5 via the
+    inverted-gram join (stages/corpus.jaccard_ngram_pairs) — the oracle
+    for the Jaccard kernel that q27's MinHash path uses as its verifier."""
+    from ..stages.corpus import jaccard_ngram_pairs
+
+    return jaccard_ngram_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), k=3, threshold=0.5
+    )
+
+
+def q56_event_gaps(sf_dir: str):
+    """Per-user inter-event-gap statistics — the LAG window re-expressed
+    as one hash-bucket exchange + vectorized diff (stages/joins.keyed_gaps)."""
+    from ..stages.joins import keyed_gaps
+
+    return keyed_gaps(
+        _t(sf_dir, "events", ["user_id", "ts"]), by="user_id", ts_col="ts"
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -971,6 +1018,11 @@ QUERIES = {
     "q49_stratified_sample": q49_stratified_sample,
     "q50_grouped_percentiles": q50_grouped_percentiles,
     "q51_topk_per_group": q51_topk_per_group,
+    "q52_inverted_index": q52_inverted_index,
+    "q53_tfidf_topk": q53_tfidf_topk,
+    "q54_repetition_stats": q54_repetition_stats,
+    "q55_jaccard_pairs": q55_jaccard_pairs,
+    "q56_event_gaps": q56_event_gaps,
 }
 
 ORACLE_SQL = {
@@ -1164,5 +1216,104 @@ ORACLE_SQL = {
                    ) AS rn
             FROM documents
         ) WHERE rn <= 3
+    """,
+    "q52_inverted_index": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), per AS (
+            SELECT token, doc_id, COUNT(*) AS tf_doc FROM tok
+            WHERE token <> '' GROUP BY token, doc_id
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf_doc) AS BIGINT) AS tf
+        FROM per GROUP BY token
+    """,
+    "q53_tfidf_topk": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), per AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok
+            WHERE token <> '' GROUP BY doc_id, token
+        ), dft AS (
+            SELECT token, COUNT(*) AS df FROM per GROUP BY token
+        ), scored AS (
+            SELECT p.doc_id, p.token, p.tf, d.df,
+                   p.tf * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                           / d.df) AS score
+            FROM per p JOIN dft d USING (token)
+        )
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 3
+    """,
+    "q54_repetition_stats": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ), b AS (
+            SELECT doc_id, w,
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS bg
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                   len(list_distinct(w)) / CAST(len(w) AS DOUBLE) END
+                   AS distinct_ratio,
+               CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                   list_max(list_transform(list_distinct(w),
+                       x -> len(list_filter(w, y -> y = x))))
+                   / CAST(len(w) AS DOUBLE) END AS top_word_frac,
+               CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+                   list_max(list_transform(list_distinct(bg),
+                       x -> len(list_filter(bg, y -> y = x))))
+                   / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac
+        FROM b
+    """,
+    "q55_jaccard_pairs": """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gs
+            FROM d WHERE len(w) >= 3
+        ), p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.gs, b.gs)) AS n_common,
+                   len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
+                       AS n_union
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_union AS BIGINT) AS n_union,
+               n_common / CAST(n_union AS DOUBLE) AS jaccard
+        FROM p
+        WHERE n_common / CAST(n_union AS DOUBLE) >= 0.5
+    """,
+    "q56_event_gaps": """
+        WITH g AS (
+            SELECT user_id,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             ts) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
     """,
 }

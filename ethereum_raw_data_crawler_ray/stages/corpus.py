@@ -1,0 +1,405 @@
+"""Corpus-level text-index operators for training-data pipelines:
+inverted-index vocabulary statistics, TF-IDF distinctive terms,
+repetition/quality statistics (the Gopher-style repetition signals of
+Rae et al. 2021, arXiv:2112.11446 — public), and EXACT n-gram Jaccard
+near-dup pairs via a distributed inverted-gram join.
+
+These extend the engine beyond the reference's operator set for the
+web-text training-data axis (the reference's text handling stops at raw
+payload extraction, internal/domain/entity/block.go:1-60); each has a
+DuckDB oracle (q52-q55) because every step is integer counting plus one
+IEEE-754 division/multiplication, both of which are correctly rounded
+and therefore bit-identical across engines.
+
+Scale notes (the partitioning contracts, per SURVEY.md §2.11):
+
+- ``inverted_index``: per-batch (token, doc) pre-aggregation means the
+  shuffle moves one row per DISTINCT (token, doc) pair, never one per
+  occurrence; the final groupby is vocabulary×avg-df sized.
+- ``tfidf_topk``: the document-frequency table is broadcast via
+  ``ray.put`` (read once per actor, not per batch). Natural-language
+  vocabularies are ≤ ~10M tokens — far below corpus scale — but the
+  ``max_vocab_broadcast`` guard raises rather than silently shipping a
+  garbage-token vocabulary of hundreds of millions of entries; at that
+  point the right plan is a shuffle join on token.
+- ``repetition_stats``: embarrassingly parallel, no shuffle; the only
+  per-row Python is the per-document Counter, which is inherent to
+  variable-length text (same stance as functions/textstats.enrich_batch).
+- ``jaccard_ngram_pairs``: the exact-set-similarity plan that does NOT
+  compare all N² documents — explode distinct grams, bucket-join on
+  gram (pairs emitted per posting list), then one thin pair-count
+  shuffle. Work is Σ_g df(g)², so a stop-gram (a gram occurring in a
+  large fraction of the corpus) is the skew risk; ``max_posting`` caps
+  it, trading exactness for candidate-generation semantics (verify the
+  survivors with :func:`..functions.textstats.jaccard_hashed` as
+  stages/dedup.near_dup_groups does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.broadcast import get_broadcast
+
+__all__ = [
+    "inverted_index",
+    "tfidf_topk",
+    "repetition_stats",
+    "jaccard_ngram_pairs",
+]
+
+
+# --------------------------------------------------------------------------
+# tokenization shared by the index operators
+# --------------------------------------------------------------------------
+def _explode_tokens(t: pa.Table, text_col: str, id_col: str) -> pd.DataFrame:
+    """(doc_id, token) occurrence rows for one batch — Arrow split +
+    flatten (no per-row Python), empty tokens dropped so a stray double
+    space can never mint a '' vocabulary entry."""
+    toks = pc.split_pattern(t[text_col].combine_chunks(), pattern=" ")
+    flat = toks.flatten()
+    doc_idx = pc.list_parent_indices(toks)
+    ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "doc_id": ids[np.asarray(doc_idx)],
+            "token": flat.to_pandas(),
+        }
+    )
+    return df[df["token"] != ""]
+
+
+def _per_doc_tf(t: pa.Table, text_col: str, id_col: str) -> pd.DataFrame:
+    """(doc_id, token, tf) — per-batch pre-aggregation. A document never
+    spans batches (rows are atomic), so batch-local counts are already
+    the global per-document term frequencies."""
+    occ = _explode_tokens(t, text_col, id_col)
+    return (
+        occ.groupby(["doc_id", "token"], sort=False)
+        .size()
+        .rename("tf")
+        .reset_index()
+    )
+
+
+# --------------------------------------------------------------------------
+# inverted index (vocabulary statistics)
+# --------------------------------------------------------------------------
+def inverted_index(ds: rd.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Vocabulary table (token, df, tf): document frequency and total
+    term frequency per whitespace token.
+
+    One shuffle, carrying one row per distinct (token, document) pair —
+    the per-batch ``groupby(doc, token).size()`` pre-aggregation is the
+    combiner, so occurrence counts never leave the map task.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def stage(t: pa.Table) -> pa.Table:
+        per = _per_doc_tf(t, text_col, id_col)
+        return pa.table(
+            {
+                "token": pa.array(per["token"], type=pa.string()),
+                "tf_doc": pa.array(per["tf"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"), Sum("tf_doc", alias_name="tf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF distinctive terms
+# --------------------------------------------------------------------------
+def tfidf_topk(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, max_vocab_broadcast: int = 10_000_000) -> rd.Dataset:
+    """Top-``k`` most distinctive terms per document, scored
+    ``tf × (N / df)`` (a log-free inverse-document-frequency variant:
+    one division and one multiplication, both correctly rounded IEEE-754,
+    so the score is bit-identical to the SQL oracle — ``log`` is NOT
+    correctly rounded across libm implementations and would make the
+    oracle flaky; raw tf and df ship in the output so callers can apply
+    any idf curve downstream).
+
+    Two passes: (1) the df table — vocabulary-sized, broadcast once via
+    ``ray.put``; (2) a shuffle-free map over documents scoring and
+    selecting per-doc top-k (score desc, token asc).
+    Returns (doc_id, token, tf, df, score, rnk), rnk 1-based.
+    """
+    import ray
+
+    from ray.data.aggregate import Count
+
+    def df_stage(t: pa.Table) -> pa.Table:
+        per = _per_doc_tf(t, text_col, id_col)
+        return pa.table({"token": pa.array(per["token"], type=pa.string())})
+
+    df_tab = (
+        ds.map_batches(df_stage, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .take_all()  # vocabulary-sized by construction (guard below)
+    )
+    if len(df_tab) > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary {len(df_tab)} exceeds max_vocab_broadcast "
+            f"{max_vocab_broadcast}; use a shuffle join on token instead "
+            "of the broadcast path"
+        )
+    df_map = {r["token"]: r["df"] for r in df_tab}
+    n_docs = float(ds.count())
+    df_ref = ray.put(df_map)
+
+    def score_stage(t: pa.Table, *, df_ref, n_docs: float, k: int) -> pa.Table:
+        dfm = get_broadcast(df_ref)  # fetched once per worker process
+        per = _per_doc_tf(t, text_col, id_col)
+        dfv = per["token"].map(dfm).to_numpy(np.int64)
+        tf = per["tf"].to_numpy(np.int64)
+        score = tf.astype(np.float64) * (n_docs / dfv.astype(np.float64))
+        per = per.assign(df=dfv, score=score)
+        # per-doc top-k: score desc, token asc — a lexsort + stable
+        # group-head take, no per-group pandas apply
+        per = per.sort_values(["doc_id", "score", "token"],
+                              ascending=[True, False, True], kind="mergesort")
+        rnk = per.groupby("doc_id", sort=False).cumcount() + 1
+        keep = per[rnk <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["doc_id"].to_numpy(np.int64), type=pa.int64()),
+                "token": pa.array(keep["token"], type=pa.string()),
+                "tf": pa.array(keep["tf"].to_numpy(np.int64), type=pa.int64()),
+                "df": pa.array(keep["df"].to_numpy(np.int64), type=pa.int64()),
+                "score": pa.array(keep["score"].to_numpy(np.float64), type=pa.float64()),
+                "rnk": pa.array((rnk[rnk <= k]).to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        score_stage, batch_format="pyarrow",
+        fn_kwargs=dict(df_ref=df_ref, n_docs=n_docs, k=k),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition / quality statistics
+# --------------------------------------------------------------------------
+def repetition_stats(ds: rd.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> rd.Dataset:
+    """Per-document repetition signals (Gopher-style quality filters):
+    token count, distinct-token count and ratio, most-common-token mass
+    fraction, most-common-word-bigram mass fraction. Shuffle-free.
+
+    All fractions are one integer/integer IEEE division, so they match
+    the SQL oracle bit-for-bit. Documents with < 2 tokens define the
+    bigram fraction as 0.0 on both sides.
+    """
+
+    def stage(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = t[text_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        n = len(texts)
+        n_words = np.empty(n, np.int64)
+        n_distinct = np.empty(n, np.int64)
+        top_word = np.empty(n, np.int64)
+        top_bigram = np.empty(n, np.float64)
+        for i, x in enumerate(texts):
+            w = [tok for tok in x.split(" ") if tok]
+            c = Counter(w)
+            n_words[i] = len(w)
+            n_distinct[i] = len(c)
+            top_word[i] = max(c.values()) if c else 0
+            if len(w) >= 2:
+                bc = Counter(zip(w, w[1:]))
+                top_bigram[i] = max(bc.values()) / float(len(w) - 1)
+            else:
+                top_bigram[i] = 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            distinct_ratio = np.where(
+                n_words > 0, n_distinct / n_words.astype(np.float64), 0.0
+            )
+            top_word_frac = np.where(
+                n_words > 0, top_word / n_words.astype(np.float64), 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "distinct_ratio": pa.array(distinct_ratio, type=pa.float64()),
+                "top_word_frac": pa.array(top_word_frac, type=pa.float64()),
+                "top_bigram_frac": pa.array(top_bigram, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (inverted-gram join)
+# --------------------------------------------------------------------------
+def _gram_rows(t: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
+    """Distinct word-k-gram hash rows (gram, doc_id, n_grams) for one
+    batch. Documents with < k tokens are excluded (no k-gram exists) —
+    mirrored by the oracle's ``len(w) >= k`` filter. n_grams rides on
+    every row so the pair stage needs no side lookup."""
+    from ..functions.textstats import word_gram_hash_set
+
+    texts = t[text_col].to_pylist()
+    ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+    grams, out_ids, out_n = [], [], []
+    for i, x in enumerate(texts):
+        toks = x.count(" ") + 1 if x else 0
+        if toks < k:
+            continue
+        g = word_gram_hash_set(x, k)
+        grams.append(g)
+        out_ids.append(np.full(g.size, ids[i], np.int64))
+        out_n.append(np.full(g.size, g.size, np.int64))
+    if not grams:
+        return pa.table(
+            {
+                "gram": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_grams": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            # int64 bit-view: Ray groupby keys must fit signed 64-bit
+            "gram": pa.array(np.concatenate(grams).view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+            "n_grams": pa.array(np.concatenate(out_n), type=pa.int64()),
+        }
+    )
+
+
+def _posting_pairs(g: pd.DataFrame, max_posting: int | None) -> pd.DataFrame:
+    """Emit (id_a, id_b, na, nb) for every co-occurrence within each
+    gram posting list of one bucket — vectorized: run-length encode the
+    sorted gram column, then for each distinct posting LENGTH stack the
+    runs into a matrix and take its upper-triangle pairs in one shot.
+    No per-gram pandas apply (the 50-100 µs/group trap)."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("id_a", "id_b", "na", "nb")}
+        )
+    g = g.sort_values(["gram", "doc_id"], kind="mergesort")
+    grams = g["gram"].to_numpy()
+    docs = g["doc_id"].to_numpy(np.int64)
+    ngr = g["n_grams"].to_numpy(np.int64)
+    # run-length encode
+    change = np.empty(len(grams), bool)
+    change[0] = True
+    np.not_equal(grams[1:], grams[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, len(grams)))
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    for length in np.unique(lens):
+        if length < 2 or (max_posting is not None and length > max_posting):
+            continue
+        s = starts[lens == length]
+        idx = s[:, None] + np.arange(length)[None, :]
+        dmat, nmat = docs[idx], ngr[idx]
+        ii, jj = np.triu_indices(int(length), k=1)
+        out_a.append(dmat[:, ii].ravel())
+        out_b.append(dmat[:, jj].ravel())
+        out_na.append(nmat[:, ii].ravel())
+        out_nb.append(nmat[:, jj].ravel())
+    if not out_a:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("id_a", "id_b", "na", "nb")}
+        )
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "na": np.concatenate(out_na),
+            "nb": np.concatenate(out_nb),
+        }
+    )
+
+
+def jaccard_ngram_pairs(ds: rd.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5,
+                        n_buckets: int | None = None,
+                        max_posting: int | None = None) -> rd.Dataset:
+    """EXACT word-k-gram Jaccard near-dup pairs ≥ ``threshold`` —
+    the inverted-index set-similarity join, not an N² document compare:
+
+    1. explode each document's DISTINCT gram hashes (map, no shuffle);
+    2. hash-bucket grams into ~2×CPU buckets and emit co-occurrence
+       pairs per posting list (one exchange; per-bucket kernel fully
+       vectorized via run-length × triu);
+    3. hash-bucket the PAIRS and count shared grams per (id_a, id_b)
+       inside each bucket (second thin exchange — pairs only, never
+       documents; bucketed because Ray's sort-based aggregate pays
+       ~0.2-1 ms per key on a singleton-dominated pair key space,
+       while a per-bucket pandas groupby is one C kernel);
+    4. jaccard = |∩| / (na + nb − |∩|), filter ≥ threshold.
+
+    Work is Σ_g df(g)² — with ``max_posting`` set, stop-grams are
+    dropped and the result degrades to candidate generation (document
+    pairs sharing ONLY capped grams are missed); leave it None for the
+    exact/oracle semantics. Gram identity is the 64-bit rolling-poly
+    hash (functions/textstats.word_gram_hash_set); a cross-document
+    collision would need ~2³² distinct grams to become likely.
+    """
+    import ray
+
+    if n_buckets is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_buckets = 2 * ncpu
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        g = _gram_rows(t, text_col, id_col, k)
+        b = (np.asarray(g["gram"].to_pandas(), dtype=np.int64).view(np.uint64)
+             % np.uint64(n_buckets)).astype(np.int64)
+        return g.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def pair_bucketize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"].to_pandas(), dtype=np.int64).view(np.uint64)
+        b = np.asarray(t["id_b"].to_pandas(), dtype=np.int64).view(np.uint64)
+        mixed = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        pb = (mixed % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("pair_bucket", pa.array(pb, type=pa.int64()))
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["id_a", "id_b"], sort=False)
+            .agg(n_common=("na", "size"), na=("na", "min"), nb=("nb", "min"))
+            .reset_index()
+        )
+        inter = agg["n_common"].to_numpy(np.int64)
+        union = agg["na"].to_numpy(np.int64) + agg["nb"].to_numpy(np.int64) - inter
+        jac = inter / union.astype(np.float64)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": agg["id_a"].to_numpy(np.int64)[keep],
+                "id_b": agg["id_b"].to_numpy(np.int64)[keep],
+                "n_common": inter[keep],
+                "n_union": union[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: _posting_pairs(g, max_posting),
+                    batch_format="pandas")
+        .map_batches(pair_bucketize, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(count_pairs, batch_format="pandas")
+    )

@@ -290,3 +290,85 @@ def range_join_agg(
         return out
 
     return u.groupby("__bucket").map_groups(agg_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# per-key ordered gaps (LAG-window analog)
+# --------------------------------------------------------------------------
+def keyed_gaps(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key inter-event-gap statistics — the ``LAG() OVER (PARTITION
+    BY key ORDER BY ts)`` window re-expressed Ray-Data-first: hash-bucket
+    rows by key (ONE exchange, same contract as :func:`asof_join` —
+    a bucket must fit one worker's heap), then one vectorized pass per
+    bucket (sort + diff + groupby-agg, no per-key apply).
+
+    Returns (``by``, n_events, n_gaps, avg_gap_us, min_gap_us,
+    max_gap_us); keys with a single event are dropped (no gap exists),
+    matching ``WHERE gap IS NOT NULL``.  Timestamps are converted to
+    int64 MICROSECONDS in the map stage, so the mean is an exact-int
+    sum over an IEEE division — bit-identical to the DuckDB oracle's
+    ``date_diff('microsecond', …)`` + SUM/COUNT.  Ties on (key, ts)
+    would make gap order ambiguous; the events corpus has none
+    (TESTDATA), and the gap MULTISET per key — hence every output
+    statistic — is tie-order-invariant anyway.
+    """
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = np.asarray(t[by].to_pandas(), dtype=np.int64)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                by: pa.array(key, type=pa.int64()),
+                "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+            }
+        )
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, "__ts_us"], kind="mergesort")
+        key = g[by].to_numpy(np.int64)
+        ts = g["__ts_us"].to_numpy(np.int64)
+        gap = np.diff(ts)
+        same = key[1:] == key[:-1]  # diffs across a key change are not gaps
+        kg, gg = key[1:][same], gap[same]
+        if kg.size == 0:
+            return pd.DataFrame(
+                {
+                    by: pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                    "n_gaps": pd.Series(dtype=np.int64),
+                    "avg_gap_us": pd.Series(dtype=np.float64),
+                    "min_gap_us": pd.Series(dtype=np.int64),
+                    "max_gap_us": pd.Series(dtype=np.int64),
+                }
+            )
+        f = pd.DataFrame({by: kg, "g": gg})
+        agg = f.groupby(by, sort=True)["g"].agg(["count", "sum", "min", "max"])
+        return pd.DataFrame(
+            {
+                by: agg.index.to_numpy(np.int64),
+                "n_events": agg["count"].to_numpy(np.int64) + 1,
+                "n_gaps": agg["count"].to_numpy(np.int64),
+                "avg_gap_us": agg["sum"].to_numpy(np.int64)
+                / agg["count"].to_numpy(np.float64),
+                "min_gap_us": agg["min"].to_numpy(np.int64),
+                "max_gap_us": agg["max"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,115 @@
+"""Corpus-index operator tests (stages/corpus.py, stages/joins.keyed_gaps).
+
+Oracle parity for q52-q56 is covered by tests/test_queries.py's
+check_all sweep; these pin the properties the oracles can't see —
+conservation laws, the stop-gram cap's candidate-subset semantics, the
+vocabulary-broadcast guard, and the singleton-key drop rule.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from ethereum_raw_data_crawler_ray.pipelines.oracle_check import to_pandas
+from ethereum_raw_data_crawler_ray.stages.corpus import (
+    inverted_index,
+    jaccard_ngram_pairs,
+    repetition_stats,
+    tfidf_topk,
+)
+from ethereum_raw_data_crawler_ray.stages.joins import keyed_gaps
+
+
+def _docs(sf_dir):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
+class TestInvertedIndex:
+    def test_conservation(self, sf_dir, ray_session):
+        """Σ tf over the index == total token occurrences; df ≤ n_docs
+        and df ≤ tf for every token."""
+        idx = to_pandas(inverted_index(_docs(sf_dir)))
+        docs = to_pandas(_docs(sf_dir))
+        total_occurrences = int(sum(len(t.split()) for t in docs["text"]))
+        assert int(idx["tf"].sum()) == total_occurrences
+        assert (idx["df"] <= len(docs)).all()
+        assert (idx["df"] <= idx["tf"]).all()
+        assert (idx["df"] >= 1).all()
+
+
+class TestTfidf:
+    def test_rank_and_guard(self, sf_dir, ray_session):
+        out = to_pandas(tfidf_topk(_docs(sf_dir), k=3))
+        per = out.groupby("doc_id")
+        assert (per.size() <= 3).all()
+        assert (per["rnk"].min() == 1).all()
+        # score really is tf * (N / df)
+        n = len(to_pandas(_docs(sf_dir)))
+        expect = out["tf"].to_numpy(np.float64) * (n / out["df"].to_numpy(np.float64))
+        assert (out["score"].to_numpy() == expect).all()
+
+    def test_vocab_broadcast_guard(self, sf_dir, ray_session):
+        with pytest.raises(ValueError, match="max_vocab_broadcast"):
+            to_pandas(tfidf_topk(_docs(sf_dir), k=3, max_vocab_broadcast=2))
+
+
+class TestRepetitionStats:
+    def test_bounds(self, sf_dir, ray_session):
+        out = to_pandas(repetition_stats(_docs(sf_dir)))
+        assert len(out) == 500
+        assert (out["n_distinct"] <= out["n_words"]).all()
+        assert out["distinct_ratio"].between(0, 1).all()
+        # the most common token accounts for at least 1/n_words of mass
+        m = out["n_words"] > 0
+        assert (out.loc[m, "top_word_frac"] >= 1 / out.loc[m, "n_words"]).all()
+        assert out["top_bigram_frac"].between(0, 1).all()
+
+
+class TestJaccardPairs:
+    def test_posting_cap_is_subset(self, sf_dir, ray_session):
+        """max_posting degrades exact pairs to candidate generation:
+        capped output ⊆ exact output, and pairs sharing only capped
+        grams are the ones missed."""
+        exact = to_pandas(jaccard_ngram_pairs(_docs(sf_dir), threshold=0.5))
+        capped = to_pandas(
+            jaccard_ngram_pairs(_docs(sf_dir), threshold=0.5, max_posting=2)
+        )
+        e = set(zip(exact["id_a"], exact["id_b"]))
+        # a fully-capped run can be empty; 0-row pandas conversion drops cols
+        c = set(zip(capped["id_a"], capped["id_b"])) if len(capped) else set()
+        assert c <= e
+        assert len(e) > 0  # the corpus plants near-dup pairs
+
+    def test_agrees_with_textstats_kernel(self, sf_dir, ray_session):
+        """Every emitted jaccard equals the scalar verification kernel
+        q27 uses (same gram hash, same division)."""
+        from ethereum_raw_data_crawler_ray.functions.textstats import (
+            jaccard_hashed,
+            word_gram_hash_set,
+        )
+
+        pairs = to_pandas(jaccard_ngram_pairs(_docs(sf_dir), threshold=0.5))
+        docs = to_pandas(_docs(sf_dir)).set_index("doc_id")["text"]
+        for r in pairs.itertuples():
+            ja = jaccard_hashed(
+                word_gram_hash_set(docs[r.id_a]), word_gram_hash_set(docs[r.id_b])
+            )
+            assert ja == r.jaccard
+
+
+class TestKeyedGaps:
+    def test_singletons_dropped_and_counts(self, sf_dir, ray_session):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        out = to_pandas(keyed_gaps(ev, by="user_id", ts_col="ts"))
+        per_user = to_pandas(ev).groupby("user_id").size()
+        multi = per_user[per_user >= 2]
+        assert set(out["user_id"]) == set(multi.index)
+        merged = out.set_index("user_id")["n_events"]
+        assert (merged.sort_index() == multi.sort_index()).all()
+        assert (out["min_gap_us"] <= out["max_gap_us"]).all()
+        assert (out["avg_gap_us"] >= out["min_gap_us"]).all()
+        assert (out["avg_gap_us"] <= out["max_gap_us"]).all()
