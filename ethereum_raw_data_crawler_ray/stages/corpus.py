@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.broadcast import get_broadcast
+from ..functions.hashing import hash_strings
 
 __all__ = [
     "inverted_index",
@@ -89,16 +90,34 @@ def _per_doc_tf(t: pa.Table, text_col: str, id_col: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # inverted index (vocabulary statistics)
 # --------------------------------------------------------------------------
+def _token_bucket(tokens: pd.Series, n_buckets: int) -> np.ndarray:
+    h = hash_strings(pa.array(tokens, type=pa.string()))
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _default_buckets() -> int:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return 2 * ncpu
+
+
 def inverted_index(ds: rd.Dataset, text_col: str = "text",
-                   id_col: str = "doc_id") -> rd.Dataset:
+                   id_col: str = "doc_id",
+                   n_buckets: int | None = None) -> rd.Dataset:
     """Vocabulary table (token, df, tf): document frequency and total
     term frequency per whitespace token.
 
     One shuffle, carrying one row per distinct (token, document) pair —
     the per-batch ``groupby(doc, token).size()`` pre-aggregation is the
-    combiner, so occurrence counts never leave the map task.
+    combiner, so occurrence counts never leave the map task.  The
+    reduce side is hash-BUCKETED (~2×CPU groups, pandas C-kernel
+    groupby inside), not ``groupby(token).aggregate``: a web-scale
+    vocabulary is 10⁸+ singleton-dominated keys and Ray's sort-based
+    aggregate pays per-KEY overhead there, while the per-bucket cost is
+    per-ROW.
     """
-    from ray.data.aggregate import Count, Sum
+    n_buckets = n_buckets or _default_buckets()
 
     def stage(t: pa.Table) -> pa.Table:
         per = _per_doc_tf(t, text_col, id_col)
@@ -106,13 +125,23 @@ def inverted_index(ds: rd.Dataset, text_col: str = "text",
             {
                 "token": pa.array(per["token"], type=pa.string()),
                 "tf_doc": pa.array(per["tf"].to_numpy(np.int64), type=pa.int64()),
+                "bucket": pa.array(_token_bucket(per["token"], n_buckets),
+                                   type=pa.int64()),
             }
         )
 
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("token", sort=False)
+            .agg(df=("tf_doc", "size"), tf=("tf_doc", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"df": np.int64, "tf": np.int64})
+
     return (
         ds.map_batches(stage, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="df"), Sum("tf_doc", alias_name="tf"))
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )
 
 
@@ -136,18 +165,8 @@ def tfidf_topk(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    from ray.data.aggregate import Count
-
-    def df_stage(t: pa.Table) -> pa.Table:
-        per = _per_doc_tf(t, text_col, id_col)
-        return pa.table({"token": pa.array(per["token"], type=pa.string())})
-
-    df_tab = (
-        ds.map_batches(df_stage, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="df"))
-        .take_all()  # vocabulary-sized by construction (guard below)
-    )
+    df_tab = inverted_index(ds, text_col, id_col).take_all()
+    # vocabulary-sized by construction (guard below)
     if len(df_tab) > max_vocab_broadcast:
         raise ValueError(
             f"vocabulary {len(df_tab)} exceeds max_vocab_broadcast "

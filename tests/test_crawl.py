@@ -5,6 +5,7 @@ frontier-round completeness, seen-set equality and checkpoint-resume).
 
 import os
 import shutil
+import time
 
 import numpy as np
 import pandas as pd
@@ -539,6 +540,18 @@ class TestSeenGapHeal:
             stats = pipe.run_round(r)
             if r == 1:  # newest complete dump is the bootstrap one
                 ray.kill(pipe.seen.handles[1], no_restart=False)
+                # ray.kill is delivered out-of-band: under host load the
+                # next round's consume_fresh RPC can win the race and run
+                # on the NOT-yet-killed actor, deferring the heal past
+                # round 2 (whose claims then hit the stale restored
+                # filter).  The test pins boundary-detected restarts, so
+                # wait until the reconstruction is visible.
+                for _ in range(600):
+                    if ray.get(pipe.seen.handles[1].health.remote())["reconstructed"]:
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise AssertionError("seen shard never reconstructed")
             r += 1
             if stats["next_frontier"] == 0:
                 break
