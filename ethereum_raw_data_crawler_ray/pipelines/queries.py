@@ -962,6 +962,63 @@ def q56_event_gaps(sf_dir: str):
     )
 
 
+def q57_hash_join(sf_dir: str):
+    """Fact×fact distributed hash equi-join (stages/joins.hash_join):
+    lineitem ⋈ orders on orderkey — the non-broadcast join path (q10/q19
+    cover the broadcast-dimension case)."""
+    from ..stages.joins import hash_join
+
+    left = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    right = _t(sf_dir, "orders",
+               ["o_orderkey", "o_orderstatus", "o_totalprice"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+    return hash_join(
+        left, right, on="l_orderkey",
+        right_cols=["o_orderstatus", "o_totalprice"],
+        left_fields=[
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_linenumber", pa.int64()),
+            pa.field("l_extendedprice", pa.float64()),
+        ],
+        right_fields=[
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("o_orderstatus", pa.string()),
+            pa.field("o_totalprice", pa.float64()),
+        ],
+    )
+
+
+def q58_anti_join(sf_dir: str):
+    """Distributed anti join (stages/joins.hash_join how="anti"):
+    customers with no 'P'-status order."""
+    from ..stages.joins import hash_join
+
+    left = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def only_p(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["o_orderstatus"], "P"))
+
+    right = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(only_p, batch_format="pyarrow")
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    return hash_join(
+        left, right, on="c_custkey", right_cols=[], how="anti",
+        left_fields=[
+            pa.field("c_custkey", pa.int64()),
+            pa.field("c_name", pa.string()),
+        ],
+        right_fields=[
+            pa.field("c_custkey", pa.int64()),
+            pa.field("o_orderstatus", pa.string()),
+        ],
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1023,6 +1080,8 @@ QUERIES = {
     "q54_repetition_stats": q54_repetition_stats,
     "q55_jaccard_pairs": q55_jaccard_pairs,
     "q56_event_gaps": q56_event_gaps,
+    "q57_hash_join": q57_hash_join,
+    "q58_anti_join": q58_anti_join,
 }
 
 ORACLE_SQL = {
@@ -1315,5 +1374,17 @@ ORACLE_SQL = {
                CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
                CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
         FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+    "q57_hash_join": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+               o.o_orderstatus, o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "q58_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
     """,
 }

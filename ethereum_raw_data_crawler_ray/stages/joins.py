@@ -372,3 +372,67 @@ def keyed_gaps(
         .groupby("__bucket")
         .map_groups(gaps_bucket, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# general hash equi-join
+# --------------------------------------------------------------------------
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    right_cols: list[str],
+    how: str = "inner",
+    suffix: str = "_r",
+    fill_value: dict[str, int | float] | None = None,
+    n_buckets: int | None = None,
+    left_fields: list[pa.Field] | None = None,
+    right_fields: list[pa.Field] | None = None,
+) -> rd.Dataset:
+    """Distributed hash equi-join on ``on`` (same column name both
+    sides — rename upstream with ``rename_columns`` if they differ):
+    ``how`` ∈ inner / left / semi / anti.  Same recipe and partitioning
+    contract as :func:`asof_join`: hash-bucket both sides (the ONE
+    exchange any non-broadcast equi-join needs), union under a unified
+    schema, and run a vectorized ``pd.merge`` (or an ``isin`` mask for
+    semi/anti) per BUCKET of keys.
+
+    This is the fact×fact path; for a dimension-sized right side prefer
+    the broadcast-lookup pattern (functions/broadcast.py, q10/q19) —
+    no shuffle at all.  A pathologically hot key lands in one bucket;
+    inner-join output for it is |L_k|×|R_k| (inherent to the join, salt
+    upstream if both sides are hot).  ``fill_value`` fills unmatched
+    right columns for ``how="left"`` — required for integer columns so
+    all-matched and partly-matched buckets emit the same dtype.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    n_buckets = n_buckets or _default_buckets()
+    lfields = left_fields or _arrow_fields(left)
+    lcols = [f.name for f in lfields]
+    rkeep = list(dict.fromkeys([on, *right_cols]))
+    rename = {c: (c + suffix if c in lcols else c) for c in right_cols if c != on}
+    fill = fill_value or {}
+    rfields = [f for f in (right_fields or _arrow_fields(right)) if f.name in rkeep]
+    u = _tagged_union(left, right.select_columns(rkeep), on, n_buckets, lfields, rfields)
+
+    l_ints = _int_cols(lfields, lcols)
+    r_ints = _int_cols(rfields, rkeep)
+    out_is_left_only = how in ("semi", "anti")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0]
+        rf = g[g["__side"] == 1]
+        lf = lf[lcols].astype({c: np.int64 for c in l_ints})
+        rf = rf[rkeep].astype({c: np.int64 for c in r_ints})
+        if out_is_left_only:
+            mask = lf[on].isin(rf[on].unique())
+            return lf[mask] if how == "semi" else lf[~mask]
+        merged = pd.merge(lf, rf.rename(columns=rename), on=on, how=how)
+        for col, v in fill.items():
+            src = {v: k for k, v in rename.items()}.get(col, col)
+            merged[col] = merged[col].fillna(v).astype(rf[src].dtype)
+        return merged
+
+    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

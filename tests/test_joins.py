@@ -202,3 +202,85 @@ def test_range_agg_count_only(frames):
     ref = _ref_range(left, right.assign(value=0.0), -W, 0)
     m = out.merge(ref, on="eid", suffixes=("", "_ref"))
     assert (m["n_win"] == m["n_win_ref"]).all()
+
+
+# --------------------------------------------------------------------------
+# hash equi-join
+# --------------------------------------------------------------------------
+def _join_frames():
+    left = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2, 3, 5, 5, 5], dtype=np.int64),
+            "lv": np.arange(7, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 2, 4], dtype=np.int64),
+            "rv": np.array([10, 20, 21, 40], dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def _sorted(df, cols):
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_hash_join_inner_matches_pandas(ray_session, n_buckets):
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left, right = _join_frames()
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_cols=["rv"], n_buckets=n_buckets,
+    ).to_pandas()
+    expect = pd.merge(left, right, on="k", how="inner")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted(out, cols), _sorted(expect, cols))
+
+
+def test_hash_join_left_int_fill(ray_session):
+    # unmatched rows + integer right column: fill_value must keep the
+    # dtype int64 in every bucket (the union-null widening trap)
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left, right = _join_frames()
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_cols=["rv"], how="left", fill_value={"rv": -1},
+    ).to_pandas()
+    assert out["rv"].dtype == np.int64
+    expect = pd.merge(left, right, on="k", how="left").fillna({"rv": -1})
+    expect["rv"] = expect["rv"].astype(np.int64)
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted(out, cols), _sorted(expect, cols))
+
+
+def test_hash_join_semi_anti_partition(ray_session):
+    # semi ∪ anti == left, disjoint, and semi keys ⊆ right keys
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left, right = _join_frames()
+    semi = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", right_cols=[], how="semi").to_pandas()
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", right_cols=[], how="anti").to_pandas()
+    assert len(semi) + len(anti) == len(left)
+    assert set(semi["k"]) <= set(right["k"])
+    assert set(anti["k"]).isdisjoint(set(right["k"]))
+    both = pd.concat([semi, anti])
+    cols = ["k", "lv"]
+    pd.testing.assert_frame_equal(_sorted(both, cols), _sorted(left, cols))
+
+
+def test_hash_join_collision_suffix(ray_session):
+    # a right column named like a left column gets the suffix
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left, right = _join_frames()
+    right2 = right.rename(columns={"rv": "lv"})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right2),
+                    on="k", right_cols=["lv"]).to_pandas()
+    assert "lv_r" in out.columns and "lv" in out.columns
