@@ -1019,6 +1019,19 @@ def q58_anti_join(sf_dir: str):
     )
 
 
+def q59_pivot(sf_dir: str):
+    """Long→wide pivot (stages/sketches.pivot_counts): per-user count of
+    each event type as columns — per-batch crosstab combiner, bucketed
+    reduce."""
+    from ..stages.sketches import pivot_counts
+
+    return pivot_counts(
+        _t(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1082,6 +1095,7 @@ QUERIES = {
     "q56_event_gaps": q56_event_gaps,
     "q57_hash_join": q57_hash_join,
     "q58_anti_join": q58_anti_join,
+    "q59_pivot": q59_pivot,
 }
 
 ORACLE_SQL = {
@@ -1386,5 +1400,14 @@ ORACLE_SQL = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
         )
+    """,
+    "q59_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id
     """,
 }

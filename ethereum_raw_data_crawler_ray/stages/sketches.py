@@ -386,3 +386,65 @@ def hll_distinct(ds: rd.Dataset, col: str, *, p: int = 14) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting for the small range
     return float(est)
+
+
+# --------------------------------------------------------------------------
+# pivot / crosstab
+# --------------------------------------------------------------------------
+def pivot_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Pivot ``cat_col`` into one count column per category, grouped by
+    ``key_col`` — the long→wide crosstab (SQL ``SUM(CASE WHEN …)``
+    pivot).  Per-batch partial crosstabs are the combiner (the shuffle
+    carries one row per distinct key per BATCH, with the category axis
+    already folded into columns); the reduce is hash-bucketed with a
+    per-bucket pandas sum (per-ROW cost — a key space of millions of
+    users would pay Ray's sort-aggregate per-KEY overhead instead).
+
+    ``categories`` is explicit so the output schema is deterministic
+    and category skew cannot mint unbounded columns; values outside it
+    are ignored, but their KEYS still appear (all-zero row) — matching
+    the SQL GROUP BY over all rows.
+    """
+    import ray
+
+    if n_buckets is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_buckets = 2 * ncpu
+    cats = list(categories)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": np.asarray(t[key_col].to_pandas()),
+                "c": np.asarray(t[cat_col].to_pandas(), dtype=object),
+            }
+        )
+        wide = (
+            df.groupby(["k", "c"], sort=False).size().unstack(fill_value=0)
+            .reindex(columns=cats, fill_value=0)
+            .reset_index()
+        )
+        key = wide["k"].to_numpy(np.int64)
+        cols = {key_col: pa.array(key, type=pa.int64())}
+        for c in cats:
+            cols[c] = pa.array(wide[c].to_numpy(np.int64), type=pa.int64())
+        cols["__bucket"] = pa.array(
+            (key.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(key_col, sort=False)[cats].sum().reset_index()
+        return agg.astype({c: np.int64 for c in [key_col, *cats]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

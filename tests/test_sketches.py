@@ -171,3 +171,26 @@ class TestHLL:
         a = hll_distinct(rd.from_pandas(df).repartition(2), "k", p=12)
         b = hll_distinct(rd.from_pandas(df).repartition(17), "k", p=12)
         assert a == b
+
+
+class TestPivot:
+    def test_unlisted_categories_keep_keys(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import pivot_counts
+
+        df = pd.DataFrame(
+            {
+                "k": pd.array([1, 1, 2, 3, 3, 3], dtype="int64"),
+                "c": ["a", "b", "zzz", "a", "a", "zzz"],
+            }
+        )
+        out = (
+            pivot_counts(rd.from_pandas(df), "k", "c", ["a", "b"], n_buckets=3)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        # key 2 has ONLY an unlisted category: present, all-zero
+        assert out["k"].tolist() == [1, 2, 3]
+        assert out["a"].tolist() == [1, 0, 2]
+        assert out["b"].tolist() == [1, 0, 0]
