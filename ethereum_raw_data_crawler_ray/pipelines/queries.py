@@ -1032,6 +1032,54 @@ def q59_pivot(sf_dir: str):
     )
 
 
+def q60_quantile_filter(sf_dir: str):
+    """Operator composition: exact distributed p90 (stages/sketches
+    .exact_quantiles — O(histogram) shuffle) becomes a broadcast scalar
+    threshold for a pushdown-style filter scan: documents at or above
+    the 90th percentile of length."""
+    from ..stages.sketches import exact_quantiles
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    thr = float(exact_quantiles(docs, "n_chars", [0.9], scale=1).iloc[0]["value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(pc.cast(t["n_chars"], pa.float64()), thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q61_window_hopping(sf_dir: str):
+    """Hopping event-time window (size 2 h, hop 1 h — each event lands
+    in 2 overlapping windows): explode the window memberships in the map
+    stage, one small groupby over window ids (q31 is the tumbling
+    special case size == hop)."""
+    size_hops = 2  # window size in hops
+
+    def win(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // 3_600_000_000
+        wins = np.concatenate([h - k for k in range(size_hops)])
+        vals = np.tile(t["value"].to_numpy(zero_copy_only=False), size_hops)
+        return pa.table(
+            {
+                "win": pa.array(wins, type=pa.int64()),
+                "value": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    out = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(win, batch_format="pyarrow")
+        .groupby("win")
+        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1096,6 +1144,8 @@ QUERIES = {
     "q57_hash_join": q57_hash_join,
     "q58_anti_join": q58_anti_join,
     "q59_pivot": q59_pivot,
+    "q60_quantile_filter": q60_quantile_filter,
+    "q61_window_hopping": q61_window_hopping,
 }
 
 ORACLE_SQL = {
@@ -1409,5 +1459,21 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events GROUP BY user_id
+    """,
+    "q60_quantile_filter": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9) FROM documents)
+    """,
+    "q61_window_hopping": """
+        WITH t AS (
+            SELECT epoch_us(ts) // 3600000000 AS h, value FROM events
+        ), e AS (
+            SELECT h AS win, value FROM t
+            UNION ALL
+            SELECT h - 1 AS win, value FROM t
+        )
+        SELECT win, ROUND(SUM(value), 6) AS sum_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY win
     """,
 }

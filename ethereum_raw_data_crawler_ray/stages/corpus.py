@@ -5,8 +5,9 @@ Rae et al. 2021, arXiv:2112.11446 — public), and EXACT n-gram Jaccard
 near-dup pairs via a distributed inverted-gram join.
 
 These extend the engine beyond the reference's operator set for the
-web-text training-data axis (the reference's text handling stops at raw
-payload extraction, internal/domain/entity/block.go:1-60); each has a
+web-text training-data axis (the reference's payload handling stops at
+the raw entity fields, internal/domain/entity/block.go:1-45 — it has no
+content-analysis operators at all); each has a
 DuckDB oracle (q52-q55) because every step is integer counting plus one
 IEEE-754 division/multiplication, both of which are correctly rounded
 and therefore bit-identical across engines.

@@ -163,3 +163,39 @@ def test_knn_ivf_indexed_all_probe_cells_empty(ray_session, tmp_path):
     out = knn_ivf_indexed(idx, q, k=5, n_probe=2)
     assert out.schema().names == ["query_id", "vec_id", "cosine", "rank"]
     assert out.count() == 0
+
+
+class TestQueryCli:
+    def test_list_and_run(self, sf_dir, ray_session, capsys):
+        import json
+
+        from ethereum_raw_data_crawler_ray.query import main
+
+        assert main(["--list"]) == 0
+        listing = capsys.readouterr().out
+        assert "q01_pricing_summary\toracle" in listing
+        assert "q40_crawl_pages\trows-only" in listing
+
+        # runs inside the shared session (must NOT shut it down)
+        assert main(["q02_count_by_type", "--sf-dir", sf_dir]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["rows"] == 5 and "event_type" in out["columns"]
+        import ray
+
+        assert ray.is_initialized()
+
+    def test_unknown_query(self, sf_dir, ray_session):
+        from ethereum_raw_data_crawler_ray.query import main
+
+        assert main(["nope", "--sf-dir", sf_dir]) == 2
+
+    def test_write_out(self, sf_dir, ray_session, tmp_path, capsys):
+        import pandas as pd
+
+        from ethereum_raw_data_crawler_ray.query import main
+
+        out = str(tmp_path / "q06")
+        assert main(["q06_topk_orders", "--sf-dir", sf_dir, "--out", out]) == 0
+        import ray.data as rd
+
+        assert rd.read_parquet(out).count() == 10
