@@ -602,49 +602,99 @@ def q34_embedding_dedup_lsh(sf_dir: str):
 # stream-shaped (guide §streaming: ordered log + per-key windows)
 # ==========================================================================
 def q31_window_tumbling(sf_dir: str):
-    """Tumbling 1-hour event-time window per user (ordered-log recipe)."""
+    """Tumbling 1-hour event-time window per user. The (user, window)
+    key space is singleton-dominated at scale (95k keys at sf0.1 alone),
+    so the reduce is hash-BUCKETED (~2×CPU groups, pandas C-kernel
+    groupby inside) rather than ``groupby([user, win]).aggregate`` —
+    Ray's sort aggregate pays per-KEY overhead there."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = 2 * ncpu
 
     def win(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = np.asarray(t["user_id"].to_pandas(), dtype=np.int64)
+        w = us // 3_600_000_000
+        mixed = uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ w.view(np.uint64)
         return pa.table(
             {
-                "user_id": t["user_id"],
-                "win": pa.array(us // 3_600_000_000, type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "win": pa.array(w, type=pa.int64()),
                 "value": t["value"],
+                "__bucket": pa.array(
+                    (mixed % np.uint64(n_buckets)).astype(np.int64)
+                ),
             }
         )
 
-    out = (
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["user_id", "win"], sort=False)
+            .agg(sum_value=("value", "sum"), n=("value", "size"))
+            .reset_index()
+        )
+        agg["sum_value"] = agg["sum_value"].round(6)
+        return agg.astype({"user_id": np.int64, "win": np.int64, "n": np.int64})
+
+    return (
         _t(sf_dir, "events", ["user_id", "ts", "value"])
         .map_batches(win, batch_format="pyarrow")
-        .groupby(["user_id", "win"])
-        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="n"))
-        .to_pandas()
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )
-    out["sum_value"] = out["sum_value"].round(6)
-    out["n"] = out["n"].astype(np.int64)
-    return out
 
 
 def q32_sessionize(sf_dir: str):
-    """Session windows (30-min gap) per user via groupby.map_groups over
-    the ts-sorted group — incremental-state window shape."""
-    GAP_US = 30 * 60 * 1_000_000
+    """Session windows (30-min gap) per user — incremental-state window
+    shape, bucketed like q31 (users are singleton-dominated at scale):
+    one hash-bucket exchange, then a vectorized sort + diff + groupby
+    per bucket (no per-user pandas apply)."""
+    import ray
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
+    GAP_US = 30 * 60 * 1_000_000
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = 2 * ncpu
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = np.asarray(t["user_id"].to_pandas(), dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "__ts_us": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ).combine_chunks(),
+                "event_id": t["event_id"],
+                "__bucket": pa.array(
+                    (uid.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["__ts_us"].to_numpy(np.int64)
         new_s = np.ones(len(us), dtype=np.int64)
         if len(us) > 1:
-            new_s[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+            same = uid[1:] == uid[:-1]
+            new_s[1:] = np.where(same & (np.diff(us) <= GAP_US), 0, 1)
+        f = pd.DataFrame({"user_id": uid, "s": new_s})
+        agg = f.groupby("user_id", sort=False)["s"].sum().reset_index()
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(new_s.sum())]}
+            {
+                "user_id": agg["user_id"].to_numpy(np.int64),
+                "n_sessions": agg["s"].to_numpy(np.int64),
+            }
         )
 
     return (
         _t(sf_dir, "events", ["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
 
 

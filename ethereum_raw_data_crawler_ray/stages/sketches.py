@@ -409,7 +409,8 @@ def pivot_counts(
     ``categories`` is explicit so the output schema is deterministic
     and category skew cannot mint unbounded columns; values outside it
     are ignored, but their KEYS still appear (all-zero row) — matching
-    the SQL GROUP BY over all rows.
+    the SQL GROUP BY over all rows.  Keys must be integers (the engine's
+    id convention — hash string keys first, as the dedup stages do).
     """
     import ray
 

@@ -284,3 +284,21 @@ def test_hash_join_collision_suffix(ray_session):
     out = hash_join(rd.from_pandas(left), rd.from_pandas(right2),
                     on="k", right_cols=["lv"]).to_pandas()
     assert "lv_r" in out.columns and "lv" in out.columns
+
+
+def test_hash_join_empty_right(ray_session):
+    # inner → empty; left+fill → all rows with sentinel; anti → all rows
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left, right = _join_frames()
+    empty = right.iloc[:0]
+    inner = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
+                      on="k", right_cols=["rv"]).to_pandas()
+    assert len(inner) == 0
+    lj = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
+                   on="k", right_cols=["rv"], how="left",
+                   fill_value={"rv": -1}).to_pandas()
+    assert len(lj) == len(left) and (lj["rv"] == -1).all()
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
+                     on="k", right_cols=[], how="anti").to_pandas()
+    assert len(anti) == len(left)
