@@ -1130,6 +1130,60 @@ def q61_window_hopping(sf_dir: str):
     return out
 
 
+def q62_lm_score(sf_dir: str):
+    """Bigram-LM quality score (stages/corpus.lm_score): train add-α
+    bigram counts on the corpus, score every document by mean bigram
+    log-probability — the CCNet-style in-domain filter signal. Rows-only
+    by design (log is not bit-stable across libms); ordering properties
+    pinned in tests."""
+    from ..stages.corpus import lm_score
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return lm_score(docs, docs)
+
+
+def q63_corpus_clean(sf_dir: str):
+    """End-to-end training-data cleaning composition: exact dedup (keep
+    min doc_id per distinct text) ∘ semi hash-join ∘ language filter ∘
+    length-percentile threshold (exact distributed median) — every stage
+    a distributed operator from this engine, the whole thing one oracle."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.joins import hash_join
+    from ..stages.sketches import exact_quantiles
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    thr = float(
+        exact_quantiles(
+            _t(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5], scale=1
+        ).iloc[0]["value"]
+    )
+    keep = (
+        exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+        .select_columns(["keep_id"])
+        .rename_columns({"keep_id": "doc_id"})
+    )
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.equal(t["lang"], "en"),
+            pc.greater_equal(pc.cast(t["n_chars"], pa.float64()), thr),
+        )
+        return t.filter(m).drop_columns(["text"])
+
+    left = docs.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(
+        left, keep, on="doc_id", right_cols=[], how="semi",
+        left_fields=[
+            pa.field("doc_id", pa.int64()),
+            pa.field("lang", pa.string()),
+            pa.field("n_chars", pa.int64()),
+        ],
+        right_fields=[pa.field("doc_id", pa.int64())],
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1196,6 +1250,8 @@ QUERIES = {
     "q59_pivot": q59_pivot,
     "q60_quantile_filter": q60_quantile_filter,
     "q61_window_hopping": q61_window_hopping,
+    "q62_lm_score": q62_lm_score,
+    "q63_corpus_clean": q63_corpus_clean,
 }
 
 ORACLE_SQL = {
@@ -1525,5 +1581,12 @@ ORACLE_SQL = {
         SELECT win, ROUND(SUM(value), 6) AS sum_value,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM e GROUP BY win
+    """,
+    "q63_corpus_clean": """
+        WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+             thr AS (SELECT quantile_disc(n_chars, 0.5) AS t FROM documents)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN keep USING (doc_id), thr
+        WHERE d.lang = 'en' AND d.n_chars >= thr.t
     """,
 }

@@ -52,6 +52,7 @@ __all__ = [
     "tfidf_topk",
     "repetition_stats",
     "jaccard_ngram_pairs",
+    "lm_score",
 ]
 
 
@@ -422,4 +423,107 @@ def jaccard_ngram_pairs(ds: rd.Dataset, text_col: str = "text",
         .map_batches(pair_bucketize, batch_format="pyarrow")
         .groupby("pair_bucket")
         .map_groups(count_pairs, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model quality score (CCNet-style filtering primitive)
+# --------------------------------------------------------------------------
+def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
+             text_col: str = "text", id_col: str = "doc_id",
+             alpha: float = 0.1,
+             max_model_broadcast: int = 20_000_000) -> rd.Dataset:
+    """Per-document mean bigram log-probability under an add-α-smoothed
+    bigram model counted from ``train_ds`` — the in-domain/perplexity
+    quality signal large corpus pipelines use for filtering (CCNet,
+    Wenzek et al. 2020, arXiv:1911.00359 — public).
+
+    Two phases: (1) bigram + unigram counts via the same per-batch
+    combiner + bucketed reduce as :func:`inverted_index`, broadcast once
+    per worker (``max_model_broadcast`` guards a garbage-vocabulary
+    blowup — at that size prune counts upstream, as CCNet does);
+    (2) a shuffle-free scoring map.  Rows-only by design: ``log`` is
+    not correctly-rounded across libm implementations, so no SQL oracle
+    can be bit-identical; the ordering properties are pinned by tests.
+
+    Returns (doc_id, n_bigrams, avg_logp); documents with < 2 tokens
+    get avg_logp = 0.0 and n_bigrams = 0.
+    """
+    import ray
+
+    def bigram_stage(t: pa.Table) -> pa.Table:
+        occ = _explode_tokens(t, text_col, id_col)
+        toks = occ["token"].to_numpy()
+        doc = occ["doc_id"].to_numpy()
+        if len(toks) == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        same = doc[1:] == doc[:-1]
+        big = np.char.add(np.char.add(toks[:-1].astype(str), " "),
+                          toks[1:].astype(str))[same]
+        uni, uc = np.unique(toks, return_counts=True)
+        bg, bc = (np.unique(big, return_counts=True) if big.size
+                  else (np.array([], dtype=str), np.array([], dtype=np.int64)))
+        # unigrams and bigrams share one count table; a bigram key
+        # contains a space, a unigram key cannot (tokens are split on it)
+        grams = np.concatenate([uni, bg])
+        counts = np.concatenate([uc, bc]).astype(np.int64)
+        return pa.table({"gram": pa.array(grams, type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    n_buckets = _default_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash_strings(t["gram"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram", sort=False)["n"].sum().reset_index()
+        return agg.astype({"n": np.int64})
+
+    model_rows = (
+        train_ds.map_batches(bigram_stage, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .take_all()
+    )
+    if len(model_rows) > max_model_broadcast:
+        raise ValueError(
+            f"model table {len(model_rows)} exceeds max_model_broadcast "
+            f"{max_model_broadcast}; prune low-count n-grams upstream"
+        )
+    counts = {r["gram"]: r["n"] for r in model_rows}
+    vocab = sum(1 for k in counts if " " not in k)
+    model_ref = ray.put((counts, vocab))
+
+    def score_stage(t: pa.Table, *, model_ref, alpha: float) -> pa.Table:
+        counts, vocab = get_broadcast(model_ref)
+        texts = t[text_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        n_big = np.zeros(len(texts), np.int64)
+        avg = np.zeros(len(texts), np.float64)
+        denom_base = alpha * max(vocab, 1)
+        for i, x in enumerate(texts):
+            w = [tok for tok in x.split(" ") if tok]
+            if len(w) < 2:
+                continue
+            s = 0.0
+            for a, b in zip(w, w[1:]):
+                c_big = counts.get(a + " " + b, 0)
+                c_uni = counts.get(a, 0)
+                s += np.log((c_big + alpha) / (c_uni + denom_base))
+            n_big[i] = len(w) - 1
+            avg[i] = s / (len(w) - 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bigrams": pa.array(n_big, type=pa.int64()),
+                "avg_logp": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    return score_ds.map_batches(
+        score_stage, batch_format="pyarrow",
+        fn_kwargs=dict(model_ref=model_ref, alpha=alpha),
     )

@@ -113,3 +113,68 @@ class TestKeyedGaps:
         assert (out["min_gap_us"] <= out["max_gap_us"]).all()
         assert (out["avg_gap_us"] >= out["min_gap_us"]).all()
         assert (out["avg_gap_us"] <= out["max_gap_us"]).all()
+
+
+class TestLmScore:
+    def test_in_domain_scores_higher(self, ray_session):
+        """A document made of the training corpus's common bigrams must
+        out-score one made of never-seen word pairs; both deterministic."""
+        import pandas as pd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import lm_score
+
+        train = pd.DataFrame(
+            {
+                "doc_id": pd.array(range(50), dtype="int64"),
+                "text": ["the quick fox jumps over the lazy dog"] * 25
+                + ["a quiet stream flows past the old mill"] * 25,
+            }
+        )
+        score = pd.DataFrame(
+            {
+                "doc_id": pd.array([0, 1, 2], dtype="int64"),
+                "text": [
+                    "the quick fox jumps",          # in-domain bigrams
+                    "dog lazy the over jumps fox",  # seen words, unseen order
+                    "zz yy xx ww",                  # unseen vocabulary
+                ],
+            }
+        )
+        out = (
+            lm_score(rd.from_pandas(train), rd.from_pandas(score))
+            .to_pandas().set_index("doc_id")["avg_logp"]
+        )
+        # in-domain text beats both corruptions; note add-α smoothing
+        # penalizes an unseen bigram after a FREQUENT word harder than
+        # unseen vocabulary (denominator c_uni + αV), so doc1 vs doc2
+        # ordering is a smoothing artifact, not asserted
+        assert out[0] > out[1] and out[0] > out[2]
+        assert out[0] > -1.0  # in-domain bigrams are all high-probability
+        again = (
+            lm_score(rd.from_pandas(train), rd.from_pandas(score))
+            .to_pandas().set_index("doc_id")["avg_logp"]
+        )
+        assert (out.sort_index() == again.sort_index()).all()
+
+    def test_short_docs_zero(self, ray_session):
+        import pandas as pd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import lm_score
+
+        train = pd.DataFrame({"doc_id": pd.array([0], dtype="int64"),
+                              "text": ["a b c"]})
+        score = pd.DataFrame({"doc_id": pd.array([0, 1], dtype="int64"),
+                              "text": ["a", "a b"]})
+        out = lm_score(rd.from_pandas(train), rd.from_pandas(score)).to_pandas()
+        one = out.set_index("doc_id")
+        assert one.loc[0, "n_bigrams"] == 0 and one.loc[0, "avg_logp"] == 0.0
+        assert one.loc[1, "n_bigrams"] == 1 and one.loc[1, "avg_logp"] < 0.0
+
+    def test_model_broadcast_guard(self, sf_dir, ray_session):
+        import pytest as _pytest
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import lm_score
+
+        docs = _docs(sf_dir)
+        with _pytest.raises(ValueError, match="max_model_broadcast"):
+            lm_score(docs, docs, max_model_broadcast=2).to_pandas()
