@@ -33,6 +33,12 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def _ncpu() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
 # ==========================================================================
 # exact distributed quantiles (two-pass histogram refinement)
 # ==========================================================================
@@ -44,6 +50,7 @@ def exact_quantiles(
     scale: int = 100,
     n_hist: int = 1 << 16,
     max_fetch: int = 50_000_000,
+    driver_merge_rows: int = 5_000_000,
 ) -> pd.DataFrame:
     """Exact ``quantile_disc`` values of ``ds[col]`` for each q in
     ``qs`` (the element at 0-based index max(0, ceil(q·n)−1) of the
@@ -77,13 +84,36 @@ def exact_quantiles(
             {"bucket": pa.array(ids), "n": pa.array(counts.astype(np.int64))}
         )
 
-    from ray.data.aggregate import Sum
+    # merge the per-batch sparse histograms. Two paths (the
+    # multi_bucket_keys pattern): partial histograms are ≤ n_hist rows
+    # per BATCH, so below the guard the driver merges them directly —
+    # no all-to-all at all (the sort exchange alone costs ~1.5 s at 32
+    # CPUs, dwarfing this driver sum). Above it (corpus-scale batch
+    # counts), a hash-bucketed distributed combine runs first and the
+    # driver still receives ≤ n_hist rows.
+    partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_rows:
+        hp = partials.to_pandas()
+    else:
+        nb = 2 * _ncpu()
 
+        def reb(t: pa.Table) -> pa.Table:
+            b = np.asarray(t["bucket"].to_pandas(), dtype=np.int64)
+            return t.append_column(
+                "g", pa.array((b % nb).astype(np.int64), type=pa.int64())
+            )
+
+        hp = (
+            partials.map_batches(reb, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(
+                lambda g: g.groupby("bucket", sort=False)["n"].sum().reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
     h = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        hp.groupby("bucket", sort=True)["n"].sum().reset_index()
         .sort_values("bucket")
     )
     cum = h["n"].cumsum().to_numpy()
@@ -140,6 +170,7 @@ def grouped_quantiles(
     *,
     scale: int = 100,
     n_hist: int = 1 << 16,
+    driver_merge_rows: int = 5_000_000,
 ) -> pd.DataFrame:
     """Per-group exact ``quantile_disc``: the same two-pass histogram
     refinement as :func:`exact_quantiles`, with (group, bucket) keys.
@@ -175,13 +206,37 @@ def grouped_quantiles(
         out = df.groupby(["g", "bucket"], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    # two-path partial-histogram merge (same rationale as
+    # exact_quantiles: the sort exchange costs more than the merged
+    # histogram; the (g, bucket) key space is additionally singleton-
+    # dominated, where Ray's sort aggregate pays per-KEY overhead)
+    partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_rows:
+        hp = partials.to_pandas()
+    else:
+        nb = 2 * _ncpu()
 
+        def reb(t: pa.Table) -> pa.Table:
+            # group keys may be strings; any within-run-consistent hash
+            # balances the combine buckets
+            df = t.select(["g", "bucket"]).to_pandas()
+            hv = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            return t.append_column(
+                "gg", pa.array((hv % np.uint64(nb)).astype(np.int64))
+            )
+
+        hp = (
+            partials.map_batches(reb, batch_format="pyarrow")
+            .groupby("gg")
+            .map_groups(
+                lambda f: f.groupby(["g", "bucket"], sort=False)["n"]
+                .sum().reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
     h = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby(["g", "bucket"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        hp.groupby(["g", "bucket"], sort=True)["n"].sum().reset_index()
         .sort_values(["g", "bucket"])
     )
 

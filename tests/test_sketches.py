@@ -194,3 +194,29 @@ class TestPivot:
         assert out["k"].tolist() == [1, 2, 3]
         assert out["a"].tolist() == [1, 0, 2]
         assert out["b"].tolist() == [1, 0, 0]
+
+
+class TestQuantileMergeFallback:
+    def test_distributed_combine_matches_driver_merge(self, sf_dir, ray_session):
+        """Forcing the partial-histogram merge onto the distributed
+        bucketed-combine path (driver_merge_rows=0) must give exactly the
+        driver-merge result — global and grouped."""
+        import os
+
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            exact_quantiles,
+            grouped_quantiles,
+        )
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice", "o_orderstatus"])
+        a = exact_quantiles(ds, "o_totalprice", [0.25, 0.9])
+        b = exact_quantiles(ds, "o_totalprice", [0.25, 0.9], driver_merge_rows=0)
+        assert a.equals(b)
+        ga = grouped_quantiles(ds, "o_orderstatus", "o_totalprice", [0.5])
+        gb = grouped_quantiles(ds, "o_orderstatus", "o_totalprice", [0.5],
+                               driver_merge_rows=0)
+        sort = lambda d: d.sort_values(["o_orderstatus", "q"]).reset_index(drop=True)
+        assert sort(ga).equals(sort(gb))
