@@ -607,10 +607,9 @@ def q31_window_tumbling(sf_dir: str):
     so the reduce is hash-BUCKETED (~2×CPU groups, pandas C-kernel
     groupby inside) rather than ``groupby([user, win]).aggregate`` —
     Ray's sort aggregate pays per-KEY overhead there."""
-    import ray
+    from ..stages.joins import _default_buckets
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_buckets = 2 * ncpu
+    n_buckets = _default_buckets()
 
     def win(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -650,11 +649,10 @@ def q32_sessionize(sf_dir: str):
     shape, bucketed like q31 (users are singleton-dominated at scale):
     one hash-bucket exchange, then a vectorized sort + diff + groupby
     per bucket (no per-user pandas apply)."""
-    import ray
+    from ..stages.joins import _default_buckets
 
     GAP_US = 30 * 60 * 1_000_000
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_buckets = 2 * ncpu
+    n_buckets = _default_buckets()
 
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -69,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             ))
             return 0
         if isinstance(res, rd.Dataset):
+            res = res.materialize()  # one execution serves both count and head
             df = res.limit(args.limit).to_pandas()
             n = res.count()
         else:

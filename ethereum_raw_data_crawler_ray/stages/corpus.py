@@ -97,11 +97,7 @@ def _token_bucket(tokens: pd.Series, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _default_buckets() -> int:
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return 2 * ncpu
+from .joins import _default_buckets  # shared ~2×CPU (floor 16) policy
 
 
 def inverted_index(ds: rd.Dataset, text_col: str = "text",
@@ -167,14 +163,17 @@ def tfidf_topk(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    df_tab = inverted_index(ds, text_col, id_col).take_all()
-    # vocabulary-sized by construction (guard below)
-    if len(df_tab) > max_vocab_broadcast:
+    idx = inverted_index(ds, text_col, id_col).materialize()
+    # guard BEFORE the driver pull: count() on the materialized index is
+    # metadata-only, so an oversized vocabulary raises without ever
+    # shipping a row to the driver
+    if idx.count() > max_vocab_broadcast:
         raise ValueError(
-            f"vocabulary {len(df_tab)} exceeds max_vocab_broadcast "
+            f"vocabulary {idx.count()} exceeds max_vocab_broadcast "
             f"{max_vocab_broadcast}; use a shuffle join on token instead "
             "of the broadcast path"
         )
+    df_tab = idx.take_all()
     df_map = {r["token"]: r["df"] for r in df_tab}
     n_docs = float(ds.count())
     df_ref = ray.put(df_map)
@@ -270,19 +269,25 @@ def repetition_stats(ds: rd.Dataset, text_col: str = "text",
 # --------------------------------------------------------------------------
 def _gram_rows(t: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
     """Distinct word-k-gram hash rows (gram, doc_id, n_grams) for one
-    batch. Documents with < k tokens are excluded (no k-gram exists) —
-    mirrored by the oracle's ``len(w) >= k`` filter. n_grams rides on
-    every row so the pair stage needs no side lookup."""
-    from ..functions.textstats import word_gram_hash_set
+    batch. Tokenization is raw whitespace split — the SAME token stream
+    as every other corpus.py operator AND the q55 oracle's
+    ``string_split(text, ' ')`` (textstats' ``word_gram_hash_set``
+    lowercases through ``\\w+``, which would silently diverge from the
+    oracle on cased/punctuated text; on the clean corpus the two agree,
+    which the kernel-parity test pins). Documents with < k tokens are
+    excluded (no k-gram exists) — the oracle's ``len(w) >= k`` filter.
+    n_grams rides on every row so the pair stage needs no side lookup."""
+    from ..functions.hashing import hash_strings
+    from ..functions.textstats import _rolling_poly
 
     texts = t[text_col].to_pylist()
     ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
     grams, out_ids, out_n = [], [], []
     for i, x in enumerate(texts):
-        toks = x.count(" ") + 1 if x else 0
-        if toks < k:
+        w = [tok for tok in x.split(" ") if tok]
+        if len(w) < k:
             continue
-        g = word_gram_hash_set(x, k)
+        g = np.unique(_rolling_poly(hash_strings(w), k))
         grams.append(g)
         out_ids.append(np.full(g.size, ids[i], np.int64))
         out_n.append(np.full(g.size, g.size, np.int64))
@@ -379,8 +384,7 @@ def jaccard_ngram_pairs(ds: rd.Dataset, text_col: str = "text",
     import ray
 
     if n_buckets is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_buckets = 2 * ncpu
+        n_buckets = _default_buckets()
 
     def bucketize(t: pa.Table) -> pa.Table:
         g = _gram_rows(t, text_col, id_col, k)
@@ -481,23 +485,27 @@ def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
         agg = g.groupby("gram", sort=False)["n"].sum().reset_index()
         return agg.astype({"n": np.int64})
 
-    model_rows = (
+    model = (
         train_ds.map_batches(bigram_stage, batch_format="pyarrow")
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
-        .take_all()
+        .materialize()
     )
-    if len(model_rows) > max_model_broadcast:
+    # guard BEFORE the driver pull (count on materialized = metadata)
+    if model.count() > max_model_broadcast:
         raise ValueError(
-            f"model table {len(model_rows)} exceeds max_model_broadcast "
+            f"model table {model.count()} exceeds max_model_broadcast "
             f"{max_model_broadcast}; prune low-count n-grams upstream"
         )
+    model_rows = model.take_all()
     counts = {r["gram"]: r["n"] for r in model_rows}
     vocab = sum(1 for k in counts if " " not in k)
     model_ref = ray.put((counts, vocab))
 
     def score_stage(t: pa.Table, *, model_ref, alpha: float) -> pa.Table:
+        from math import log  # scalar libm call, ~10× cheaper than np.log on scalars
+
         counts, vocab = get_broadcast(model_ref)
         texts = t[text_col].to_pylist()
         ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
@@ -512,7 +520,7 @@ def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
             for a, b in zip(w, w[1:]):
                 c_big = counts.get(a + " " + b, 0)
                 c_uni = counts.get(a, 0)
-                s += np.log((c_big + alpha) / (c_uni + denom_base))
+                s += log((c_big + alpha) / (c_uni + denom_base))
             n_big[i] = len(w) - 1
             avg[i] = s / (len(w) - 1)
         return pa.table(

@@ -323,13 +323,13 @@ def keyed_gaps(
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        key = np.asarray(t[by].to_pandas(), dtype=np.int64)
+        key = t[by].to_numpy(zero_copy_only=False)  # any dtype _bucket_of takes
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         return pa.table(
             {
-                by: pa.array(key, type=pa.int64()),
+                by: t[by],
                 "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
                 "__bucket": pa.array(_bucket_of(key, n_buckets)),
             }
@@ -337,7 +337,7 @@ def keyed_gaps(
 
     def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([by, "__ts_us"], kind="mergesort")
-        key = g[by].to_numpy(np.int64)
+        key = g[by].to_numpy()
         ts = g["__ts_us"].to_numpy(np.int64)
         gap = np.diff(ts)
         same = key[1:] == key[:-1]  # diffs across a key change are not gaps
@@ -345,7 +345,7 @@ def keyed_gaps(
         if kg.size == 0:
             return pd.DataFrame(
                 {
-                    by: pd.Series(dtype=np.int64),
+                    by: pd.Series(dtype=g[by].dtype),
                     "n_events": pd.Series(dtype=np.int64),
                     "n_gaps": pd.Series(dtype=np.int64),
                     "avg_gap_us": pd.Series(dtype=np.float64),
@@ -357,7 +357,7 @@ def keyed_gaps(
         agg = f.groupby(by, sort=True)["g"].agg(["count", "sum", "min", "max"])
         return pd.DataFrame(
             {
-                by: agg.index.to_numpy(np.int64),
+                by: agg.index.to_numpy(),  # key dtype preserved (int or str)
                 "n_events": agg["count"].to_numpy(np.int64) + 1,
                 "n_gaps": agg["count"].to_numpy(np.int64),
                 "avg_gap_us": agg["sum"].to_numpy(np.int64)

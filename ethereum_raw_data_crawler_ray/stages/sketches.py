@@ -33,10 +33,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
-def _ncpu() -> int:
-    import ray
-
-    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+from .joins import _default_buckets  # shared ~2×CPU (floor 16) policy
 
 
 # ==========================================================================
@@ -95,7 +92,7 @@ def exact_quantiles(
     if partials.count() <= driver_merge_rows:
         hp = partials.to_pandas()
     else:
-        nb = 2 * _ncpu()
+        nb = _default_buckets()
 
         def reb(t: pa.Table) -> pa.Table:
             b = np.asarray(t["bucket"].to_pandas(), dtype=np.int64)
@@ -214,7 +211,7 @@ def grouped_quantiles(
     if partials.count() <= driver_merge_rows:
         hp = partials.to_pandas()
     else:
-        nb = 2 * _ncpu()
+        nb = _default_buckets()
 
         def reb(t: pa.Table) -> pa.Table:
             # group keys may be strings; any within-run-consistent hash
@@ -470,8 +467,7 @@ def pivot_counts(
     import ray
 
     if n_buckets is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        n_buckets = 2 * ncpu
+        n_buckets = _default_buckets()
     cats = list(categories)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -482,7 +478,10 @@ def pivot_counts(
             }
         )
         wide = (
-            df.groupby(["k", "c"], sort=False).size().unstack(fill_value=0)
+            # dropna=False: a key whose rows all have a NULL category
+            # must still appear (all-zero) — SQL GROUP BY keeps it
+            df.groupby(["k", "c"], sort=False, dropna=False).size()
+            .unstack(fill_value=0)
             .reindex(columns=cats, fill_value=0)
             .reset_index()
         )

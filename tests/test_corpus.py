@@ -178,3 +178,30 @@ class TestLmScore:
         docs = _docs(sf_dir)
         with _pytest.raises(ValueError, match="max_model_broadcast"):
             lm_score(docs, docs, max_model_broadcast=2).to_pandas()
+
+
+class TestKeyedGapsStringKeys:
+    def test_string_by_column(self, ray_session):
+        import pandas as pd
+
+        ev = pd.DataFrame(
+            {
+                "host": ["a.com", "a.com", "b.com", "a.com", "b.com", "c.com"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                     "2024-01-01 00:00:05", "2024-01-01 00:00:25",
+                     "2024-01-01 00:00:35", "2024-01-01 00:01:00"]
+                ).astype("datetime64[us]"),
+            }
+        )
+        out = (
+            keyed_gaps(rd.from_pandas(ev), by="host", ts_col="ts")
+            .to_pandas().set_index("host")
+        )
+        # c.com has one event -> dropped; gaps in microseconds
+        assert set(out.index) == {"a.com", "b.com"}
+        assert out.loc["a.com", "n_events"] == 3
+        assert out.loc["a.com", "min_gap_us"] == 10_000_000
+        assert out.loc["a.com", "max_gap_us"] == 15_000_000
+        assert out.loc["b.com", "n_gaps"] == 1
+        assert out.loc["b.com", "max_gap_us"] == 30_000_000

@@ -195,6 +195,27 @@ class TestPivot:
         assert out["a"].tolist() == [1, 0, 2]
         assert out["b"].tolist() == [1, 0, 0]
 
+    def test_null_category_keeps_key(self, ray_session):
+        # a key whose rows ALL have a null category must still appear
+        # as an all-zero row (SQL GROUP BY keeps it)
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import pivot_counts
+
+        df = pd.DataFrame(
+            {
+                "k": pd.array([1, 2, 2], dtype="int64"),
+                "c": pd.array(["a", None, None], dtype=object),
+            }
+        )
+        out = (
+            pivot_counts(rd.from_pandas(df), "k", "c", ["a"], n_buckets=2)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out["k"].tolist() == [1, 2]
+        assert out["a"].tolist() == [1, 0]
+
 
 class TestQuantileMergeFallback:
     def test_distributed_combine_matches_driver_merge(self, sf_dir, ray_session):
