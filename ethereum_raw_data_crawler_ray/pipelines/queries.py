@@ -1182,6 +1182,79 @@ def q63_corpus_clean(sf_dir: str):
     )
 
 
+def q64_connected_components(sf_dir: str):
+    """Distributed connected components (stages/graph): the part—supplier
+    co-occurrence graph (hash-thinned to stay sparse), labels = component
+    min node id. Star contraction: per-block local CC via vectorized
+    min-label + pointer jumping, driver finish under the cap, dual-routed
+    bucket passes above it. Oracle is a DuckDB recursive CTE."""
+    from ..stages.graph import connected_components
+
+    def edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy()
+        s = t["l_suppkey"].to_numpy()
+        m = (p * 31 + s) % 29 == 0
+        return pa.table({"a": p[m], "b": s[m] + 100_000_000})
+
+    e = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return connected_components(e)
+
+
+def q65_running_total(sf_dir: str):
+    """Per-user running purchase total — the cumulative window function
+    (SUM OVER PARTITION ORDER) as one bucket exchange + vectorized
+    cumsum (stages/joins.keyed_running_sum); exact integer cents."""
+    from ..stages.joins import keyed_running_sum
+
+    return keyed_running_sum(
+        _t(sf_dir, "events", ["user_id", "ts", "value"]),
+        by="user_id", ts_col="ts", val_col="value",
+    )
+
+
+def q66_set_intersect(sf_dir: str):
+    """INTERSECT set operation (stages/joins.set_op): users who both
+    clicked and purchased."""
+    from ..stages.joins import set_op
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def typed(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(["user_id"])
+
+        return f
+
+    return set_op(
+        ev.map_batches(typed("click"), batch_format="pyarrow"),
+        ev.map_batches(typed("purchase"), batch_format="pyarrow"),
+        on="user_id", op="intersect",
+    )
+
+
+def q67_set_except(sf_dir: str):
+    """EXCEPT set operation (stages/joins.set_op): signup users with no
+    big-ticket (>200) purchase."""
+    from ..stages.joins import set_op
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def signups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "signup")).select(["user_id"])
+
+    def big_purchases(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 200.0))
+        return t.filter(m).select(["user_id"])
+
+    return set_op(
+        ev.map_batches(signups, batch_format="pyarrow"),
+        ev.map_batches(big_purchases, batch_format="pyarrow"),
+        on="user_id", op="except",
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1250,6 +1323,10 @@ QUERIES = {
     "q61_window_hopping": q61_window_hopping,
     "q62_lm_score": q62_lm_score,
     "q63_corpus_clean": q63_corpus_clean,
+    "q64_connected_components": q64_connected_components,
+    "q65_running_total": q65_running_total,
+    "q66_set_intersect": q66_set_intersect,
+    "q67_set_except": q67_set_except,
 }
 
 ORACLE_SQL = {
@@ -1586,5 +1663,41 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN keep USING (doc_id), thr
         WHERE d.lang = 'en' AND d.n_chars >= thr.t
+    """,
+    "q64_connected_components": """
+        WITH RECURSIVE
+        edges AS (
+          SELECT DISTINCT l_partkey AS a, l_suppkey + 100000000 AS b
+          FROM lineitem
+          WHERE (l_partkey * 31 + l_suppkey) % 29 = 0
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT s.b AS node, r.label
+          FROM reach r JOIN sym s ON s.a = r.node
+          WHERE r.label < s.b
+        )
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """,
+    "q65_running_total": """
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_cents
+        FROM events
+    """,
+    "q66_set_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "q67_set_except": """
+        SELECT user_id FROM events WHERE event_type = 'signup'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
     """,
 }

@@ -1,0 +1,234 @@
+"""Distributed connected components over an edge Dataset.
+
+The reference engine has no graph operator (its nearest analog is the
+dedup invariant over the URL-seen set, `internal/domain/service/`
+SURVEY.md §2.8); this extends the engine for the training-data axis —
+near-dup *groups*, link-graph components, user-identity stitching all
+reduce to connected components over a pair table.
+
+Distributed recipe (hash-to-min / star-contraction family, Rastogi et
+al. "Finding Connected Components in MapReduce"):
+
+1. **Local contraction** (``map_batches``, no shuffle): run a
+   vectorized min-label CC over each *block's* edges and emit its
+   spanning star edges ``(node → local min root)``.  The union of
+   per-block stars preserves global connectivity exactly (spanning
+   forest union argument), and the edge count drops to the number of
+   non-root nodes — for dense blocks a large contraction for free.
+2. **Driver finish** (the common case): if the contracted edge count
+   fits ``driver_cap``, pull the stars and finish with the same
+   vectorized min-label kernel — one dict-free exact pass; emit
+   ``(node, component)`` with ``component = min node id`` of the
+   component, matching the SQL min-label convention.
+3. **Distributed loop** (the 100-TB path): otherwise, iterate
+   bucket-contraction passes — hash-bucket the star edges by ``src``
+   (even passes) / ``dst`` (odd passes) with a per-pass seed, run the
+   local CC per *bucket* (``groupby("__bucket").map_groups``, keys
+   amortized per the joins.py bucket contract) and re-emit stars.
+   Alternating sides merges both "one node in many stars" and "many
+   nodes on one root" shapes; hash-to-min converges in O(log n)
+   expected passes.  Each pass is ONE all-to-all over the *contracted*
+   edge set (≤ #nodes rows, never the input).  Fixpoint is detected by
+   a commutative 64-bit checksum (count + wrap-sum of mixed pairs); at
+   fixpoint the star edges ARE the answer.
+
+Partitioning assumptions (operator contract): per-bucket node count
+must fit a worker heap (size ``n_buckets`` accordingly at real scale);
+a single component may be the whole graph — its final star is
+output-sized rows, never materialized in one task (only in the
+driver-finish path, which is gated by ``driver_cap``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .joins import _default_buckets
+
+
+def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64 finalizer over uint64 keys, salted per pass."""
+    x = x.astype(np.uint64) + np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> 27)) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> 31)
+
+
+def local_cc(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact connected components of the edge list ``(u, v)`` via
+    vectorized min-label propagation + pointer jumping.
+
+    Returns ``(nodes, roots)``: the sorted distinct node values and,
+    aligned, each node's component label = the MINIMUM node value in
+    its component (np.unique sorts, so min index == min value).
+    O(E · log n) numpy work, no Python per-edge loop.
+    """
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lab
+        l2 = lab.copy()
+        np.minimum.at(l2, ui, lab[vi])
+        np.minimum.at(l2, vi, lab[ui])
+        while True:  # pointer jumping: compress chains to roots
+            l3 = l2[l2]
+            if np.array_equal(l3, l2):
+                break
+            l2 = l3
+        lab = l2
+        if np.array_equal(lab, prev):
+            break
+    return nodes, nodes[lab]
+
+
+def _star_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Contract an edge array to its spanning star edges (node, root),
+    node != root (roots drop out as self-loops)."""
+    if len(u) == 0:
+        return pa.table({"__u": pa.array([], pa.int64()), "__v": pa.array([], pa.int64())})
+    nodes, roots = local_cc(u, v)
+    m = nodes != roots
+    return pa.table({"__u": nodes[m], "__v": roots[m]})
+
+
+def connected_components(
+    edges: rd.Dataset,
+    *,
+    a: str = "a",
+    b: str = "b",
+    driver_cap: int = 2_000_000,
+    n_buckets: int | None = None,
+    max_passes: int = 12,
+) -> rd.Dataset:
+    """Connected components of the undirected graph given by edge
+    columns ``(a, b)`` (duplicate edges and either orientation are
+    fine; self-loops are ignored).  Returns a Dataset with columns
+    ``(node:int64, component:int64)`` — one row per distinct endpoint,
+    ``component`` = min node value of its component.
+    """
+    n_buckets = n_buckets or _default_buckets()
+
+    def contract_block(t: pa.Table) -> pa.Table:
+        u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = u != v
+        return _star_table(u[m], v[m])
+
+    stars = edges.map_batches(contract_block, batch_format="pyarrow").materialize()
+    n_edges = stars.count()
+
+    if n_edges <= driver_cap:
+        import ray
+
+        tbl = pa.concat_tables(ray.get(stars.to_arrow_refs()))
+        if tbl.num_rows == 0:
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+            )
+        u = tbl["__u"].to_numpy().astype(np.int64)
+        v = tbl["__v"].to_numpy().astype(np.int64)
+        nodes, roots = local_cc(u, v)
+        return rd.from_arrow(pa.table({"node": nodes, "component": roots}))
+
+    # Distributed loop: alternating-side bucket contraction to fixpoint.
+    def checksum(ds: rd.Dataset) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            x = _mix64(t["__u"].to_numpy().astype(np.uint64), 1)
+            y = _mix64(t["__v"].to_numpy().astype(np.uint64), 2)
+            s = int(np.bitwise_xor.reduce(x * np.uint64(3) + y)) if len(x) else 0
+            return pa.table({"s": pa.array([s], pa.uint64()), "n": pa.array([len(x)], pa.int64())})
+
+        parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+        sig = 0
+        n = 0
+        for r in parts:
+            sig ^= int(r["s"])
+            n += int(r["n"])
+        return (sig << 20) ^ n
+
+    def route_both(t: pa.Table, _seed: int) -> pa.Table:
+        """Send each star edge to BOTH endpoints' buckets (one copy if
+        they coincide).  Dual routing guarantees any two edges sharing
+        an endpoint co-locate in the shared node's bucket, so every
+        2-hop star chain contracts every pass — one-sided bucketing
+        deadlocks on chains where the shared node is src in one edge
+        and dst in the other.  The seed is FIXED across passes: shared-
+        endpoint co-location (hence progress) holds for any seed, and a
+        fixed seed makes each pass a deterministic function of its
+        input, so the output multiset stabilizes exactly when the
+        labels do — a reseeding pass keeps churning duplicate rows at
+        the label fixpoint and the checksum never settles."""
+        u = t["__u"].to_numpy().astype(np.int64)
+        v = t["__v"].to_numpy().astype(np.int64)
+        ku = (_mix64(u.astype(np.uint64), _seed) % np.uint64(n_buckets)).astype(np.int64)
+        kv = (_mix64(v.astype(np.uint64), _seed) % np.uint64(n_buckets)).astype(np.int64)
+        m = ku != kv
+        return pa.table(
+            {
+                "__u": np.concatenate([u, u[m]]),
+                "__v": np.concatenate([v, v[m]]),
+                "__bucket": np.concatenate([ku, kv[m]]),
+            }
+        )
+
+    def contract_bucket(t: pa.Table) -> pa.Table:
+        return _star_table(
+            t["__u"].to_numpy().astype(np.int64), t["__v"].to_numpy().astype(np.int64)
+        )
+
+    # Labels only ever decrease and stay within the true component
+    # (induction over emitted stars), so the loop converges to stars
+    # rooted at component minima.  Any node's label row set is a
+    # function of its (monotone) label, so multiset equality between
+    # consecutive passes ⟺ no label changed ⟺ converged.
+    prev_sig = checksum(stars)
+    for p in range(max_passes):
+        stars = (
+            stars.map_batches(
+                route_both, batch_format="pyarrow", fn_kwargs={"_seed": 1}
+            )
+            .groupby("__bucket")
+            .map_groups(contract_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        sig = checksum(stars)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_passes} passes; "
+            "raise max_passes (expected O(log n) for dual-routed star contraction)"
+        )
+
+    # At fixpoint stars are (node -> global min root), possibly with
+    # duplicate rows from dual routing.  One final __v-bucketed pass
+    # emits the output: all rows of a root share its bucket, so
+    # per-bucket pair-dedup + distinct-root self-rows are globally
+    # distinct — no driver-side unique() over the component set.
+    def final_bucket(t: pa.Table) -> pa.Table:
+        k = _mix64(t["__v"].to_numpy().astype(np.uint64), 0)
+        return t.append_column(
+            "__bucket", pa.array((k % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        u = t["__u"].to_numpy().astype(np.int64)
+        v = t["__v"].to_numpy().astype(np.int64)
+        pairs = np.unique(np.stack([u, v], axis=1), axis=0)
+        rts = np.unique(v)
+        return pa.table(
+            {
+                "node": np.concatenate([pairs[:, 0], rts]),
+                "component": np.concatenate([pairs[:, 1], rts]),
+            }
+        )
+
+    return (
+        stars.map_batches(final_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(emit, batch_format="pyarrow")
+    )

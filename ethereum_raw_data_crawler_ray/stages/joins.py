@@ -436,3 +436,129 @@ def hash_join(
         return merged
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# per-key running aggregate (SUM OVER PARTITION BY ... ORDER BY ...)
+# --------------------------------------------------------------------------
+def keyed_running_sum(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key running total — ``SUM(val) OVER (PARTITION BY key ORDER
+    BY ts ROWS UNBOUNDED PRECEDING)`` re-expressed Ray-Data-first: ONE
+    hash-bucket exchange on the key, then a single vectorized pass per
+    bucket (stable sort by (key, ts) + global cumsum − per-key offset
+    subtraction, no per-key apply).
+
+    Values are converted to integer CENTS in the map stage so the
+    cumulative sum is exact integer arithmetic — a float running sum is
+    accumulation-order-defined and NOT bit-stable across engines, while
+    cents int64 matches the DuckDB window oracle digit-for-digit
+    (same policy as range_join_agg).  Output: (by, ts_us:int64,
+    running_cents:int64); ties on (key, ts) would make the prefix
+    ambiguous — the events corpus has none (TESTDATA).
+    """
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t[by].to_numpy(zero_copy_only=False)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t[val_col], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                by: t[by],
+                "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__cents": cents.combine_chunks(),
+                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, "ts_us"], kind="mergesort")
+        key = g[by].to_numpy()
+        cents = g["__cents"].to_numpy(np.int64)
+        cum = np.cumsum(cents)
+        # subtract the cumulative total of everything before each key's
+        # first row (exact for negative values too — no monotonicity
+        # assumption on the global cumsum)
+        first = np.empty(len(key), dtype=bool)
+        first[0] = True
+        first[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(first)
+        offset = (cum[starts] - cents[starts])[np.cumsum(first) - 1]
+        return pd.DataFrame(
+            {
+                by: key,
+                "ts_us": g["ts_us"].to_numpy(np.int64),
+                "running_cents": cum - offset,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT, SQL DISTINCT semantics)
+# --------------------------------------------------------------------------
+def set_op(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    op: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed ``INTERSECT`` / ``EXCEPT`` on a single key column
+    (SQL set semantics: output is DISTINCT).  Same recipe as
+    :func:`hash_join`: tag the sides, ONE hash-bucket exchange, and a
+    vectorized per-bucket kernel (np.intersect1d / setdiff1d over the
+    bucket's distinct keys) — all occurrences of a key land in one
+    bucket, so per-bucket set algebra is globally exact.
+
+    ``union`` is deliberately absent: Ray Data's ``ds.union`` +
+    bucketed distinct already covers it (q13/q15).
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unsupported op={op!r}")
+    n_buckets = n_buckets or _default_buckets()
+
+    def make_tag(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            key = t[on].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    on: t[on],
+                    "__side": pa.array(np.full(len(key), side, dtype=np.int8)),
+                    "__bucket": pa.array(_bucket_of(key, n_buckets)),
+                }
+            )
+
+        return tag
+
+    u = left.select_columns([on]).map_batches(
+        make_tag(0), batch_format="pyarrow"
+    ).union(right.select_columns([on]).map_batches(make_tag(1), batch_format="pyarrow"))
+
+    def op_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["__side"] == 0, on].unique()
+        b = g.loc[g["__side"] == 1, on].unique()
+        out = np.intersect1d(a, b) if op == "intersect" else np.setdiff1d(a, b)
+        return pd.DataFrame({on: out})
+
+    return u.groupby("__bucket").map_groups(op_bucket, batch_format="pandas")

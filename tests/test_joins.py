@@ -302,3 +302,51 @@ def test_hash_join_empty_right(ray_session):
     anti = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
                      on="k", right_cols=[], how="anti").to_pandas()
     assert len(anti) == len(left)
+
+
+# --------------------------------------------------------------------------
+# keyed_running_sum / set_op
+# --------------------------------------------------------------------------
+def test_running_sum_matches_pandas_incl_negatives(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_running_sum
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 97, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.permutation(n), unit="s"),
+            "value": np.round(rng.normal(0, 50, n), 2),  # negatives included
+        }
+    )
+    out = (
+        keyed_running_sum(
+            rd.from_pandas(df).repartition(7), by="user_id", ts_col="ts", val_col="value"
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["cents"] = np.round(ref["value"] * 100).astype(np.int64)
+    ref = ref.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    ref["running_cents"] = ref.groupby("user_id")["cents"].cumsum()
+    assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (out["running_cents"].to_numpy() == ref["running_cents"].to_numpy()).all()
+
+
+def test_set_op_matches_numpy(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import set_op
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 500, 3000).astype(np.int64)
+    b = rng.integers(250, 750, 3000).astype(np.int64)
+    da = rd.from_pandas(pd.DataFrame({"k": a})).repartition(5)
+    db = rd.from_pandas(pd.DataFrame({"k": b})).repartition(3)
+    got_i = np.sort(set_op(da, db, on="k", op="intersect").to_pandas()["k"].to_numpy())
+    got_e = np.sort(set_op(da, db, on="k", op="except").to_pandas()["k"].to_numpy())
+    assert (got_i == np.intersect1d(a, b)).all()
+    assert (got_e == np.setdiff1d(a, b)).all()
+    with pytest.raises(ValueError):
+        set_op(da, db, on="k", op="union")
