@@ -389,6 +389,8 @@ def hash_join(
     n_buckets: int | None = None,
     left_fields: list[pa.Field] | None = None,
     right_fields: list[pa.Field] | None = None,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> rd.Dataset:
     """Distributed hash equi-join on ``on`` (same column name both
     sides — rename upstream with ``rename_columns`` if they differ):
@@ -405,9 +407,22 @@ def hash_join(
     upstream if both sides are hot).  ``fill_value`` fills unmatched
     right columns for ``how="left"`` — required for integer columns so
     all-matched and partly-matched buckets emit the same dtype.
+
+    ``bloom_prefilter=True`` (inner/semi only) is the selective-join
+    scale path: build a Bloom filter of the RIGHT keys (per-block
+    partials OR-merged on the driver — ``bloom_bits``/8 bytes each,
+    tiny next to the data), broadcast it via ``ray.put``, and drop
+    definite-non-matching LEFT rows *before* the all-to-all exchange.
+    False positives just flow into the exact per-bucket join, so the
+    result is identical — only the shuffled volume shrinks.  Size
+    ``bloom_bits`` ≈ 10× the distinct right-key count for a ~1 % FP
+    rate (2 probes).  Invalid for left/anti, where unmatched left rows
+    must be kept.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if bloom_prefilter and how not in ("inner", "semi"):
+        raise ValueError("bloom_prefilter only valid for inner/semi joins")
     n_buckets = n_buckets or _default_buckets()
     lfields = left_fields or _arrow_fields(left)
     lcols = [f.name for f in lfields]
@@ -415,6 +430,8 @@ def hash_join(
     rename = {c: (c + suffix if c in lcols else c) for c in right_cols if c != on}
     fill = fill_value or {}
     rfields = [f for f in (right_fields or _arrow_fields(right)) if f.name in rkeep]
+    if bloom_prefilter:
+        left = _bloom_filter_left(left, right, on, bloom_bits)
     u = _tagged_union(left, right.select_columns(rkeep), on, n_buckets, lfields, rfields)
 
     l_ints = _int_cols(lfields, lcols)
@@ -562,3 +579,54 @@ def set_op(
         return pd.DataFrame({on: out})
 
     return u.groupby("__bucket").map_groups(op_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# bloom prefilter (selective-join scale path)
+# --------------------------------------------------------------------------
+def _bloom_hashes(keys: np.ndarray, bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent bit positions per key (splitmix for ints, pandas
+    hash_array otherwise), double-hashing style."""
+    if np.issubdtype(keys.dtype, np.integer):
+        x = keys.astype(np.uint64)
+        x = (x ^ (x >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> 27)) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> 31
+    else:
+        x = pd.util.hash_array(keys)
+    h2 = (x >> np.uint64(32)) | np.uint64(1)
+    return (x % np.uint64(bits)), ((x + h2) % np.uint64(bits))
+
+
+def _bloom_filter_left(
+    left: rd.Dataset, right: rd.Dataset, on: str, bits: int
+) -> rd.Dataset:
+    import ray
+
+    words = bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = np.zeros(words, dtype=np.uint64)
+        k = t[on].to_numpy(zero_copy_only=False)
+        for pos in _bloom_hashes(k, bits):
+            np.bitwise_or.at(arr, (pos // 64).astype(np.int64), np.uint64(1) << (pos % np.uint64(64)))
+        return pa.table({"bloom": pa.array([arr.tobytes()], pa.binary())})
+
+    parts = right.select_columns([on]).map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        merged |= np.frombuffer(r["bloom"], dtype=np.uint64)
+    ref = ray.put(merged)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bloom = ray.get(ref)
+        k = t[on].to_numpy(zero_copy_only=False)
+        p1, p2 = _bloom_hashes(k, bits)
+        hit = (
+            (bloom[(p1 // 64).astype(np.int64)] >> (p1 % np.uint64(64))) & np.uint64(1)
+        ).astype(bool) & (
+            (bloom[(p2 // 64).astype(np.int64)] >> (p2 % np.uint64(64))) & np.uint64(1)
+        ).astype(bool)
+        return t.filter(pa.array(hit))
+
+    return left.map_batches(keep, batch_format="pyarrow")

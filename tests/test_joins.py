@@ -350,3 +350,35 @@ def test_set_op_matches_numpy(ray_session):
     assert (got_e == np.setdiff1d(a, b)).all()
     with pytest.raises(ValueError):
         set_op(da, db, on="k", op="union")
+
+
+def test_bloom_prefilter_join_identical(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 100_000, 20_000), "x": rng.integers(0, 9, 20_000)}
+    )
+    right = pd.DataFrame({"k": rng.choice(100_000, 300, replace=False), "y": np.arange(300)})
+    dl = rd.from_pandas(left).repartition(6)
+    dr = rd.from_pandas(right).repartition(2)
+    kw = dict(on="k", right_cols=["y"])
+    for how in ("inner", "semi"):
+        plain = _sorted(hash_join(dl, dr, how=how, **kw).to_pandas(), ["k", "x"])
+        bloomed = _sorted(
+            hash_join(dl, dr, how=how, bloom_prefilter=True, **kw).to_pandas(), ["k", "x"]
+        )
+        pd.testing.assert_frame_equal(plain, bloomed)
+    with pytest.raises(ValueError):
+        hash_join(dl, dr, how="anti", bloom_prefilter=True, on="k", right_cols=[])
+
+
+def test_bloom_prefilter_actually_prunes(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import _bloom_filter_left
+
+    rng = np.random.default_rng(17)
+    left = rd.from_pandas(pd.DataFrame({"k": rng.integers(0, 1_000_000, 50_000)}))
+    right = rd.from_pandas(pd.DataFrame({"k": rng.choice(1_000_000, 100, replace=False)}))
+    kept = _bloom_filter_left(left, right, "k", 1 << 16).count()
+    # true matches ≈ 50k * 100/1M = 5; FP rate at 100 keys in 64Ki bits ~ tiny.
+    assert kept < 1000
