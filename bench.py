@@ -133,6 +133,7 @@ def run_bench() -> dict:
         "q26_minhash_pairs", "q28_knn_brute", "q31_window_tumbling",
         "q44_asof_join", "q46_percentiles",  # round 3: joins + order stats
         "q52_inverted_index", "q55_jaccard_pairs",  # round 3: corpus index ops
+        "q64_connected_components",  # round 3: graph op
     ]
     qtimes = {}
     for name in qnames:

@@ -1255,6 +1255,19 @@ def q67_set_except(sf_dir: str):
     )
 
 
+def q68_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table
+    (stages/ann.kmeans_fit): streaming E-step partials + k×dim driver
+    M-step per iteration, then one broadcast-assign pass. Rows-only by
+    design (iterative float algorithm, no SQL oracle); convergence and
+    assignment-consistency pinned in tests."""
+    from ..stages.ann import kmeans_assign, kmeans_fit
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _hist = kmeans_fit(emb, k=8, n_iter=6)
+    return kmeans_assign(emb, cent)
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1327,6 +1340,7 @@ QUERIES = {
     "q65_running_total": q65_running_total,
     "q66_set_intersect": q66_set_intersect,
     "q67_set_except": q67_set_except,
+    "q68_kmeans": q68_kmeans,
 }
 
 ORACLE_SQL = {

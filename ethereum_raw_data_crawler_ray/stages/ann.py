@@ -458,3 +458,123 @@ def knn_lsh(
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (iterative algorithm over the full dataset)
+# --------------------------------------------------------------------------
+def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    """Zero-ish-copy list<float> column → (n, dim) float32 matrix via the
+    Arrow flatten path (no per-row to_pylist)."""
+    col = t[vec_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    return flat.reshape(len(t), -1)
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    *,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    sample_n: int = 4096,
+    seed: int = 23,
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed spherical Lloyd's k-means over the WHOLE dataset —
+    unlike :func:`kmeans_centroids` (the IVF quantizer, which trains on
+    a driver-side sample).  Each iteration is one streaming pass: the
+    E-step runs as ``map_batches`` partials (per-cell vector sums +
+    counts + similarity total, one small binary blob per block), the
+    M-step is a k×dim driver reduce — nothing corpus-sized ever leaves
+    the object store, and centroids are broadcast once per iteration
+    via ``ray.put``.  The normalized vector projection is materialized
+    ONCE so the iteration loop re-reads blocks, not parquet.
+
+    Returns ``(centroids, inertia_history)`` where inertia is mean
+    (1 − cosine) to the assigned centroid — non-increasing up to
+    empty-cell re-normalization (pinned by tests).
+    """
+    import ray
+
+    init_df = hash_sample(ds.select_columns([id_col, vec_col]), id_col, sample_n, seed)
+    init_mat = np.asarray(init_df[vec_col].to_list(), dtype=np.float32)
+    cent = kmeans_centroids(init_mat, k, n_iter=3, seed=seed)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({vec_col: t[vec_col]})
+
+    vecs_ds = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    history: list[float] = []
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
+            c = ray.get(_ref)
+            v = _normalize(_vec_matrix(t, vec_col))
+            sims = v @ c.T
+            a = sims.argmax(axis=1)
+            sums = np.zeros((_k, v.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, v.astype(np.float64))
+            counts = np.bincount(a, minlength=_k).astype(np.int64)
+            sim_total = float(sims[np.arange(len(a)), a].sum())
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                    "sim_total": pa.array([sim_total], pa.float64()),
+                    "n": pa.array([len(a)], pa.int64()),
+                }
+            )
+
+        parts = vecs_ds.map_batches(partial, batch_format="pyarrow").take_all()
+        dim = cent.shape[1]
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        sim_total, n_total = 0.0, 0
+        for r in parts:
+            sums += np.frombuffer(r["sums"], dtype=np.float64).reshape(k, dim)
+            counts += np.frombuffer(r["counts"], dtype=np.int64)
+            sim_total += r["sim_total"]
+            n_total += r["n"]
+        nonempty = counts > 0
+        new_cent = cent.astype(np.float64).copy()
+        new_cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _normalize(new_cent.astype(np.float32))
+        history.append(1.0 - sim_total / max(n_total, 1))
+    return cent, history
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Assign every row to its nearest (cosine) centroid — one broadcast
+    + one vectorized map pass.  Output: (id_col, cell:int64,
+    cosine:float64)."""
+    import ray
+
+    ref = ray.put(_normalize(centroids.astype(np.float32)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = _normalize(_vec_matrix(t, vec_col))
+        sims = v @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cell": pa.array(a.astype(np.int64)),
+                "cosine": pa.array(
+                    sims[np.arange(len(a)), a].astype(np.float64)
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Distributed k-means (stages/ann.kmeans_fit / kmeans_assign): the
+iterative-algorithm operator has no SQL oracle — pin convergence,
+assignment consistency against a driver-side recompute, and determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ethereum_raw_data_crawler_ray.stages.ann import (
+    _normalize,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(sf_dir, ray_session):
+    import os
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _mat(ds):
+    df = ds.to_pandas()
+    return (
+        np.asarray(df["embedding"].to_list(), dtype=np.float32),
+        df["vec_id"].to_numpy(np.int64),
+    )
+
+
+def test_inertia_non_increasing(emb_ds):
+    cent, hist = kmeans_fit(emb_ds, k=8, n_iter=6)
+    assert cent.shape[0] == 8
+    # spherical Lloyd's monotone up to float roundoff / empty-cell renorm
+    assert all(b <= a + 1e-5 for a, b in zip(hist, hist[1:])), hist
+    assert hist[-1] < hist[0]  # it actually improved
+
+
+def test_assignment_matches_recompute(emb_ds):
+    cent, _ = kmeans_fit(emb_ds, k=8, n_iter=4)
+    out = kmeans_assign(emb_ds, cent).to_pandas().sort_values("vec_id")
+    vecs, ids = _mat(emb_ds)
+    sims = _normalize(vecs) @ _normalize(cent).T
+    exp = sims.argmax(axis=1)
+    order = np.argsort(ids)
+    assert (out["cell"].to_numpy() == exp[order]).all()
+    np.testing.assert_allclose(
+        out["cosine"].to_numpy(),
+        sims[np.arange(len(ids)), exp][order],
+        rtol=1e-5,
+    )
+
+
+def test_deterministic(emb_ds):
+    c1, h1 = kmeans_fit(emb_ds, k=5, n_iter=3)
+    c2, h2 = kmeans_fit(emb_ds, k=5, n_iter=3)
+    np.testing.assert_array_equal(c1, c2)
+    assert h1 == h2
