@@ -1268,6 +1268,42 @@ def q68_kmeans(sf_dir: str):
     return kmeans_assign(emb, cent)
 
 
+def q69_rollup(sf_dir: str):
+    """Multi-level rollup aggregate (stages/sketches.rollup_agg):
+    document count + total chars by (lang, source), per-language, and
+    grand total — GROUP BY ROLLUP semantics, NULLs in rolled columns.
+    Only the finest level touches the data; coarser levels re-aggregate
+    its result."""
+    from ..stages.sketches import rollup_agg
+
+    out = rollup_agg(
+        _t(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"], "n_chars",
+    )
+    out["sum_val"] = out["sum_val"].astype("int64")
+    return out.rename(columns={"sum_val": "sum_chars"})
+
+
+def q70_pagerank(sf_dir: str):
+    """PageRank over the part—supplier link graph (stages/graph
+    .pagerank): the frontier-priority signal — link authority replaces
+    seed depth in the reference's priority ordering. Rows-only by
+    design (iterative float algorithm); the distributed edge-stream
+    path is pinned against the driver kernel in tests."""
+    from ..stages.graph import pagerank
+
+    def edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy()
+        s = t["l_suppkey"].to_numpy()
+        m = (p * 31 + s) % 29 == 0
+        return pa.table({"a": p[m], "b": s[m] + 100_000_000})
+
+    e = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return pagerank(e, n_iter=15)
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1341,6 +1377,8 @@ QUERIES = {
     "q66_set_intersect": q66_set_intersect,
     "q67_set_except": q67_set_except,
     "q68_kmeans": q68_kmeans,
+    "q69_rollup": q69_rollup,
+    "q70_pagerank": q70_pagerank,
 }
 
 ORACLE_SQL = {
@@ -1713,5 +1751,10 @@ ORACLE_SQL = {
         SELECT user_id FROM events WHERE event_type = 'signup'
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+    """,
+    "q69_rollup": """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
     """,
 }

@@ -503,3 +503,45 @@ def pivot_counts(
         .groupby("__bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# rollup (multi-level grouped aggregates)
+# --------------------------------------------------------------------------
+def rollup_agg(
+    ds: "rd.Dataset",
+    keys: list[str],
+    val: str,
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys...)``: count + sum at every prefix level
+    of ``keys`` (finest → grand total), rolled columns as NULL — SQL
+    ROLLUP semantics.
+
+    Scale shape: ONLY the finest level runs over the data (Ray's
+    groupby with map-side partial aggregation); every coarser level
+    re-aggregates the finest RESULT, which is distinct-combination-
+    sized — the same thing the caller is about to read anyway, so the
+    driver-side re-aggregation adds nothing to the memory high-water
+    mark.  A rollup whose finest level doesn't fit the driver needs the
+    caller to stop at a coarser prefix.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        ds.groupby(keys)
+        .aggregate(Count(alias_name="n"), Sum(val, alias_name="sum_val"))
+        .to_pandas()
+    )
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        sub = keys[:depth]
+        if sub:
+            g = finest.groupby(sub, as_index=False, dropna=False)[["n", "sum_val"]].sum()
+        else:
+            g = pd.DataFrame({"n": [finest["n"].sum()], "sum_val": [finest["sum_val"].sum()]})
+        for k in keys[depth:]:
+            g[k] = None
+        levels.append(g[keys + ["n", "sum_val"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -83,3 +83,68 @@ def test_empty_edges(ray_session):
         rd.from_arrow(pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
     ).to_pandas()
     assert len(out) == 0
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+def _pr_edges(rng):
+    u = rng.integers(0, 300, 1500).astype(np.int64)
+    v = rng.integers(0, 300, 1500).astype(np.int64)
+    # add dangling sinks (nodes appearing only as dst) and a hub
+    u = np.concatenate([u, np.full(30, 7, np.int64)])
+    v = np.concatenate([v, np.arange(9000, 9030)])
+    m = u != v
+    return u[m], v[m]
+
+
+def test_pagerank_driver_path_properties(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.graph import _pagerank_kernel, pagerank
+
+    rng = np.random.default_rng(21)
+    u, v = _pr_edges(rng)
+    edges = rd.from_arrow(pa.table({"a": u, "b": v})).repartition(6)
+    out = pagerank(edges, n_iter=12).to_pandas().sort_values("node")
+    assert out["node"].is_unique
+    np.testing.assert_allclose(out["rank"].sum(), 1.0, rtol=1e-9)
+    # matches the reference kernel on the distinct edge set
+    pairs = np.unique(np.stack([u, v], axis=1), axis=0)
+    nodes, inv = np.unique(pairs.ravel(order="F"), return_inverse=True)
+    exp = _pagerank_kernel(
+        inv[: len(pairs)], inv[len(pairs):], len(nodes), 0.85, 12
+    )
+    assert (out["node"].to_numpy() == nodes).all()
+    np.testing.assert_allclose(out["rank"].to_numpy(), exp, rtol=1e-12)
+    # the hub's 30 sink targets are symmetric (identical rank) and sit
+    # strictly above the no-inlink floor (1-d)/n
+    sinks = out[out["node"] >= 9000]["rank"].to_numpy()
+    assert len(sinks) == 30
+    np.testing.assert_allclose(sinks, sinks[0], rtol=1e-12)
+    assert (sinks > 0.15 / len(nodes)).all()
+
+
+def test_pagerank_distributed_equals_driver(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    u, v = _pr_edges(rng)
+    edges = rd.from_arrow(pa.table({"a": u, "b": v})).repartition(6)
+    drv = pagerank(edges, n_iter=6).to_pandas().sort_values("node")
+    dist = (
+        pagerank(edges, n_iter=6, driver_cap=0, n_buckets=5)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert (drv["node"].to_numpy() == dist["node"].to_numpy()).all()
+    np.testing.assert_allclose(
+        drv["rank"].to_numpy(), dist["rank"].to_numpy(), rtol=1e-9
+    )
+
+
+def test_pagerank_empty(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.graph import pagerank
+
+    out = pagerank(
+        rd.from_arrow(pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    ).to_pandas()
+    assert len(out) == 0
