@@ -32,3 +32,16 @@ def hash_strings(values) -> np.ndarray:
 
 def hash_one(value: str) -> int:
     return int(hash_strings([value])[0])
+
+
+def mix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Canonical seeded splitmix64 finalizer over uint64 keys — THE one
+    integer-mix primitive (bucket routing, bloom probes, graph-pass
+    checksums all route through here so a constant tweak can never
+    desynchronize them)."""
+    x = np.asarray(x).astype(np.uint64) + np.uint64(
+        (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    )
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))

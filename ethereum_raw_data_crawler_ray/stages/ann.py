@@ -463,14 +463,21 @@ def knn_lsh(
 # --------------------------------------------------------------------------
 # distributed k-means (iterative algorithm over the full dataset)
 # --------------------------------------------------------------------------
-def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+def _vec_matrix(t: pa.Table, vec_col: str, dim: int | None = None) -> np.ndarray:
     """Zero-ish-copy list<float> column → (n, dim) float32 matrix via the
-    Arrow flatten path (no per-row to_pylist)."""
+    Arrow flatten path (no per-row to_pylist).  ``dim`` disambiguates the
+    0-row case (reshape(0, -1) is a ValueError)."""
+    if len(t) == 0:
+        return np.zeros((0, dim or 0), dtype=np.float32)
     col = t[vec_col].combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0)
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
-    return flat.reshape(len(t), -1)
+    if hasattr(col, "flatten") and not isinstance(col, pa.ExtensionArray):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        return flat.reshape(len(t), -1)
+    # Ray's ArrowTensorArray (from_pandas ndarray cells) and other
+    # extension arrays: to_numpy gives the (n, dim) matrix directly
+    return np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.float32)
 
 
 def kmeans_fit(
@@ -502,6 +509,7 @@ def kmeans_fit(
     init_df = hash_sample(ds.select_columns([id_col, vec_col]), id_col, sample_n, seed)
     init_mat = np.asarray(init_df[vec_col].to_list(), dtype=np.float32)
     cent = kmeans_centroids(init_mat, k, n_iter=3, seed=seed)
+    k = cent.shape[0]  # kmeans_centroids clamps to the sample size
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({vec_col: t[vec_col]})
@@ -514,7 +522,7 @@ def kmeans_fit(
 
         def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
             c = ray.get(_ref)
-            v = _normalize(_vec_matrix(t, vec_col))
+            v = _normalize(_vec_matrix(t, vec_col, dim=c.shape[1]))
             sims = v @ c.T
             a = sims.argmax(axis=1)
             sums = np.zeros((_k, v.shape[1]), dtype=np.float64)
@@ -564,7 +572,7 @@ def kmeans_assign(
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        v = _normalize(_vec_matrix(t, vec_col))
+        v = _normalize(_vec_matrix(t, vec_col, dim=c.shape[1]))
         sims = v @ c.T
         a = sims.argmax(axis=1)
         return pa.table(

@@ -21,16 +21,19 @@ al. "Finding Connected Components in MapReduce"):
    ``(node, component)`` with ``component = min node id`` of the
    component, matching the SQL min-label convention.
 3. **Distributed loop** (the 100-TB path): otherwise, iterate
-   bucket-contraction passes — hash-bucket the star edges by ``src``
-   (even passes) / ``dst`` (odd passes) with a per-pass seed, run the
-   local CC per *bucket* (``groupby("__bucket").map_groups``, keys
-   amortized per the joins.py bucket contract) and re-emit stars.
-   Alternating sides merges both "one node in many stars" and "many
-   nodes on one root" shapes; hash-to-min converges in O(log n)
-   expected passes.  Each pass is ONE all-to-all over the *contracted*
-   edge set (≤ #nodes rows, never the input).  Fixpoint is detected by
-   a commutative 64-bit checksum (count + wrap-sum of mixed pairs); at
-   fixpoint the star edges ARE the answer.
+   bucket-contraction passes — route every star edge to BOTH
+   endpoints' buckets with a FIXED hash seed (see ``route_both`` for
+   why both choices are load-bearing), run the local CC per *bucket*
+   (``groupby("__bucket").map_groups``, keys amortized per the
+   joins.py bucket contract) and re-emit stars.  Dual routing
+   contracts every 2-hop star chain each pass (hash-to-min family,
+   O(log n) expected passes); each pass is ONE all-to-all over the
+   *contracted* edge set (≤ 2·#nodes rows, never the input).
+   Fixpoint is detected by a commutative 64-bit signature
+   (XOR-reduce of mixed pairs ⊕ row count — the fixed seed makes each
+   pass deterministic, so signature equality between consecutive
+   passes ⟺ the label multiset stopped changing); at fixpoint the
+   star edges ARE the answer.
 
 Partitioning assumptions (operator contract): per-bucket node count
 must fit a worker heap (size ``n_buckets`` accordingly at real scale);
@@ -45,15 +48,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.hashing import mix64 as _mix64
 from .joins import _default_buckets
-
-
-def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
-    """splitmix64 finalizer over uint64 keys, salted per pass."""
-    x = x.astype(np.uint64) + np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
-    x = (x ^ (x >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> 27)) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> 31)
 
 
 def local_cc(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -356,7 +352,20 @@ def pagerank(
         dn = np.frombuffer(r_["deg_nodes"], dtype=np.int64)
         dc = np.frombuffer(r_["deg_counts"], dtype=np.int64)
         deg[np.searchsorted(nodes, dn)] += dc
+    # index-encode the static edge set ONCE (the iteration loop would
+    # otherwise pay two O(E log N) searchsorted passes per iteration)
     nodes_ref = ray.put(nodes)
+
+    def encode(t: pa.Table, _n=nodes_ref) -> pa.Table:
+        nd = ray.get(_n)
+        return pa.table(
+            {
+                "ui": np.searchsorted(nd, t["__u"].to_numpy().astype(np.int64)),
+                "vi": np.searchsorted(nd, t["__v"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    enc = dedges.map_batches(encode, batch_format="pyarrow").materialize()
     dangling = deg == 0
     rank = np.full(n, 1.0 / n)
 
@@ -365,11 +374,10 @@ def pagerank(
         w[~dangling] = rank[~dangling] / deg[~dangling]
         w_ref = ray.put(w)
 
-        def contrib_partial(t: pa.Table, _w=w_ref, _n=nodes_ref) -> pa.Table:
-            nd = ray.get(_n)
+        def contrib_partial(t: pa.Table, _w=w_ref) -> pa.Table:
             wv = ray.get(_w)
-            ui = np.searchsorted(nd, t["__u"].to_numpy().astype(np.int64))
-            vi = np.searchsorted(nd, t["__v"].to_numpy().astype(np.int64))
+            ui = t["ui"].to_numpy().astype(np.int64)
+            vi = t["vi"].to_numpy().astype(np.int64)
             dst, inv2 = np.unique(vi, return_inverse=True)
             sums = np.bincount(inv2, weights=wv[ui])
             return pa.table(
@@ -380,7 +388,7 @@ def pagerank(
             )
 
         contrib = np.zeros(n)
-        for r_ in dedges.map_batches(contrib_partial, batch_format="pyarrow").take_all():
+        for r_ in enc.map_batches(contrib_partial, batch_format="pyarrow").take_all():
             contrib[np.frombuffer(r_["dst"], dtype=np.int64)] += np.frombuffer(
                 r_["sums"], dtype=np.float64
             )

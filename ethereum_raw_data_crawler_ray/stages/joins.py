@@ -489,15 +489,17 @@ def keyed_running_sum(
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-        cents = pc.cast(
-            pc.round(pc.multiply(pc.cast(t[val_col], pa.float64()), 100.0)),
-            pa.int64(),
+        # DuckDB ROUND is half-away-from-zero; pc.round defaults to
+        # half-to-even — divergent on exact .5 cents values
+        v100 = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        cents = pa.array(
+            (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
         )
         return pa.table(
             {
                 by: t[by],
                 "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
-                "__cents": cents.combine_chunks(),
+                "__cents": cents,
                 "__bucket": pa.array(_bucket_of(key, n_buckets)),
             }
         )
@@ -548,6 +550,10 @@ def set_op(
     bucket's distinct keys) — all occurrences of a key land in one
     bucket, so per-bucket set algebra is globally exact.
 
+    NULL keys follow SQL set semantics (NULLs compare EQUAL in
+    INTERSECT/EXCEPT, unlike joins): null rows are routed to bucket 0
+    and membership is decided by per-side null presence there.
+
     ``union`` is deliberately absent: Ray Data's ``ds.union`` +
     bucketed distinct already covers it (q13/q15).
     """
@@ -558,11 +564,14 @@ def set_op(
     def make_tag(side: int):
         def tag(t: pa.Table) -> pa.Table:
             key = t[on].to_numpy(zero_copy_only=False)
+            bucket = _bucket_of(key, n_buckets)
+            null_mask = np.asarray(pd.isna(key))
+            bucket[null_mask] = 0  # co-locate NULLs so bucket 0 decides them
             return pa.table(
                 {
                     on: t[on],
                     "__side": pa.array(np.full(len(key), side, dtype=np.int8)),
-                    "__bucket": pa.array(_bucket_of(key, n_buckets)),
+                    "__bucket": pa.array(bucket),
                 }
             )
 
@@ -573,10 +582,18 @@ def set_op(
     ).union(right.select_columns([on]).map_batches(make_tag(1), batch_format="pyarrow"))
 
     def op_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = g.loc[g["__side"] == 0, on].unique()
-        b = g.loc[g["__side"] == 1, on].unique()
+        av = g.loc[g["__side"] == 0, on]
+        bv = g.loc[g["__side"] == 1, on]
+        a, b = av.dropna().unique(), bv.dropna().unique()
         out = np.intersect1d(a, b) if op == "intersect" else np.setdiff1d(a, b)
-        return pd.DataFrame({on: out})
+        frame = pd.DataFrame({on: out})
+        a_null, b_null = av.isna().any(), bv.isna().any()
+        emit_null = (a_null and b_null) if op == "intersect" else (a_null and not b_null)
+        if emit_null:
+            frame = pd.concat(
+                [frame, pd.DataFrame({on: [None]})], ignore_index=True
+            )
+        return frame
 
     return u.groupby("__bucket").map_groups(op_bucket, batch_format="pandas")
 
@@ -585,13 +602,12 @@ def set_op(
 # bloom prefilter (selective-join scale path)
 # --------------------------------------------------------------------------
 def _bloom_hashes(keys: np.ndarray, bits: int) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent bit positions per key (splitmix for ints, pandas
-    hash_array otherwise), double-hashing style."""
+    """Two independent bit positions per key (shared splitmix64 mix for
+    ints, pandas hash_array otherwise), double-hashing style."""
     if np.issubdtype(keys.dtype, np.integer):
-        x = keys.astype(np.uint64)
-        x = (x ^ (x >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> 27)) * np.uint64(0x94D049BB133111EB)
-        x ^= x >> 31
+        from ..functions.hashing import mix64
+
+        x = mix64(keys)
     else:
         x = pd.util.hash_array(keys)
     h2 = (x >> np.uint64(32)) | np.uint64(1)
@@ -603,7 +619,7 @@ def _bloom_filter_left(
 ) -> rd.Dataset:
     import ray
 
-    words = bits // 64
+    words = (bits + 63) // 64  # ceil: bit positions go up to bits-1
 
     def partial(t: pa.Table) -> pa.Table:
         arr = np.zeros(words, dtype=np.uint64)

@@ -382,3 +382,53 @@ def test_bloom_prefilter_actually_prunes(ray_session):
     kept = _bloom_filter_left(left, right, "k", 1 << 16).count()
     # true matches ≈ 50k * 100/1M = 5; FP rate at 100 keys in 64Ki bits ~ tiny.
     assert kept < 1000
+
+
+def test_bloom_bits_not_multiple_of_64(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(29)
+    dl = rd.from_pandas(pd.DataFrame({"k": rng.integers(0, 5000, 4000)}))
+    dr = rd.from_pandas(pd.DataFrame({"k": rng.choice(5000, 50, replace=False), "y": np.arange(50)}))
+    plain = _sorted(hash_join(dl, dr, on="k", right_cols=["y"], how="semi").to_pandas(), ["k"])
+    bloomed = _sorted(
+        hash_join(dl, dr, on="k", right_cols=["y"], how="semi",
+                  bloom_prefilter=True, bloom_bits=1000).to_pandas(), ["k"]
+    )
+    pd.testing.assert_frame_equal(plain, bloomed)
+
+
+def test_running_sum_half_away_rounding(ray_session):
+    """DuckDB ROUND is half-away-from-zero; .5-cent values must match."""
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_running_sum
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-01"]),
+            "value": [0.125, -0.125, 0.375, 2.345],
+        }
+    )
+    out = (
+        keyed_running_sum(rd.from_pandas(df), by="user_id", ts_col="ts", val_col="value")
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+    )
+    # half-away: 12.5→13, -12.5→-13, 37.5→38; 234.5→235 (binary-exact .5s)
+    assert out["running_cents"].tolist() == [13, 0, 38, 235]
+
+
+def test_set_op_null_keys_sql_semantics(ray_session):
+    """SQL set ops treat NULLs as equal: NULL∈both → INTERSECT emits it;
+    EXCEPT drops it iff the right side also has one."""
+    from ethereum_raw_data_crawler_ray.stages.joins import set_op
+
+    a = rd.from_pandas(pd.DataFrame({"k": [1.0, 2.0, np.nan, np.nan]}))
+    b = rd.from_pandas(pd.DataFrame({"k": [2.0, np.nan]}))
+    c = rd.from_pandas(pd.DataFrame({"k": [2.0]}))
+    i = set_op(a, b, on="k", op="intersect").to_pandas()["k"]
+    assert sorted(i.dropna().tolist()) == [2.0] and i.isna().sum() == 1
+    e = set_op(a, b, on="k", op="except").to_pandas()["k"]
+    assert sorted(e.dropna().tolist()) == [1.0] and e.isna().sum() == 0
+    e2 = set_op(a, c, on="k", op="except").to_pandas()["k"]
+    assert sorted(e2.dropna().tolist()) == [1.0] and e2.isna().sum() == 1

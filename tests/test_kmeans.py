@@ -57,3 +57,19 @@ def test_deterministic(emb_ds):
     c2, h2 = kmeans_fit(emb_ds, k=5, n_iter=3)
     np.testing.assert_array_equal(c1, c2)
     assert h1 == h2
+
+
+def test_k_exceeds_rows(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    tiny = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(5), "embedding": list(rng.normal(size=(5, 8)).astype(np.float32))}
+        )
+    )
+    cent, hist = kmeans_fit(tiny, k=8, n_iter=3)
+    assert cent.shape[0] <= 5
+    out = kmeans_assign(tiny, cent).to_pandas()
+    assert len(out) == 5 and out["cell"].between(0, cent.shape[0] - 1).all()
