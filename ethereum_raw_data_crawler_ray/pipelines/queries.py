@@ -1304,6 +1304,18 @@ def q70_pagerank(sf_dir: str):
     return pagerank(e, n_iter=15)
 
 
+def q71_hll_grouped(sf_dir: str):
+    """Per-group approximate distinct count (stages/sketches
+    .hll_distinct_grouped): distinct users per event type — the shuffle
+    carries per-group sketch blobs, never rows. Rows-only by design
+    (approximate); per-group error bound vs exact pinned in tests."""
+    from ..stages.sketches import hll_distinct_grouped
+
+    return hll_distinct_grouped(
+        _t(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1379,6 +1391,7 @@ QUERIES = {
     "q68_kmeans": q68_kmeans,
     "q69_rollup": q69_rollup,
     "q70_pagerank": q70_pagerank,
+    "q71_hll_grouped": q71_hll_grouped,
 }
 
 ORACLE_SQL = {

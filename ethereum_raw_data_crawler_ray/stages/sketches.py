@@ -431,13 +431,55 @@ def hll_distinct(ds: rd.Dataset, col: str, *, p: int = 14) -> float:
     for b in blobs["regs"]:
         regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
 
-    m = float(1 << p)
+    return _hll_estimate(regs)
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range linear counting."""
+    m = float(len(regs))
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     zeros = int(np.count_nonzero(regs == 0))
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting for the small range
     return float(est)
+
+
+def hll_distinct_grouped(
+    ds: rd.Dataset, group: str, col: str, *, p: int = 12
+) -> pd.DataFrame:
+    """Approximate per-group COUNT(DISTINCT col) — the grouped HLL:
+    per-batch, per-group register blobs (one 2^p-byte row per group
+    present in the batch), merged by elementwise max in a groupby over
+    the GROUP key.  The shuffle carries #groups × #blocks sketch rows,
+    never the data; right for high-cardinality ``col`` under a
+    low-cardinality ``group`` (distinct users per country, distinct
+    URLs per host class).  Error ~1.04/√(2^p) per group."""
+
+    def blob(t: pa.Table) -> pa.Table:
+        g = t[group].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        rows_g, rows_r = [], []
+        for i, gv in enumerate(uniq):
+            rows_g.append(gv)
+            rows_r.append(_hll_registers(v[inv == i], p).tobytes())
+        return pa.table({group: pa.array(rows_g), "regs": pa.array(rows_r, pa.binary())})
+
+    def merge(f: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for b in f["regs"]:
+            acc = np.maximum(acc, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame(
+            {group: [f[group].iloc[0]], "approx_distinct": [_hll_estimate(acc)]}
+        )
+
+    return (
+        ds.map_batches(blob, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 # --------------------------------------------------------------------------

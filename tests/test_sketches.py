@@ -241,3 +241,28 @@ class TestQuantileMergeFallback:
                                driver_merge_rows=0)
         sort = lambda d: d.sort_values(["o_orderstatus", "q"]).reset_index(drop=True)
         assert sort(ga).equals(sort(gb))
+
+
+def test_hll_grouped_error_bound(sf_dir, ray_session):
+    import os
+
+    import duckdb
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import hll_distinct_grouped
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    got = hll_distinct_grouped(
+        rd.read_parquet(ev, columns=["event_type", "user_id"]), "event_type", "user_id", p=12
+    ).set_index("event_type")["approx_distinct"]
+    exact = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) AS n FROM '{ev}' GROUP BY 1"
+        )
+        .df()
+        .set_index("event_type")["n"]
+    )
+    assert set(got.index) == set(exact.index)
+    for k in exact.index:
+        rel = abs(got[k] - exact[k]) / max(exact[k], 1)
+        assert rel < 5 * 1.04 / (2**12) ** 0.5, (k, got[k], exact[k])
