@@ -1316,6 +1316,20 @@ def q71_hll_grouped(sf_dir: str):
     )
 
 
+def q72_image_pipeline(sf_dir: str):
+    """REAL image decode→resize→featurize (stages/multimodal
+    .ppm_pipeline): deterministic PPM payloads per document, numpy P6
+    codec actually executed in an actor-pool stage — width/height/
+    format metadata plus a 14-float feature vector per image. Rows-only
+    (binary payloads, no SQL analog); codec roundtrip and resize
+    correctness pinned in tests."""
+    from ..stages.multimodal import attach_ppm_blobs, ppm_pipeline
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ppm_pipeline(attach_ppm_blobs(docs, "text", "doc_id"))
+    return out.select_columns(["doc_id", "width", "height", "format", "features"])
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1392,6 +1406,7 @@ QUERIES = {
     "q69_rollup": q69_rollup,
     "q70_pagerank": q70_pagerank,
     "q71_hll_grouped": q71_hll_grouped,
+    "q72_image_pipeline": q72_image_pipeline,
 }
 
 ORACLE_SQL = {

@@ -223,3 +223,160 @@ def decode_pipeline(ds: rd.Dataset, with_features: bool = False) -> rd.Dataset:
         concurrency=_mm_pool(),
         num_cpus=1,
     )
+
+
+# --------------------------------------------------------------------------
+# REAL codec: PPM (P6) — binary RGB, decodable with numpy alone
+# --------------------------------------------------------------------------
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6).  A real, widely-readable image
+    format that needs no media library — this makes the decode path
+    REAL end-to-end; PIL/ffmpeg codecs for compressed formats remain
+    stubbed (not in the container)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8; raises ValueError on anything
+    that isn't a well-formed P6."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed between tokens
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    body = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=i)
+    return body.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Real nearest-neighbor resize via index-grid sampling."""
+    h, w = img.shape[:2]
+    yi = (np.arange(th) * h) // th
+    xi = (np.arange(tw) * w) // tw
+    return img[yi][:, xi]
+
+
+def ppm_features(img: np.ndarray) -> np.ndarray:
+    """Per-channel mean/std + 8-bin luma histogram (normalized) — a
+    real, deterministic feature vector (14 floats)."""
+    f = img.astype(np.float32)
+    means = f.mean(axis=(0, 1)) / 255.0
+    stds = f.std(axis=(0, 1)) / 255.0
+    luma = (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).ravel()
+    hist = np.histogram(luma, bins=8, range=(0.0, 256.0))[0].astype(np.float32)
+    hist /= max(1.0, float(luma.size))
+    return np.concatenate([means, stds, hist]).astype(np.float32)
+
+
+def make_ppm_blob(seed_text: str, width: int, height: int) -> bytes:
+    """Deterministic real PPM image per document: a smooth gradient
+    plus hash-seeded noise (so features/fingerprints differ per doc)."""
+    import pandas as pd
+
+    hsh = int(
+        pd.util.hash_array(np.asarray([seed_text], dtype=object), categorize=False)[0]
+    )
+    rng = np.random.default_rng(hsh % (2**32))
+    gy = np.linspace(0, 255, height, dtype=np.float32)[:, None]
+    gx = np.linspace(0, 255, width, dtype=np.float32)[None, :]
+    img = np.stack(
+        [
+            gy + 0 * gx,
+            0 * gy + gx,
+            (gy + gx) / 2,
+        ],
+        axis=-1,
+    )
+    img = img + rng.normal(0, 24, size=img.shape)
+    return encode_ppm(np.clip(img, 0, 255).astype(np.uint8))
+
+
+def attach_ppm_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """documents → (id, blob, n_bytes) with REAL PPM payloads."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        blobs = [
+            make_ppm_blob(x, 24 + (len(x) % 40), 24 + (len(x) % 32)) for x in texts
+        ]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "blob": pa.array(blobs, type=pa.binary()),
+                "n_bytes": pa.array([len(b) for b in blobs], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=512)
+
+
+class PpmStage:
+    """map_batches actor over REAL PPM payloads: decode → (optional)
+    nearest-neighbor resize → re-encode + typed metadata + feature
+    vector.  Same actor-pool/batch-sizing contract as DecodeStage; the
+    codec here is genuinely executed (numpy PPM), so the whole
+    decode→transform→encode loop is real — only compressed-format
+    codecs (PIL/ffmpeg) stay stubbed."""
+
+    def __init__(self, target_w: int | None = None, target_h: int | None = None,
+                 with_features: bool = True):
+        self.tw, self.th = target_w, target_h
+        self.with_features = with_features
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, blobs_out, feats = [], [], [], []
+        for blob in t["blob"].to_pylist():
+            img = decode_ppm(blob)
+            if self.tw is not None:
+                img = resize_nearest(img, self.tw, self.th or self.tw)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            blobs_out.append(encode_ppm(img))
+            if self.with_features:
+                feats.append(ppm_features(img))
+        cols = {
+            t.schema.names[0]: t.column(0),
+            "blob": pa.array(blobs_out, type=pa.binary()),
+            "width": pa.array(np.asarray(ws, dtype=np.int32)),
+            "height": pa.array(np.asarray(hs, dtype=np.int32)),
+            "format": pa.array(["ppm"] * len(t), type=pa.string()),
+        }
+        if self.with_features:
+            cols["features"] = pa.array(
+                [f.tolist() for f in feats], type=pa.list_(pa.float32())
+            )
+        return pa.table(cols)
+
+
+def ppm_pipeline(
+    ds: rd.Dataset, *, target_w: int = 32, target_h: int = 32
+) -> rd.Dataset:
+    """The real-image path: decode + resize + featurize as an actor-pool
+    stage (small batches — binary rows are wide)."""
+    return ds.map_batches(
+        PpmStage,
+        fn_constructor_args=(target_w, target_h),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=_mm_pool(),
+        num_cpus=1,
+    )

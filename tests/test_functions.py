@@ -135,3 +135,59 @@ class TestEnrichBatch:
             assert int(res["fingerprint"][i]) == fingerprint64(x)
             expect = lsh_band_keys(minhash_signature(word_shingles(x)), 4)
             assert (res["minhash_bands"][i] == expect).all()
+
+
+class TestPpmCodec:
+    def test_roundtrip(self):
+        from ethereum_raw_data_crawler_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    def test_decode_handles_comments_and_rejects_garbage(self):
+        import pytest as _pytest
+
+        from ethereum_raw_data_crawler_ray.stages.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        blob = encode_ppm(img)
+        commented = b"P6\n# a comment\n5 4\n255\n" + blob.split(b"255\n", 1)[1]
+        assert (decode_ppm(commented) == img).all()
+        with _pytest.raises(ValueError):
+            decode_ppm(b"JFIF....")
+
+    def test_resize_nearest_matches_reference(self):
+        from ethereum_raw_data_crawler_ray.stages.multimodal import resize_nearest
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+        out = resize_nearest(img, 7, 5)
+        assert out.shape == (5, 7, 3)
+        for y in range(5):
+            for x in range(7):
+                assert (out[y, x] == img[(y * 10) // 5, (x * 14) // 7]).all()
+
+
+def test_ppm_pipeline_end_to_end(sf_dir, ray_session):
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.multimodal import (
+        attach_ppm_blobs,
+        decode_ppm,
+        ppm_pipeline,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ppm_pipeline(attach_ppm_blobs(docs, "text", "doc_id")).to_pandas()
+    assert len(out) == docs.count()
+    assert (out["width"] == 32).all() and (out["height"] == 32).all()
+    assert (out["format"] == "ppm").all()
+    feats = np.stack(out["features"].to_list())
+    assert feats.shape[1] == 14
+    # histogram bins (last 8) sum to 1 per image
+    np.testing.assert_allclose(feats[:, 6:].sum(axis=1), 1.0, rtol=1e-5)
+    # output blobs are decodable 32x32 images
+    img = decode_ppm(out["blob"].iloc[0])
+    assert img.shape == (32, 32, 3)
