@@ -1330,6 +1330,18 @@ def q72_image_pipeline(sf_dir: str):
     return out.select_columns(["doc_id", "width", "height", "format", "features"])
 
 
+def q73_audio_pipeline(sf_dir: str):
+    """REAL audio decode→featurize (stages/multimodal.wav_pipeline):
+    deterministic PCM16 WAV payloads per document, numpy RIFF codec
+    actually executed — sample_rate/duration plus RMS/ZCR/peak
+    features. Rows-only (binary payloads); codec roundtrip pinned in
+    tests."""
+    from ..stages.multimodal import attach_wav_blobs, wav_pipeline
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return wav_pipeline(attach_wav_blobs(docs, "text", "doc_id"))
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1407,6 +1419,7 @@ QUERIES = {
     "q70_pagerank": q70_pagerank,
     "q71_hll_grouped": q71_hll_grouped,
     "q72_image_pipeline": q72_image_pipeline,
+    "q73_audio_pipeline": q73_audio_pipeline,
 }
 
 ORACLE_SQL = {

@@ -191,3 +191,46 @@ def test_ppm_pipeline_end_to_end(sf_dir, ray_session):
     # output blobs are decodable 32x32 images
     img = decode_ppm(out["blob"].iloc[0])
     assert img.shape == (32, 32, 3)
+
+
+class TestWavCodec:
+    def test_roundtrip_and_features(self):
+        from ethereum_raw_data_crawler_ray.stages.multimodal import (
+            decode_wav,
+            encode_wav,
+            wav_features,
+        )
+
+        s = (np.sin(np.arange(8000) * 0.05) * 30000).astype(np.int16)
+        d, r = decode_wav(encode_wav(s, 16000))
+        assert (d == s).all() and r == 16000
+        f = wav_features(d, r)
+        assert f.shape == (4,) and abs(f[0] - 0.5) < 1e-6  # 8000/16000 s
+        # pure sine: RMS ≈ amp/√2
+        assert abs(f[1] - (30000 / 32768) / np.sqrt(2)) < 0.01
+
+    def test_rejects_non_wav(self):
+        import pytest as _pytest
+
+        from ethereum_raw_data_crawler_ray.stages.multimodal import decode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"OggS....")
+
+
+def test_wav_pipeline_end_to_end(sf_dir, ray_session):
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.multimodal import (
+        attach_wav_blobs,
+        wav_pipeline,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = wav_pipeline(attach_wav_blobs(docs, "text", "doc_id")).to_pandas()
+    assert len(out) == docs.count()
+    assert (out["sample_rate"] == 16000).all()
+    assert (out["duration_s"] > 0).all()
+    feats = np.stack(out["features"].to_list())
+    assert feats.shape[1] == 4
+    assert (feats[:, 3] <= 1.0).all()  # peak normalized
