@@ -1326,7 +1326,8 @@ def q72_image_pipeline(sf_dir: str):
     from ..stages.multimodal import attach_ppm_blobs, ppm_pipeline
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ppm_pipeline(attach_ppm_blobs(docs, "text", "doc_id"))
+    # metadata+features only: with_blob=False skips the re-encode
+    out = ppm_pipeline(attach_ppm_blobs(docs, "text", "doc_id"), with_blob=False)
     return out.select_columns(["doc_id", "width", "height", "format", "features"])
 
 

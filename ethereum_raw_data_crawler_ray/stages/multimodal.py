@@ -27,28 +27,23 @@ import ray.data as rd
 _MAGIC = b"FAKEIMG1"
 
 
-def make_fake_blob(seed_text: str, width: int, height: int) -> bytes:
-    """Deterministic fake 'image': 16-byte header + pseudo-pixel bytes.
-    Stands in for real media payloads in tests/benches."""
+def _seed_rng(seed_text: str) -> np.random.Generator:
+    """THE deterministic text→rng seeding used by every blob factory
+    (one place to change the hash policy)."""
     import pandas as pd
 
     h = int(
         pd.util.hash_array(np.asarray([seed_text], dtype=object), categorize=False)[0]
     )
-    rng = np.random.default_rng(h % (2**32))
-    body = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8)
-    return _MAGIC + struct.pack("<II", width, height) + body.tobytes()
+    return np.random.default_rng(h % (2**32))
 
 
-def attach_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    """documents → (id, blob, n_bytes): derive a deterministic binary
-    payload per row (the fixture generator for multimodal pipelines)."""
+def _attach(ds: rd.Dataset, text_col: str, id_col: str, factory, batch_size: int):
+    """Shared fixture scaffold: documents → (id, blob, n_bytes) with
+    ``factory(text) -> bytes`` payloads."""
 
     def gen(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        blobs = [
-            make_fake_blob(x, 32 + (len(x) % 64), 32 + (len(x) % 48)) for x in texts
-        ]
+        blobs = [factory(x) for x in t[text_col].to_pylist()]
         return pa.table(
             {
                 id_col: t[id_col],
@@ -57,7 +52,25 @@ def attach_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
             }
         )
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+
+
+def make_fake_blob(seed_text: str, width: int, height: int) -> bytes:
+    """Deterministic fake 'image': 16-byte header + pseudo-pixel bytes.
+    Stands in for real media payloads in tests/benches."""
+    rng = _seed_rng(seed_text)
+    body = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8)
+    return _MAGIC + struct.pack("<II", width, height) + body.tobytes()
+
+
+def attach_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """documents → (id, blob, n_bytes): derive a deterministic binary
+    payload per row (the fixture generator for multimodal pipelines)."""
+    return _attach(
+        ds, text_col, id_col,
+        lambda x: make_fake_blob(x, 32 + (len(x) % 64), 32 + (len(x) % 48)),
+        1024,
+    )
 
 
 class DecodeStage:
@@ -233,8 +246,9 @@ def encode_ppm(img: np.ndarray) -> bytes:
     format that needs no media library — this makes the decode path
     REAL end-to-end; PIL/ffmpeg codecs for compressed formats remain
     stubbed (not in the container)."""
-    h, w, c = img.shape
-    assert c == 3 and img.dtype == np.uint8
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got {img.shape} {img.dtype}")
+    h, w, _ = img.shape
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
@@ -290,12 +304,7 @@ def ppm_features(img: np.ndarray) -> np.ndarray:
 def make_ppm_blob(seed_text: str, width: int, height: int) -> bytes:
     """Deterministic real PPM image per document: a smooth gradient
     plus hash-seeded noise (so features/fingerprints differ per doc)."""
-    import pandas as pd
-
-    hsh = int(
-        pd.util.hash_array(np.asarray([seed_text], dtype=object), categorize=False)[0]
-    )
-    rng = np.random.default_rng(hsh % (2**32))
+    rng = _seed_rng(seed_text)
     gy = np.linspace(0, 255, height, dtype=np.float32)[:, None]
     gx = np.linspace(0, 255, width, dtype=np.float32)[None, :]
     img = np.stack(
@@ -312,21 +321,11 @@ def make_ppm_blob(seed_text: str, width: int, height: int) -> bytes:
 
 def attach_ppm_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     """documents → (id, blob, n_bytes) with REAL PPM payloads."""
-
-    def gen(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        blobs = [
-            make_ppm_blob(x, 24 + (len(x) % 40), 24 + (len(x) % 32)) for x in texts
-        ]
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "blob": pa.array(blobs, type=pa.binary()),
-                "n_bytes": pa.array([len(b) for b in blobs], type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=512)
+    return _attach(
+        ds, text_col, id_col,
+        lambda x: make_ppm_blob(x, 24 + (len(x) % 40), 24 + (len(x) % 32)),
+        512,
+    )
 
 
 class PpmStage:
@@ -338,9 +337,10 @@ class PpmStage:
     codecs (PIL/ffmpeg) stay stubbed."""
 
     def __init__(self, target_w: int | None = None, target_h: int | None = None,
-                 with_features: bool = True):
+                 with_features: bool = True, with_blob: bool = True):
         self.tw, self.th = target_w, target_h
         self.with_features = with_features
+        self.with_blob = with_blob  # skip the re-encode for metadata-only callers
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ws, hs, blobs_out, feats = [], [], [], []
@@ -350,16 +350,16 @@ class PpmStage:
                 img = resize_nearest(img, self.tw, self.th or self.tw)
             hs.append(img.shape[0])
             ws.append(img.shape[1])
-            blobs_out.append(encode_ppm(img))
+            if self.with_blob:
+                blobs_out.append(encode_ppm(img))
             if self.with_features:
                 feats.append(ppm_features(img))
-        cols = {
-            t.schema.names[0]: t.column(0),
-            "blob": pa.array(blobs_out, type=pa.binary()),
-            "width": pa.array(np.asarray(ws, dtype=np.int32)),
-            "height": pa.array(np.asarray(hs, dtype=np.int32)),
-            "format": pa.array(["ppm"] * len(t), type=pa.string()),
-        }
+        cols = {t.schema.names[0]: t.column(0)}
+        if self.with_blob:
+            cols["blob"] = pa.array(blobs_out, type=pa.binary())
+        cols["width"] = pa.array(np.asarray(ws, dtype=np.int32))
+        cols["height"] = pa.array(np.asarray(hs, dtype=np.int32))
+        cols["format"] = pa.array(["ppm"] * len(t), type=pa.string())
         if self.with_features:
             cols["features"] = pa.array(
                 [f.tolist() for f in feats], type=pa.list_(pa.float32())
@@ -368,13 +368,13 @@ class PpmStage:
 
 
 def ppm_pipeline(
-    ds: rd.Dataset, *, target_w: int = 32, target_h: int = 32
+    ds: rd.Dataset, *, target_w: int = 32, target_h: int = 32, with_blob: bool = True
 ) -> rd.Dataset:
     """The real-image path: decode + resize + featurize as an actor-pool
     stage (small batches — binary rows are wide)."""
     return ds.map_batches(
         PpmStage,
-        fn_constructor_args=(target_w, target_h),
+        fn_constructor_args=(target_w, target_h, True, with_blob),
         batch_format="pyarrow",
         batch_size=128,
         concurrency=_mm_pool(),
@@ -387,7 +387,8 @@ def ppm_pipeline(
 # --------------------------------------------------------------------------
 def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     """mono int16 samples → RIFF/WAVE PCM16 bytes (numpy + struct only)."""
-    assert samples.dtype == np.int16 and samples.ndim == 1
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError(f"expected 1-d int16 samples, got {samples.dtype} ndim={samples.ndim}")
     data = samples.tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
@@ -403,6 +404,8 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     ValueError on anything else."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
+    if len(blob) < 44:
+        raise ValueError("truncated wav header")  # keep the ValueError contract
     fmt, ch, rate, bits = struct.unpack("<HHIxxxxxxH", blob[20:36])
     if (fmt, ch, bits) != (1, 1, 16):
         raise ValueError(f"unsupported wav (fmt={fmt} ch={ch} bits={bits})")
@@ -425,14 +428,9 @@ def wav_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def make_wav_blob(seed_text: str, n_samples: int = 2048, rate: int = 16_000) -> bytes:
     """Deterministic real WAV per document: hash-seeded tone + noise."""
-    import pandas as pd
-
-    hsh = int(
-        pd.util.hash_array(np.asarray([seed_text], dtype=object), categorize=False)[0]
-    )
-    rng = np.random.default_rng(hsh % (2**32))
+    rng = _seed_rng(seed_text)
     t = np.arange(n_samples, dtype=np.float32) / rate
-    freq = 200.0 + (hsh % 1000)
+    freq = 200.0 + float(rng.integers(0, 1000))
     sig = 0.5 * np.sin(2 * np.pi * freq * t) + rng.normal(0, 0.05, n_samples)
     return encode_wav((np.clip(sig, -1, 1) * 32767).astype(np.int16), rate)
 
@@ -471,15 +469,7 @@ def wav_pipeline(ds: rd.Dataset) -> rd.Dataset:
 
 
 def attach_wav_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    def gen(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        blobs = [make_wav_blob(x, 1024 + (len(x) % 64) * 32) for x in texts]
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "blob": pa.array(blobs, type=pa.binary()),
-                "n_bytes": pa.array([len(b) for b in blobs], type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=512)
+    """documents → (id, blob, n_bytes) with REAL WAV payloads."""
+    return _attach(
+        ds, text_col, id_col, lambda x: make_wav_blob(x, 1024 + (len(x) % 64) * 32), 512
+    )

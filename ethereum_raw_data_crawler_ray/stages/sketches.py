@@ -457,14 +457,23 @@ def hll_distinct_grouped(
     URLs per host class).  Error ~1.04/√(2^p) per group."""
 
     def blob(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group).type
+        if len(t) == 0:  # typed empty block, not a null-inferred schema
+            return pa.table(
+                {group: pa.array([], type=gtype), "regs": pa.array([], pa.binary())}
+            )
         g = t[group].to_numpy(zero_copy_only=False)
         v = t[col].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(g, return_inverse=True)
+        # factorize, not np.unique: None/NaN group keys are kept as their
+        # own group (SQL GROUP BY semantics — same contract as pivot_counts)
+        inv, uniq = pd.factorize(pd.Series(g), use_na_sentinel=False)
         rows_g, rows_r = [], []
         for i, gv in enumerate(uniq):
-            rows_g.append(gv)
+            rows_g.append(None if pd.isna(gv) else gv)
             rows_r.append(_hll_registers(v[inv == i], p).tobytes())
-        return pa.table({group: pa.array(rows_g), "regs": pa.array(rows_r, pa.binary())})
+        return pa.table(
+            {group: pa.array(rows_g, type=gtype), "regs": pa.array(rows_r, pa.binary())}
+        )
 
     def merge(f: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(1 << p, dtype=np.uint8)

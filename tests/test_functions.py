@@ -234,3 +234,19 @@ def test_wav_pipeline_end_to_end(sf_dir, ray_session):
     feats = np.stack(out["features"].to_list())
     assert feats.shape[1] == 4
     assert (feats[:, 3] <= 1.0).all()  # peak normalized
+
+
+def test_wav_truncated_raises_valueerror():
+    from ethereum_raw_data_crawler_ray.stages.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # magic ok, header truncated
+
+
+def test_codec_encoders_reject_bad_input():
+    from ethereum_raw_data_crawler_ray.stages.multimodal import encode_ppm, encode_wav
+
+    with pytest.raises(ValueError):
+        encode_ppm(np.zeros((4, 4), dtype=np.uint8))  # no channel dim
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros(8, dtype=np.float32))  # not int16

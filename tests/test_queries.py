@@ -199,3 +199,23 @@ class TestQueryCli:
         import ray.data as rd
 
         assert rd.read_parquet(out).count() == 10
+
+
+class TestNewRowsOnlyRegistry:
+    """q71-q73 through the REGISTRY wrappers (not just the stage fns) —
+    a projection/column regression in the wrapper must not ship green."""
+
+    def test_q71_via_registry(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q71_hll_grouped"](sf_dir))
+        assert set(df.columns) == {"event_type", "approx_distinct"}
+        assert len(df) == 5 and (df["approx_distinct"] > 0).all()
+
+    def test_q72_via_registry(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q72_image_pipeline"](sf_dir))
+        assert list(df.columns) == ["doc_id", "width", "height", "format", "features"]
+        assert (df["width"] == 32).all() and len(df) == 500
+
+    def test_q73_via_registry(self, sf_dir, ray_session):
+        df = to_pandas(QUERIES["q73_audio_pipeline"](sf_dir))
+        assert {"sample_rate", "duration_s", "features"} <= set(df.columns)
+        assert len(df) == 500 and (df["duration_s"] > 0).all()

@@ -266,3 +266,19 @@ def test_hll_grouped_error_bound(sf_dir, ray_session):
     for k in exact.index:
         rel = abs(got[k] - exact[k]) / max(exact[k], 1)
         assert rel < 5 * 1.04 / (2**12) ** 0.5, (k, got[k], exact[k])
+
+
+def test_hll_grouped_null_group_keys(ray_session):
+    """SQL GROUP BY keeps NULL as a group (same contract as pivot_counts)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import hll_distinct_grouped
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", None, None, "b"], "v": [1, 2, 3, 3, 9]}
+    )
+    out = hll_distinct_grouped(rd.from_pandas(df), "g", "v", p=10)
+    got = {(k if k is not None and k == k else None): round(v) for k, v in
+           zip(out["g"], out["approx_distinct"])}
+    assert got == {"a": 2, None: 1, "b": 1}
