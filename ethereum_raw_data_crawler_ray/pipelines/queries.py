@@ -1343,6 +1343,29 @@ def q73_audio_pipeline(sf_dir: str):
     return wav_pipeline(attach_wav_blobs(docs, "text", "doc_id"))
 
 
+def q74_regex_extract(sf_dir: str):
+    """Vectorized regex scalar functions over the corpus: first capture
+    of a pattern per document (empty string when absent, SQL contract)
+    + non-overlapping match count — pyarrow's RE2 kernels
+    (extract_regex / count_substring_regex) against DuckDB's RE2
+    (regexp_extract / regexp_extract_all), zero Python per row."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        first = pc.extract_regex(t["text"], r"(?P<w>s[a-z]+)")
+        w = pc.fill_null(pc.struct_field(first, "w"), "")
+        n = pc.count_substring_regex(t["text"], r"sc[a-z]*")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "first_s": w,
+                "n_sc": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(ex, batch_format="pyarrow")
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1421,6 +1444,7 @@ QUERIES = {
     "q71_hll_grouped": q71_hll_grouped,
     "q72_image_pipeline": q72_image_pipeline,
     "q73_audio_pipeline": q73_audio_pipeline,
+    "q74_regex_extract": q74_regex_extract,
 }
 
 ORACLE_SQL = {
@@ -1798,5 +1822,11 @@ ORACLE_SQL = {
         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+    "q74_regex_extract": """
+        SELECT doc_id,
+               regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
+               CAST(length(regexp_extract_all(text, 'sc[a-z]*')) AS BIGINT) AS n_sc
+        FROM documents
     """,
 }
