@@ -1366,6 +1366,20 @@ def q74_regex_extract(sf_dir: str):
     return docs.map_batches(ex, batch_format="pyarrow")
 
 
+def q75_string_agg(sf_dir: str):
+    """Order-sensitive aggregation (stages/joins.keyed_string_agg):
+    each user's event-type sequence as a comma-joined string ordered by
+    time — STRING_AGG ORDER BY, which can't use a commutative combiner;
+    one bucket exchange + per-bucket stable sort + C-level groupby
+    join."""
+    from ..stages.joins import keyed_string_agg
+
+    return keyed_string_agg(
+        _t(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        by="user_id", val_col="event_type", order_col="ts",
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1445,6 +1459,7 @@ QUERIES = {
     "q72_image_pipeline": q72_image_pipeline,
     "q73_audio_pipeline": q73_audio_pipeline,
     "q74_regex_extract": q74_regex_extract,
+    "q75_string_agg": q75_string_agg,
 }
 
 ORACLE_SQL = {
@@ -1828,5 +1843,9 @@ ORACLE_SQL = {
                regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
                CAST(length(regexp_extract_all(text, 'sc[a-z]*')) AS BIGINT) AS n_sc
         FROM documents
+    """,
+    "q75_string_agg": """
+        SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts) AS agg
+        FROM events GROUP BY user_id
     """,
 }

@@ -646,3 +646,52 @@ def _bloom_filter_left(
         return t.filter(pa.array(hit))
 
     return left.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# order-sensitive aggregation (STRING_AGG ... ORDER BY)
+# --------------------------------------------------------------------------
+def keyed_string_agg(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    val_col: str,
+    order_col: str,
+    sep: str = ",",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """``STRING_AGG(val, sep ORDER BY order_col)`` per key — the
+    order-SENSITIVE aggregation class (concat is non-commutative, so
+    it can't ride Ray's combiner-based aggregate): ONE hash-bucket
+    exchange on the key, then per bucket a single stable sort by
+    (key, order) and a C-level pandas groupby-join.  Ambiguous only if
+    (key, order_col) has duplicates — the events corpus has none
+    (TESTDATA)."""
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t[by].to_numpy(zero_copy_only=False)
+        oc = t[order_col]
+        if pa.types.is_timestamp(oc.type):
+            oc = pc.cast(pc.cast(oc, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                by: t[by],
+                "__ord": pc.cast(oc, pa.int64()).combine_chunks(),
+                "__val": t[val_col],
+                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+            }
+        )
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, "__ord"], kind="mergesort")
+        out = g.groupby(by, sort=True, dropna=False)["__val"].agg(sep.join)
+        return pd.DataFrame({by: out.index.to_numpy(), "agg": out.to_numpy()})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )

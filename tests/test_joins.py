@@ -432,3 +432,26 @@ def test_set_op_null_keys_sql_semantics(ray_session):
     assert sorted(e.dropna().tolist()) == [1.0] and e.isna().sum() == 0
     e2 = set_op(a, c, on="k", op="except").to_pandas()["k"]
     assert sorted(e2.dropna().tolist()) == [1.0] and e2.isna().sum() == 1
+
+
+def test_string_agg_matches_pandas(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_string_agg
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["ka", "kb", "kc", "kd"], n),
+            "v": rng.choice(list("xyz"), n),
+            "o": rng.permutation(n),
+        }
+    )
+    out = (
+        keyed_string_agg(
+            rd.from_pandas(df).repartition(5), by="k", val_col="v", order_col="o", sep="|"
+        )
+        .to_pandas()
+        .set_index("k")["agg"]
+    )
+    ref = df.sort_values(["k", "o"]).groupby("k")["v"].agg("|".join)
+    assert out.to_dict() == ref.to_dict()
