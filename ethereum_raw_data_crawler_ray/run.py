@@ -69,6 +69,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from .config import CrawlConfig
     from .pipelines.crawl import CrawlPipeline
+    from .sources import ensure_parquet
+
+    # CSV / JSONL inputs get ONE streaming conversion into a staging dir
+    # (identity for parquet) so the hot path stays format-free
+    import os as _os
+
+    staging = _os.path.join(args.out, "_staging")
+    args.pages = ensure_parquet(args.pages, staging)
+    args.seeds = ensure_parquet(args.seeds, staging)
+    if args.robots:
+        args.robots = ensure_parquet(args.robots, staging)
 
     extra = {
         "seeds_path": args.seeds,

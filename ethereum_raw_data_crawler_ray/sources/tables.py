@@ -1,0 +1,118 @@
+"""Multi-format table sources — the connector surface (SURVEY.md §2.1).
+
+The reference ingests from exactly one live source (JSON-RPC /
+WebSocket, `ethereum_service.go`); a standalone engine gets its pages,
+seeds and robots tables handed to it as FILES, and those arrive in
+whatever format the upstream dump produced.  This module normalizes
+format at the edge so the rest of the engine only ever sees Parquet:
+
+- :func:`read_table`  — extension-dispatched Ray Data reader
+  (``.parquet`` / ``.csv`` / ``.json``/``.jsonl``) with column pruning
+  (pushed into the read for parquet, a projection stage otherwise).
+- :func:`read_pages`  — ``read_table`` + cast to the canonical pages
+  schema (``url, warc_ts[us], html:binary, text, lang``).
+- :func:`ensure_parquet` — identity for parquet inputs; one streaming
+  Ray conversion (read → write_parquet) into a staging dir otherwise,
+  cached by filename.  This is what lets the CLI accept CSV/JSONL
+  seeds or pages without the hot path (footer-metadata span packing,
+  hive-partition reads) growing format branches.
+
+Scale note: conversion is a single streaming pass — blocks flow from
+the reader to the parquet writer with backpressure; nothing
+materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+PAGES_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+]
+
+
+def _fmt(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in ("parquet", "pq"):
+        return "parquet"
+    if ext == "csv":
+        return "csv"
+    if ext in ("json", "jsonl", "ndjson"):
+        return "json"
+    raise ValueError(f"unsupported table format {ext!r} for {path!r}")
+
+
+def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read one table file/dir into a Dataset, dispatched on extension.
+    For parquet the column list prunes at the read (only those columns
+    leave storage); CSV/JSON readers don't support pushdown, so the
+    projection runs as the first stage instead."""
+    fmt = _fmt(path)
+    if fmt == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    ds = rd.read_csv(path) if fmt == "csv" else rd.read_json(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_pages(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """``read_table`` + cast to the canonical pages schema.  JSON/CSV
+    carry timestamps as strings and binary as base64/str — cast what is
+    present; absent optional columns stay absent."""
+    want = [n for n, _ in PAGES_FIELDS if columns is None or n in columns]
+    ds = read_table(path, columns=want if _fmt(path) == "parquet" else None)
+    types = dict(PAGES_FIELDS)
+
+    def cast(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in want:
+            if name not in t.schema.names:
+                continue
+            col = t[name]
+            target = types[name]
+            if col.type != target:
+                if target == pa.binary() and pa.types.is_string(col.type):
+                    col = col.cast(pa.binary())
+                else:
+                    col = col.cast(target)
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def ensure_parquet(path: str, staging_dir: str) -> str:
+    """Return a parquet path for ``path``: identity when it already is
+    parquet, else ONE streaming Ray conversion into ``staging_dir``
+    (cached by source basename — rerunning a crawl doesn't re-convert).
+    Timestamp-typed string columns named ``warc_ts`` are cast so the
+    downstream footer-metadata machinery sees the canonical type."""
+    if _fmt(path) == "parquet":
+        return path
+    base = os.path.splitext(os.path.basename(path))[0]
+    out = os.path.join(staging_dir, f"{base}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(staging_dir, exist_ok=True)
+    ds = read_table(path)
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        if "warc_ts" in t.schema.names and pa.types.is_string(t["warc_ts"].type):
+            i = t.schema.get_field_index("warc_ts")
+            t = t.set_column(i, "warc_ts", t["warc_ts"].cast(pa.timestamp("us")))
+        return t
+
+    tmp = out + ".tmp"
+    ds.map_batches(fix_ts, batch_format="pyarrow").write_parquet(tmp)
+    # write_parquet writes a directory of files; the fetch-index and CLI
+    # accept directories, but keep single-file semantics when tiny
+    os.rename(tmp, out)
+    return out
