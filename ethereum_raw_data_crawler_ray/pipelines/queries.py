@@ -1380,6 +1380,18 @@ def q75_string_agg(sf_dir: str):
     )
 
 
+def q76_ntile(sf_dir: str):
+    """NTILE window function (stages/joins.keyed_ntile): quartile each
+    user's events by time — one bucket exchange, vectorized per-key
+    position arithmetic (SQL remainder rule: first count%k tiles get an
+    extra row)."""
+    from ..stages.joins import keyed_ntile
+
+    return keyed_ntile(
+        _t(sf_dir, "events", ["user_id", "ts"]), by="user_id", order_col="ts", k=4
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1460,6 +1472,7 @@ QUERIES = {
     "q73_audio_pipeline": q73_audio_pipeline,
     "q74_regex_extract": q74_regex_extract,
     "q75_string_agg": q75_string_agg,
+    "q76_ntile": q76_ntile,
 }
 
 ORACLE_SQL = {
@@ -1847,5 +1860,10 @@ ORACLE_SQL = {
     "q75_string_agg": """
         SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts) AS agg
         FROM events GROUP BY user_id
+    """,
+    "q76_ntile": """
+        SELECT user_id, epoch_us(ts) AS ord_us,
+               CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS tile
+        FROM events
     """,
 }

@@ -695,3 +695,64 @@ def keyed_string_agg(
         .groupby("__bucket")
         .map_groups(agg_bucket, batch_format="pandas")
     )
+
+
+def keyed_ntile(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    order_col: str,
+    k: int,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """``NTILE(k) OVER (PARTITION BY key ORDER BY order_col)`` — one
+    bucket exchange + a vectorized per-bucket pass (stable sort, per-key
+    position arithmetic; SQL semantics: the first ``count % k`` tiles
+    get one extra row).  Output (by, ord_us:int64, tile:int64)."""
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t[by].to_numpy(zero_copy_only=False)
+        oc = t[order_col]
+        if pa.types.is_timestamp(oc.type):
+            oc = pc.cast(pc.cast(oc, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                by: t[by],
+                "ord_us": pc.cast(oc, pa.int64()).combine_chunks(),
+                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+            }
+        )
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, "ord_us"], kind="mergesort")
+        key = g[by].to_numpy()
+        n = len(key)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = key[1:] != key[:-1]
+        grp = np.cumsum(first) - 1                      # key ordinal per row
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))          # rows per key
+        idx = np.arange(n) - starts[grp]                # 0-based pos in key
+        base = counts // k
+        rem = counts % k
+        boundary = (rem * (base + 1))[grp]
+        b_g, r_g = base[grp], rem[grp]
+        small = np.maximum(b_g, 1)                      # avoid div-by-0 in dead branch
+        tile = np.where(
+            idx < boundary,
+            idx // (b_g + 1) + 1,
+            r_g + (idx - boundary) // small + 1,
+        )
+        return pd.DataFrame(
+            {by: key, "ord_us": g["ord_us"].to_numpy(np.int64), "tile": tile.astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(tile_bucket, batch_format="pandas")
+    )

@@ -455,3 +455,19 @@ def test_string_agg_matches_pandas(ray_session):
     )
     ref = df.sort_values(["k", "o"]).groupby("k")["v"].agg("|".join)
     assert out.to_dict() == ref.to_dict()
+
+
+def test_ntile_matches_sql_remainder_rule(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_ntile
+
+    # key with 10 rows, k=4 → tiles sized 3,3,2,2; key with 2 rows → 1,2
+    df = pd.DataFrame(
+        {"k": [1] * 10 + [2] * 2, "o": list(range(10)) + [0, 1]}
+    )
+    out = (
+        keyed_ntile(rd.from_pandas(df).repartition(3), by="k", order_col="o", k=4)
+        .to_pandas()
+        .sort_values(["k", "ord_us"])
+    )
+    assert out[out["k"] == 1]["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert out[out["k"] == 2]["tile"].tolist() == [1, 2]
