@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     import os as _os
 
     staging = _os.path.join(args.out, "_staging")
-    args.pages = ensure_parquet(args.pages, staging)
+    args.pages = ensure_parquet(args.pages, staging, pages=True)
     args.seeds = ensure_parquet(args.seeds, staging)
     if args.robots:
         args.robots = ensure_parquet(args.robots, staging)

@@ -13,7 +13,8 @@ format at the edge so the rest of the engine only ever sees Parquet:
   schema (``url, warc_ts[us], html:binary, text, lang``).
 - :func:`ensure_parquet` — identity for parquet inputs; one streaming
   Ray conversion (read → write_parquet) into a staging dir otherwise,
-  cached by filename.  This is what lets the CLI accept CSV/JSONL
+  keyed by content identity (path+mtime+size) so same-named inputs
+  can't collide and edits re-convert.  This lets the CLI accept CSV/JSONL
   seeds or pages without the hot path (footer-metadata span packing,
   hive-partition reads) growing format branches.
 
@@ -39,6 +40,8 @@ PAGES_FIELDS = [
 
 
 def _fmt(path: str) -> str:
+    if os.path.isdir(path):
+        return "parquet"  # directory datasets (hive layouts) are parquet
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext in ("parquet", "pq"):
         return "parquet"
@@ -63,56 +66,71 @@ def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return ds
 
 
+def _canonicalize_pages(t: pa.Table, want: list[str] | None = None) -> pa.Table:
+    """Cast whatever canonical pages columns are present to their
+    canonical types (timestamps arrive as strings from JSON/CSV, html
+    as string) — THE one pages-schema cast, shared by read_pages and
+    the CLI staging conversion so the two paths can't drift."""
+    types = dict(PAGES_FIELDS)
+    cols = {}
+    for name in (want or [n for n, _ in PAGES_FIELDS]):
+        if name not in t.schema.names:
+            continue
+        col = t[name]
+        target = types[name]
+        if col.type != target:
+            col = col.cast(target)  # arrow casts string→timestamp/binary directly
+        cols[name] = col
+    return pa.table(cols)
+
+
 def read_pages(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """``read_table`` + cast to the canonical pages schema.  JSON/CSV
-    carry timestamps as strings and binary as base64/str — cast what is
-    present; absent optional columns stay absent."""
+    carry timestamps and binary as strings — cast what is present;
+    absent optional columns stay absent."""
     want = [n for n, _ in PAGES_FIELDS if columns is None or n in columns]
     ds = read_table(path, columns=want if _fmt(path) == "parquet" else None)
-    types = dict(PAGES_FIELDS)
-
-    def cast(t: pa.Table) -> pa.Table:
-        cols = {}
-        for name in want:
-            if name not in t.schema.names:
-                continue
-            col = t[name]
-            target = types[name]
-            if col.type != target:
-                if target == pa.binary() and pa.types.is_string(col.type):
-                    col = col.cast(pa.binary())
-                else:
-                    col = col.cast(target)
-            cols[name] = col
-        return pa.table(cols)
-
-    return ds.map_batches(cast, batch_format="pyarrow")
+    return ds.map_batches(
+        _canonicalize_pages, batch_format="pyarrow", fn_kwargs={"want": want}
+    )
 
 
-def ensure_parquet(path: str, staging_dir: str) -> str:
+def ensure_parquet(path: str, staging_dir: str, *, pages: bool = False) -> str:
     """Return a parquet path for ``path``: identity when it already is
-    parquet, else ONE streaming Ray conversion into ``staging_dir``
-    (cached by source basename — rerunning a crawl doesn't re-convert).
-    Timestamp-typed string columns named ``warc_ts`` are cast so the
-    downstream footer-metadata machinery sees the canonical type."""
+    parquet, else ONE streaming Ray conversion into ``staging_dir``.
+    The staging name is keyed by (abspath, mtime, size), so two inputs
+    sharing a basename can't collide and an edited source re-converts
+    instead of silently reusing a stale file.  ``pages=True`` applies
+    the full canonical pages cast (url/warc_ts/html/text/lang types —
+    html MUST be binary before it reaches the packed-buffer fetch
+    protocol); otherwise only a string warc_ts is canonicalized."""
     if _fmt(path) == "parquet":
         return path
+    import hashlib
+    import shutil
+
+    st = os.stat(path)
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode(),
+        digest_size=6,
+    ).hexdigest()
     base = os.path.splitext(os.path.basename(path))[0]
-    out = os.path.join(staging_dir, f"{base}.parquet")
+    out = os.path.join(staging_dir, f"{base}-{tag}.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(staging_dir, exist_ok=True)
     ds = read_table(path)
 
-    def fix_ts(t: pa.Table) -> pa.Table:
+    def fix(t: pa.Table) -> pa.Table:
+        if pages:
+            return _canonicalize_pages(t)
         if "warc_ts" in t.schema.names and pa.types.is_string(t["warc_ts"].type):
             i = t.schema.get_field_index("warc_ts")
             t = t.set_column(i, "warc_ts", t["warc_ts"].cast(pa.timestamp("us")))
         return t
 
     tmp = out + ".tmp"
-    ds.map_batches(fix_ts, batch_format="pyarrow").write_parquet(tmp)
-    # write_parquet writes a directory of files; the fetch-index and CLI
-    # accept directories, but keep single-file semantics when tiny
+    shutil.rmtree(tmp, ignore_errors=True)  # a crashed prior write leaves partials
+    ds.map_batches(fix, batch_format="pyarrow").write_parquet(tmp)
     os.rename(tmp, out)
     return out

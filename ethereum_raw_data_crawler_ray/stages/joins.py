@@ -80,6 +80,22 @@ def _default_buckets() -> int:
     return max(2 * ncpu, 16)
 
 
+def _first_mask(key: np.ndarray) -> np.ndarray:
+    """Row-is-first-of-its-key mask over a SORTED key array, treating
+    null keys (None/NaN) as ONE key — SQL PARTITION BY semantics; a
+    plain ``key[1:] != key[:-1]`` splits every NaN into its own
+    singleton partition because NaN != NaN."""
+    n = len(key)
+    first = np.empty(n, dtype=bool)
+    if n == 0:
+        return first
+    first[0] = True
+    isna = pd.isna(key)
+    same = (key[1:] == key[:-1]) | (isna[1:] & isna[:-1])
+    first[1:] = ~same
+    return first
+
+
 def _bucket_of(arr: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic vectorized key→bucket (splitmix-style mix for int
     keys; pandas hash_array for everything else)."""
@@ -505,6 +521,8 @@ def keyed_running_sum(
         )
 
     def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({by: [], "ts_us": [], "running_cents": []})
         g = g.sort_values([by, "ts_us"], kind="mergesort")
         key = g[by].to_numpy()
         cents = g["__cents"].to_numpy(np.int64)
@@ -512,9 +530,7 @@ def keyed_running_sum(
         # subtract the cumulative total of everything before each key's
         # first row (exact for negative values too — no monotonicity
         # assumption on the global cumsum)
-        first = np.empty(len(key), dtype=bool)
-        first[0] = True
-        first[1:] = key[1:] != key[:-1]
+        first = _first_mask(key)
         starts = np.flatnonzero(first)
         offset = (cum[starts] - cents[starts])[np.cumsum(first) - 1]
         return pd.DataFrame(
@@ -708,7 +724,10 @@ def keyed_ntile(
     """``NTILE(k) OVER (PARTITION BY key ORDER BY order_col)`` — one
     bucket exchange + a vectorized per-bucket pass (stable sort, per-key
     position arithmetic; SQL semantics: the first ``count % k`` tiles
-    get one extra row).  Output (by, ord_us:int64, tile:int64)."""
+    get one extra row).  Null partition keys form ONE partition (SQL
+    semantics).  Output (by, ord_us:int64, tile:int64)."""
+    if k < 1:
+        raise ValueError(f"NTILE requires k >= 1, got {k}")
     n_buckets = n_buckets or _default_buckets()
 
     def tag(t: pa.Table) -> pa.Table:
@@ -727,12 +746,12 @@ def keyed_ntile(
         )
 
     def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({by: [], "ord_us": [], "tile": []})
         g = g.sort_values([by, "ord_us"], kind="mergesort")
         key = g[by].to_numpy()
         n = len(key)
-        first = np.empty(n, dtype=bool)
-        first[0] = True
-        first[1:] = key[1:] != key[:-1]
+        first = _first_mask(key)
         grp = np.cumsum(first) - 1                      # key ordinal per row
         starts = np.flatnonzero(first)
         counts = np.diff(np.append(starts, n))          # rows per key

@@ -471,3 +471,40 @@ def test_ntile_matches_sql_remainder_rule(ray_session):
     )
     assert out[out["k"] == 1]["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     assert out[out["k"] == 2]["tile"].tolist() == [1, 2]
+
+
+def test_ntile_null_partition_and_k_validation(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_ntile
+
+    df = pd.DataFrame(
+        {"k": [1.0, 1.0, np.nan, np.nan, np.nan, np.nan], "o": [0, 1, 0, 1, 2, 3]}
+    )
+    out = (
+        keyed_ntile(rd.from_pandas(df), by="k", order_col="o", k=2)
+        .to_pandas()
+        .sort_values(["k", "ord_us"], na_position="last")
+    )
+    # NULLs are ONE partition of 4 rows → tiles 1,1,2,2 (not all 1s)
+    assert out[out["k"].isna()]["tile"].tolist() == [1, 1, 2, 2]
+    assert out[out["k"] == 1.0]["tile"].tolist() == [1, 2]
+    with pytest.raises(ValueError):
+        keyed_ntile(rd.from_pandas(df), by="k", order_col="o", k=0)
+
+
+def test_running_sum_null_keys_one_partition(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_running_sum
+
+    df = pd.DataFrame(
+        {
+            "u": [np.nan, np.nan, 5.0],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+            "value": [1.0, 2.0, 7.0],
+        }
+    )
+    out = (
+        keyed_running_sum(rd.from_pandas(df), by="u", ts_col="ts", val_col="value")
+        .to_pandas()
+        .sort_values(["u", "ts_us"], na_position="last")
+    )
+    # both null-key rows share one running partition: 100 then 300 cents
+    assert out[out["u"].isna()]["running_cents"].tolist() == [100, 300]

@@ -110,3 +110,49 @@ def test_cli_accepts_jsonl_seeds(tmp_path, ray_session):
         a[cols].sort_values("url").reset_index(drop=True),
         b[cols].sort_values("url").reset_index(drop=True),
     )
+
+
+def test_ensure_parquet_same_basename_no_collision(tmp_path, ray_session):
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    pd.DataFrame({"x": [1, 2]}).to_json(a_dir / "data.jsonl", orient="records", lines=True)
+    pd.DataFrame({"y": [9]}).to_json(b_dir / "data.jsonl", orient="records", lines=True)
+    import pyarrow.parquet as pq
+
+    pa_ = ensure_parquet(str(a_dir / "data.jsonl"), str(tmp_path / "stage"))
+    pb_ = ensure_parquet(str(b_dir / "data.jsonl"), str(tmp_path / "stage"))
+    assert pa_ != pb_
+    assert set(pq.read_table(pa_).column_names) == {"x"}
+    assert set(pq.read_table(pb_).column_names) == {"y"}
+
+
+def test_cli_accepts_jsonl_pages(tmp_path, ray_session):
+    """Pages arriving as JSONL (html as utf-8 string) crawl identically
+    to the parquet original — the canonical cast restores html:binary
+    before the packed-buffer fetch protocol sees it."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ethereum_raw_data_crawler_ray.run import main
+    from ethereum_raw_data_crawler_ray.testdata import ensure_corpus
+
+    corpus = ensure_corpus(300, n_hosts=6, n_seeds=4, base_dir="/tmp/test_corpus")
+    pages = pq.read_table(corpus + "/pages.parquet").to_pandas()
+    pages["html"] = pages["html"].apply(lambda b: b.decode("utf-8"))
+    pages["warc_ts"] = pages["warc_ts"].astype(str)
+    jsonl = tmp_path / "pages.jsonl"
+    pages.to_json(jsonl, orient="records", lines=True)
+    out, out2 = tmp_path / "o1", tmp_path / "o2"
+    common = ["--seeds", corpus + "/seeds.parquet", "--robots", corpus + "/robots.parquet",
+              "--seen-shards", "2", "--fetch-buckets", "4"]
+    assert main(["--pages", str(jsonl), "--out", str(out),
+                 "--index", str(tmp_path / "idx1"), *common]) == 0
+    assert main(["--pages", corpus + "/pages.parquet", "--out", str(out2),
+                 "--index", str(tmp_path / "idx2"), *common]) == 0
+    a = pads.dataset(str(out / "rounds"), partitioning="hive").to_table().to_pandas()
+    b = pads.dataset(str(out2 / "rounds"), partitioning="hive").to_table().to_pandas()
+    cols = [c for c in a.columns if c != "wall_s"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("url").reset_index(drop=True),
+        b[cols].sort_values("url").reset_index(drop=True),
+    )
