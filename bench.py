@@ -134,6 +134,7 @@ def run_bench() -> dict:
         "q44_asof_join", "q46_percentiles",  # round 3: joins + order stats
         "q52_inverted_index", "q55_jaccard_pairs",  # round 3: corpus index ops
         "q64_connected_components",  # round 3: graph op
+        "q27_dedup_groups",  # round 4: heaviest query, regression-watched
     ]
     qtimes = {}
     for name in qnames:

@@ -657,15 +657,22 @@ class CrawlPipeline:
         and replay the gap rounds' claims from the committed frontier
         outputs: the frontier rows of round f are exactly the urls
         claimed as novel during round f-1 (plus round f's ingest), so
-        re-inserting frontier rounds dump+2 … r restores membership
-        exactly (inserting an existing member is a no-op)."""
+        re-inserting frontier rounds dump+1 … r restores membership
+        exactly (inserting an existing member is a no-op).  The replay
+        starts at dump+1, not dump+2: the round-``base`` npz dump
+        predates round ``base+1``'s watch-mode ingest, whose seen-claims
+        land in frontier round ``base+1`` — starting at ``base+2`` would
+        forget them and double-admit a later push of the same URL (r03
+        ADVICE).  Round ``base+1``'s frontier also repeats round
+        ``base``'s claims, but re-claiming members is a no-op, so the
+        only cost is one extra thin frontier read."""
         states = self.seen.consume_fresh()
         fresh = [(j, rr) for j, (f, rr) in enumerate(states) if f]
         if not fresh:
             return []
         shard_ids = [j for j, _ in fresh]
         base = min(rr for _, rr in fresh)
-        for rf in range(base + 2, r + 1):
+        for rf in range(base + 1, r + 1):
             files = self._frontier_source(rf)
             if not files:
                 continue

@@ -1867,3 +1867,15 @@ ORACLE_SQL = {
         FROM events
     """,
 }
+
+# The driver's CORRECTNESS harness hash-checks a PREFIX of this registry
+# against DuckDB (r01 window: 36 entries, r02: 43, r03: 50 — while the
+# registry grew to 77, leaving 21 oracled queries driver-unattested;
+# r03 verdict #1).  Reorder so every oracled query (strong rows+schema+
+# hash check) comes before the rows-only entries (crawl outputs, LSH /
+# sketch / model ops with no SQL oracle by design); relative order is
+# preserved within each class so query numbering stays stable.
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
+}

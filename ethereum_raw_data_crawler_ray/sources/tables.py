@@ -132,5 +132,15 @@ def ensure_parquet(path: str, staging_dir: str, *, pages: bool = False) -> str:
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)  # a crashed prior write leaves partials
     ds.map_batches(fix, batch_format="pyarrow").write_parquet(tmp)
-    os.rename(tmp, out)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # Two concurrent runs converting the same input both passed the
+        # exists() check; the loser's rename onto the winner's non-empty
+        # staging dir raises.  First-writer-wins: reuse the winner's
+        # copy (same (path, mtime, size) key ⇒ identical content) and
+        # drop the orphaned tmp dir.
+        if not os.path.exists(out):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -703,7 +703,12 @@ def keyed_string_agg(
 
     def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([by, "__ord"], kind="mergesort")
-        out = g.groupby(by, sort=True, dropna=False)["__val"].agg(sep.join)
+        # SQL STRING_AGG skips NULL values (a key whose values are ALL
+        # null still emits a row, with NULL agg) — sep.join over a None
+        # would instead crash the task (r03 ADVICE).
+        out = g.groupby(by, sort=True, dropna=False)["__val"].agg(
+            lambda s: sep.join(v) if len(v := s.dropna()) else None
+        )
         return pd.DataFrame({by: out.index.to_numpy(), "agg": out.to_numpy()})
 
     return (

@@ -9,6 +9,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -498,6 +499,38 @@ class TestBalancedItems:
         many = CrawlPipeline._balanced_items([("x", 100_000)], 512, 8)
         assert len(many) == 8
         assert sum(sum(i["lengths"]) for i in many) == 100_000
+
+    def test_read_span_row_group_selective(self, tmp_path):
+        # _read_span must decode only the row groups covering the span
+        # yet return exactly the same rows as a full-read slice (r03
+        # ADVICE: whole-file decode per span amplified reads ~4×ncpu)
+        from ethereum_raw_data_crawler_ray.schema import FRONTIER
+        from ethereum_raw_data_crawler_ray.stages.roundstep import (
+            _FRONTIER_COLS,
+            _read_span,
+        )
+
+        n = 1000
+        tbl = pa.table(
+            {
+                "url": [f"http://h{i % 7}.test/p{i}" for i in range(n)],
+                "url_hash": np.arange(n, dtype=np.uint64),
+                "host": [f"h{i % 7}.test" for i in range(n)],
+                "priority": np.zeros(n, dtype=np.int32),
+                "depth": np.zeros(n, dtype=np.int32),
+                "warc_ts": pd.to_datetime(np.arange(n), unit="s").values,
+                "attempts": np.zeros(n, dtype=np.int32),
+                "skip_until_round": np.zeros(n, dtype=np.int32),
+            },
+            schema=FRONTIER,
+        )
+        p = str(tmp_path / "frontier.parquet")
+        pq.write_table(tbl, p, row_group_size=128)  # 8 row groups
+        full = pq.read_table(p, columns=_FRONTIER_COLS)
+        for off, ln in [(0, n), (0, 128), (100, 200), (127, 2), (128, 128),
+                        (500, 500), (999, 1), (130, 1)]:
+            got = _read_span(pq, p, off, ln)
+            assert got.equals(full.slice(off, ln)), (off, ln)
 
 
 class TestHealthOutput:

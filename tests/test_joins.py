@@ -457,6 +457,27 @@ def test_string_agg_matches_pandas(ray_session):
     assert out.to_dict() == ref.to_dict()
 
 
+def test_string_agg_skips_nulls_like_sql(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import keyed_string_agg
+
+    # STRING_AGG skips NULL values; an all-null key still emits a row
+    # with NULL agg (r03 ADVICE: sep.join over None crashed the task).
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": ["x", None, "y", None, None],
+            "o": [1, 2, 3, 1, 2],
+        }
+    )
+    out = (
+        keyed_string_agg(rd.from_pandas(df).repartition(2), by="k", val_col="v", order_col="o", sep=",")
+        .to_pandas()
+        .set_index("k")["agg"]
+    )
+    assert out["a"] == "x,y"
+    assert out["b"] is None or pd.isna(out["b"])
+
+
 def test_ntile_matches_sql_remainder_rule(ray_session):
     from ethereum_raw_data_crawler_ray.stages.joins import keyed_ntile
 
