@@ -17,12 +17,14 @@ Scale notes (the partitioning contracts, per SURVEY.md §2.11):
 - ``inverted_index``: per-batch (token, doc) pre-aggregation means the
   shuffle moves one row per DISTINCT (token, doc) pair, never one per
   occurrence; the final groupby is vocabulary×avg-df sized.
-- ``tfidf_topk``: the document-frequency table is broadcast via
-  ``ray.put`` (read once per actor, not per batch). Natural-language
-  vocabularies are ≤ ~10M tokens — far below corpus scale — but the
-  ``max_vocab_broadcast`` guard raises rather than silently shipping a
-  garbage-token vocabulary of hundreds of millions of entries; at that
-  point the right plan is a shuffle join on token.
+- ``tfidf_topk`` / ``lm_score``: the model table (document
+  frequencies / n-gram counts) is broadcast via ``ray.put`` (read once
+  per actor, not per batch) while it fits — natural-language
+  vocabularies are ≤ ~10M tokens.  Past the ``max_*_broadcast`` guard
+  (a web-garbage vocabulary is 10⁸+ entries) both AUTOMATICALLY fall
+  back to the token-keyed shuffle-join scale path (one bucketed
+  exchange of thin gram rows against the model; documents never
+  shuffle) — equivalence-tested against the broadcast path.
 - ``repetition_stats``: embarrassingly parallel, no shuffle; the only
   per-row Python is the per-document Counter, which is inherent to
   variable-length text (same stance as functions/textstats.enrich_batch).
@@ -147,7 +149,9 @@ def inverted_index(ds: rd.Dataset, text_col: str = "text",
 # TF-IDF distinctive terms
 # --------------------------------------------------------------------------
 def tfidf_topk(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
-               k: int = 3, max_vocab_broadcast: int = 10_000_000) -> rd.Dataset:
+               k: int = 3, max_vocab_broadcast: int = 10_000_000,
+               distribute: str = "auto",
+               n_buckets: int | None = None) -> rd.Dataset:
     """Top-``k`` most distinctive terms per document, scored
     ``tf × (N / df)`` (a log-free inverse-document-frequency variant:
     one division and one multiplication, both correctly rounded IEEE-754,
@@ -156,26 +160,44 @@ def tfidf_topk(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     oracle flaky; raw tf and df ship in the output so callers can apply
     any idf curve downstream).
 
-    Two passes: (1) the df table — vocabulary-sized, broadcast once via
-    ``ray.put``; (2) a shuffle-free map over documents scoring and
-    selecting per-doc top-k (score desc, token asc).
+    Model distribution (``distribute``): ``"broadcast"`` ships the
+    vocabulary-sized df table once per worker via ``ray.put`` (the
+    right plan for natural-language vocabularies, ≤ ~10M tokens) —
+    scoring is then a shuffle-free map with per-batch top-k.
+    ``"shuffle"`` is the web-garbage-vocabulary scale path (10⁸+
+    tokens): a token-keyed :func:`~.joins.hash_join` of the per-doc tf
+    rows against the df table (ONE bucketed exchange, no driver pull,
+    no broadcast), then a doc-keyed bucket exchange for the per-doc
+    top-k.  ``"auto"`` (default) broadcasts up to
+    ``max_vocab_broadcast`` rows and falls back to the shuffle join
+    above it (r03 verdict #3 — previously it raised).  Both paths
+    compute the identical per-row float expression, so their outputs
+    are bit-identical (equivalence-tested).
+
     Returns (doc_id, token, tf, df, score, rnk), rnk 1-based.
     """
     import ray
 
+    if distribute not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown distribute={distribute!r}")
     idx = inverted_index(ds, text_col, id_col).materialize()
-    # guard BEFORE the driver pull: count() on the materialized index is
-    # metadata-only, so an oversized vocabulary raises without ever
-    # shipping a row to the driver
-    if idx.count() > max_vocab_broadcast:
-        raise ValueError(
-            f"vocabulary {idx.count()} exceeds max_vocab_broadcast "
-            f"{max_vocab_broadcast}; use a shuffle join on token instead "
-            "of the broadcast path"
-        )
+    n_docs = float(ds.count())
+    # size check BEFORE any driver pull: count() on the materialized
+    # index is metadata-only, so an oversized vocabulary reroutes (or
+    # raises, if broadcast was forced) without shipping a row
+    vocab_n = idx.count()
+    if vocab_n > max_vocab_broadcast:
+        if distribute == "broadcast":
+            raise ValueError(
+                f"vocabulary {vocab_n} exceeds max_vocab_broadcast "
+                f"{max_vocab_broadcast}; use distribute='shuffle'"
+            )
+        distribute = "shuffle"
+    if distribute == "shuffle":
+        return _tfidf_topk_shuffle(ds, idx, text_col, id_col, k, n_docs,
+                                   n_buckets)
     df_tab = idx.take_all()
     df_map = {r["token"]: r["df"] for r in df_tab}
-    n_docs = float(ds.count())
     df_ref = ray.put(df_map)
 
     def score_stage(t: pa.Table, *, df_ref, n_docs: float, k: int) -> pa.Table:
@@ -205,6 +227,82 @@ def tfidf_topk(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(
         score_stage, batch_format="pyarrow",
         fn_kwargs=dict(df_ref=df_ref, n_docs=n_docs, k=k),
+    )
+
+
+def _tfidf_topk_shuffle(ds: rd.Dataset, idx: rd.Dataset, text_col: str,
+                        id_col: str, k: int, n_docs: float,
+                        n_buckets: int | None) -> rd.Dataset:
+    """Shuffle-join TF-IDF scale path (vocabulary too large to
+    broadcast): per-doc tf rows ⋈ df table on token (one bucketed
+    exchange via :func:`~.joins.hash_join` — inner join is exact here
+    because every tf token is by construction in the vocabulary), then
+    a doc-keyed bucket exchange for the per-doc top-k.  Same float
+    expression as the broadcast path ⇒ bit-identical output."""
+    from .joins import _bucket_of, hash_join
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def tf_stage(t: pa.Table) -> pa.Table:
+        per = _per_doc_tf(t, text_col, id_col)
+        return pa.table(
+            {
+                "doc_id": pa.array(per["doc_id"].to_numpy(np.int64), type=pa.int64()),
+                "token": pa.array(per["token"], type=pa.string()),
+                "tf": pa.array(per["tf"].to_numpy(np.int64), type=pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(tf_stage, batch_format="pyarrow"),
+        idx,
+        on="token",
+        right_cols=["df"],
+        how="inner",
+        left_fields=[pa.field("doc_id", pa.int64()),
+                     pa.field("token", pa.string()),
+                     pa.field("tf", pa.int64())],
+        right_fields=[pa.field("token", pa.string()),
+                      pa.field("df", pa.int64())],
+        n_buckets=n_buckets,
+    )
+
+    def score_and_bucket(t: pa.Table) -> pa.Table:
+        doc = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        tf = np.asarray(t["tf"].to_pandas(), dtype=np.int64)
+        dfv = np.asarray(t["df"].to_pandas(), dtype=np.int64)
+        score = tf.astype(np.float64) * (n_docs / dfv.astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "token": t["token"].combine_chunks(),
+                "tf": pa.array(tf, type=pa.int64()),
+                "df": pa.array(dfv, type=pa.int64()),
+                "score": pa.array(score, type=pa.float64()),
+                "__bucket": pa.array(_bucket_of(doc, n_buckets)),
+            }
+        )
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        rnk = g.groupby("doc_id", sort=False).cumcount() + 1
+        keep = g[rnk <= k]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"].to_numpy(np.int64),
+                "token": keep["token"].to_numpy(),
+                "tf": keep["tf"].to_numpy(np.int64),
+                "df": keep["df"].to_numpy(np.int64),
+                "score": keep["score"].to_numpy(np.float64),
+                "rnk": rnk[rnk <= k].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        joined.map_batches(score_and_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
     )
 
 
@@ -436,19 +534,29 @@ def jaccard_ngram_pairs(ds: rd.Dataset, text_col: str = "text",
 def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
              text_col: str = "text", id_col: str = "doc_id",
              alpha: float = 0.1,
-             max_model_broadcast: int = 20_000_000) -> rd.Dataset:
+             max_model_broadcast: int = 20_000_000,
+             distribute: str = "auto") -> rd.Dataset:
     """Per-document mean bigram log-probability under an add-α-smoothed
     bigram model counted from ``train_ds`` — the in-domain/perplexity
     quality signal large corpus pipelines use for filtering (CCNet,
     Wenzek et al. 2020, arXiv:1911.00359 — public).
 
     Two phases: (1) bigram + unigram counts via the same per-batch
-    combiner + bucketed reduce as :func:`inverted_index`, broadcast once
-    per worker (``max_model_broadcast`` guards a garbage-vocabulary
-    blowup — at that size prune counts upstream, as CCNet does);
-    (2) a shuffle-free scoring map.  Rows-only by design: ``log`` is
-    not correctly-rounded across libm implementations, so no SQL oracle
-    can be bit-identical; the ordering properties are pinned by tests.
+    combiner + bucketed reduce as :func:`inverted_index`; (2) scoring.
+    ``distribute="broadcast"`` ships the count table once per worker
+    and scores in a shuffle-free map; ``"shuffle"`` is the scale path
+    for models past ``max_model_broadcast`` rows — per-doc distinct
+    (bigram, multiplicity) rows are gram-keyed hash-joined against the
+    model twice (bigram count, then unigram count — two bucketed
+    exchanges of the THIN gram rows; documents never shuffle) and
+    reduced per doc-bucket; ``"auto"`` (default) broadcasts small
+    models and falls back to the shuffle join above the threshold (r03
+    verdict #3 — previously it raised).  The shuffle path groups equal
+    bigrams before the log, so its sums associate differently —
+    equality is to float-roundoff, not bit-exact (rows-only operator;
+    the ordering properties are pinned by tests).  Rows-only by
+    design: ``log`` is not correctly-rounded across libm
+    implementations, so no SQL oracle can be bit-identical.
 
     Returns (doc_id, n_bigrams, avg_logp); documents with < 2 tokens
     get avg_logp = 0.0 and n_bigrams = 0.
@@ -492,12 +600,20 @@ def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
         .map_groups(reduce_bucket, batch_format="pandas")
         .materialize()
     )
-    # guard BEFORE the driver pull (count on materialized = metadata)
+    # size check BEFORE the driver pull (count on materialized = metadata)
+    if distribute not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown distribute={distribute!r}")
     if model.count() > max_model_broadcast:
-        raise ValueError(
-            f"model table {model.count()} exceeds max_model_broadcast "
-            f"{max_model_broadcast}; prune low-count n-grams upstream"
-        )
+        if distribute == "broadcast":
+            raise ValueError(
+                f"model table {model.count()} exceeds max_model_broadcast "
+                f"{max_model_broadcast}; use distribute='shuffle' or prune "
+                "low-count n-grams upstream"
+            )
+        distribute = "shuffle"
+    if distribute == "shuffle":
+        return _lm_score_shuffle(model, score_ds, text_col, id_col, alpha,
+                                 n_buckets)
     model_rows = model.take_all()
     counts = {r["gram"]: r["n"] for r in model_rows}
     vocab = sum(1 for k in counts if " " not in k)
@@ -534,4 +650,117 @@ def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
     return score_ds.map_batches(
         score_stage, batch_format="pyarrow",
         fn_kwargs=dict(model_ref=model_ref, alpha=alpha),
+    )
+
+
+def _lm_score_shuffle(model: rd.Dataset, score_ds: rd.Dataset, text_col: str,
+                      id_col: str, alpha: float,
+                      n_buckets: int | None = None) -> rd.Dataset:
+    """Shuffle-join LM-scoring scale path (model too large to
+    broadcast).  Per document, emit one THIN row per DISTINCT bigram
+    (doc_id, big, uni, m=multiplicity) — never the text — then two
+    gram-keyed :func:`~.joins.hash_join` exchanges against the count
+    table (bigram count, unigram count; unmatched → 0, matching the
+    broadcast path's ``counts.get(..., 0)``), and one doc-keyed bucket
+    reduce computing Σ m·log((c_big+α)/(c_uni+αV)).  Unigram and
+    bigram entries share the model table: a bigram key always contains
+    a space and a unigram key never does, so each join only ever
+    matches its own kind.  A <2-token document emits a sentinel row
+    (big='', m=0) so it still appears in the output with
+    (n_bigrams=0, avg_logp=0.0)."""
+    from .joins import _bucket_of, hash_join
+
+    n_buckets = n_buckets or _default_buckets()
+
+    # V = unigram vocabulary size — a distributed count over the model
+    # (one int per block to the driver), mirroring the broadcast path's
+    # `sum(1 for k in counts if " " not in k)`
+    def uni_partial(t: pa.Table) -> pa.Table:
+        spaces = pc.sum(pc.cast(pc.match_substring(t["gram"], " "),
+                                pa.int64())).as_py() or 0
+        return pa.table({"v": pa.array([len(t) - spaces], type=pa.int64())})
+
+    vocab = model.map_batches(uni_partial, batch_format="pyarrow").sum("v") or 0
+    denom_base = alpha * max(vocab, 1)
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = t[text_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        doc, big, uni, mult = [], [], [], []
+        for i, x in enumerate(texts):
+            w = [tok for tok in x.split(" ") if tok]
+            if len(w) < 2:
+                doc.append(ids[i]); big.append(""); uni.append(""); mult.append(0)
+                continue
+            for (a, b), m in Counter(zip(w, w[1:])).items():
+                doc.append(ids[i]); big.append(a + " " + b); uni.append(a)
+                mult.append(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(doc, dtype=np.int64), type=pa.int64()),
+                "big": pa.array(big, type=pa.string()),
+                "uni": pa.array(uni, type=pa.string()),
+                "m": pa.array(np.asarray(mult, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def as_lookup(key: str, val: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["gram"], val: t["n"]})
+        return f
+
+    rows = score_ds.map_batches(bigram_rows, batch_format="pyarrow")
+    j1 = hash_join(
+        rows,
+        model.map_batches(as_lookup("big", "c_big"), batch_format="pyarrow"),
+        on="big", right_cols=["c_big"], how="left", fill_value={"c_big": 0},
+        left_fields=[pa.field("doc_id", pa.int64()), pa.field("big", pa.string()),
+                     pa.field("uni", pa.string()), pa.field("m", pa.int64())],
+        right_fields=[pa.field("big", pa.string()), pa.field("c_big", pa.int64())],
+        n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1,
+        model.map_batches(as_lookup("uni", "c_uni"), batch_format="pyarrow"),
+        on="uni", right_cols=["c_uni"], how="left", fill_value={"c_uni": 0},
+        left_fields=[pa.field("doc_id", pa.int64()), pa.field("big", pa.string()),
+                     pa.field("uni", pa.string()), pa.field("m", pa.int64()),
+                     pa.field("c_big", pa.int64())],
+        right_fields=[pa.field("uni", pa.string()), pa.field("c_uni", pa.int64())],
+        n_buckets=n_buckets,
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        doc = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        return t.append_column("__bucket", pa.array(_bucket_of(doc, n_buckets)))
+
+    def reduce_doc(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["m"].to_numpy(np.int64)
+        c_big = g["c_big"].to_numpy(np.int64)
+        c_uni = g["c_uni"].to_numpy(np.int64)
+        contrib = m * np.log((c_big + alpha) / (c_uni + denom_base))
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                          "s": contrib, "m": m})
+            .groupby("doc_id", sort=False)
+            .agg(s=("s", "sum"), n_bigrams=("m", "sum"))
+            .reset_index()
+        )
+        n_big = agg["n_bigrams"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = np.where(n_big > 0, agg["s"].to_numpy(np.float64) / n_big, 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].to_numpy(np.int64),
+                "n_bigrams": n_big,
+                "avg_logp": avg,
+            }
+        )
+
+    return (
+        j2.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_doc, batch_format="pandas")
     )

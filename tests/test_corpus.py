@@ -52,8 +52,28 @@ class TestTfidf:
         assert (out["score"].to_numpy() == expect).all()
 
     def test_vocab_broadcast_guard(self, sf_dir, ray_session):
+        # forcing broadcast past the guard still raises …
         with pytest.raises(ValueError, match="max_vocab_broadcast"):
-            to_pandas(tfidf_topk(_docs(sf_dir), k=3, max_vocab_broadcast=2))
+            to_pandas(tfidf_topk(_docs(sf_dir), k=3, max_vocab_broadcast=2,
+                                 distribute="broadcast"))
+
+    def test_shuffle_path_bit_identical(self, sf_dir, ray_session):
+        # … while auto falls back to the shuffle join (r03 verdict #3),
+        # and broadcast / shuffle / auto-fallback all agree bit-for-bit
+        # (same per-row float expression on both paths)
+        def run(**kw):
+            return (
+                to_pandas(tfidf_topk(_docs(sf_dir), k=3, **kw))
+                .sort_values(["doc_id", "rnk"])
+                .reset_index(drop=True)
+            )
+
+        b = run()
+        s = run(distribute="shuffle")
+        a = run(max_vocab_broadcast=2)  # auto → over guard → shuffle
+        assert list(b.columns) == list(s.columns) == list(a.columns)
+        assert b.equals(s) and b.equals(a)
+        assert len(b) > 0
 
 
 class TestRepetitionStats:
@@ -177,7 +197,30 @@ class TestLmScore:
 
         docs = _docs(sf_dir)
         with _pytest.raises(ValueError, match="max_model_broadcast"):
-            lm_score(docs, docs, max_model_broadcast=2).to_pandas()
+            lm_score(docs, docs, max_model_broadcast=2,
+                     distribute="broadcast").to_pandas()
+
+    def test_shuffle_path_matches_broadcast(self, sf_dir, ray_session):
+        from ethereum_raw_data_crawler_ray.stages.corpus import lm_score
+
+        def run(**kw):
+            return (
+                lm_score(_docs(sf_dir), _docs(sf_dir), **kw)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        b = run()
+        s = run(distribute="shuffle")
+        a = run(max_model_broadcast=2)  # auto → over guard → shuffle
+        assert (b["doc_id"] == s["doc_id"]).all() and (b["doc_id"] == a["doc_id"]).all()
+        assert (b["n_bigrams"] == s["n_bigrams"]).all()
+        assert (b["n_bigrams"] == a["n_bigrams"]).all()
+        # the shuffle path groups equal bigrams before the log, so the
+        # sum associates differently — equal to roundoff, not bit-exact
+        np.testing.assert_allclose(b["avg_logp"], s["avg_logp"], rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(b["avg_logp"], a["avg_logp"], rtol=1e-12, atol=1e-12)
 
 
 class TestKeyedGapsStringKeys:
