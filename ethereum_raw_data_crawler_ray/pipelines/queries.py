@@ -1392,6 +1392,69 @@ def q76_ntile(sf_dir: str):
     )
 
 
+def q77_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/corpus.decontaminate): flag
+    corpus documents sharing ≥ 5 distinct word-3-grams with the
+    benchmark split (docs with doc_id % 37 == 0 stand in for a held-out
+    eval set — both engines derive the split identically).  Bloom-
+    prefiltered gram semi-join; documents never shuffle."""
+    from ..stages.corpus import decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64) % 37 == 0
+            return t.filter(pa.array(m if want_bench else ~m))
+        return f
+
+    return decontaminate(
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        k=3, min_shared=5,
+    )
+
+
+def q78_pii_redaction(sf_dir: str):
+    """PII redaction (functions/redact.redact_pii): sequential
+    count-and-replace of email / phone / IP patterns with pyarrow RE2
+    kernels.  The corpus is synthetic clean text, so each document is
+    deterministically augmented with PII built from its doc_id (same
+    expression in the SQL oracle) — the redactor then has real matches
+    to find, count and rewrite."""
+    from ..functions.redact import redact_pii
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        i = d["doc_id"]
+        d["text"] = (
+            d["text"] + " contact user" + i.astype(str)
+            + "@mail" + (i % 5).astype(str)
+            + ".com phone +1 555-" + (100 + i % 900).astype(str)
+            + "-" + (1000 + i % 9000).astype(str)
+            + " ip 10." + (i % 256).astype(str) + ".0." + (i % 100).astype(str)
+        )
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    return redact_pii(docs.map_batches(aug, batch_format="pyarrow"))
+
+
+def q79_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (stages/dedup.dedup_paragraphs):
+    split each document on a separator, keep the globally first copy of
+    every distinct paragraph, reassemble per document.  The corpus has
+    no newlines, so the common word ' scan ' stands in for the '\\n\\n'
+    separator a real pipeline would use — the split/keep-first/
+    reassemble machinery is identical."""
+    from ..stages.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), sep=" scan "
+    )
+
+
 # ==========================================================================
 # registry + oracles
 # ==========================================================================
@@ -1473,6 +1536,9 @@ QUERIES = {
     "q74_regex_extract": q74_regex_extract,
     "q75_string_agg": q75_string_agg,
     "q76_ntile": q76_ntile,
+    "q77_decontaminate": q77_decontaminate,
+    "q78_pii_redaction": q78_pii_redaction,
+    "q79_paragraph_dedup": q79_paragraph_dedup,
 }
 
 ORACLE_SQL = {
@@ -1865,6 +1931,46 @@ ORACLE_SQL = {
         SELECT user_id, epoch_us(ts) AS ord_us,
                CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS tile
         FROM events
+    """,
+    "q77_decontaminate": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+              FROM d WHERE len(w) >= 3),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g JOIN b USING (gram) WHERE doc_id % 37 <> 0
+        GROUP BY doc_id HAVING COUNT(*) >= 5
+    """,
+    "q78_pii_redaction": r"""
+        WITH p AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.com phone +1 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                 || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t0
+          FROM documents),
+        r1 AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+            regexp_replace(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM p),
+        r2 AS (SELECT doc_id, n_emails,
+            CAST(len(regexp_extract_all(t1, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+            regexp_replace(t1, '\+\d{1,2} \d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS t2 FROM r1),
+        r3 AS (SELECT doc_id, n_emails, n_phones,
+            CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+            regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t3 FROM r2)
+        SELECT doc_id, n_emails, n_phones, n_ips, t3 AS redacted FROM r3
+    """,
+    "q79_paragraph_dedup": """
+        WITH d AS (SELECT doc_id, string_split(text, ' scan ') AS ps FROM documents),
+        e AS (SELECT doc_id, unnest(range(1, len(ps) + 1)) AS para_idx,
+                     unnest(ps) AS para FROM d),
+        k AS (SELECT doc_id, para_idx, para,
+                ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+              FROM e)
+        SELECT doc_id, STRING_AGG(para, ' scan ' ORDER BY para_idx) AS text_dedup
+        FROM k WHERE rn = 1 GROUP BY doc_id
     """,
 }
 

@@ -55,6 +55,7 @@ __all__ = [
     "repetition_stats",
     "jaccard_ngram_pairs",
     "lm_score",
+    "decontaminate",
 ]
 
 
@@ -763,4 +764,75 @@ def _lm_score_shuffle(model: rd.Dataset, score_ds: rd.Dataset, text_col: str,
         j2.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(reduce_doc, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (k-gram overlap semi-join)
+# --------------------------------------------------------------------------
+def decontaminate(ds: rd.Dataset, bench: rd.Dataset,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, min_shared: int = 1,
+                  n_buckets: int | None = None) -> rd.Dataset:
+    """Benchmark decontamination — the standard pre-training hygiene
+    stage (GPT-3 appendix C / PaLM style, Brown et al. 2020,
+    arXiv:2005.14165 — public): flag every corpus document sharing
+    ≥ ``min_shared`` DISTINCT word-``k``-grams with the benchmark set.
+    Returns thin (doc_id, n_shared) rows for the flagged documents; drop
+    them downstream with an anti-join on doc_id (q58 machinery).
+
+    Plan (same inverted-gram identity as :func:`jaccard_ngram_pairs` —
+    64-bit rolling-poly hashes, whitespace tokens, ``len(w) >= k``
+    filter, so the q55/q77 oracles share one gram definition):
+
+    1. explode per-doc DISTINCT gram hashes on both sides (thin int64
+       rows; documents themselves never shuffle),
+    2. Bloom-prefiltered semi :func:`~.joins.hash_join` of corpus grams
+       against benchmark grams — benchmarks are tiny next to a corpus,
+       so the broadcast Bloom filter drops almost every corpus gram
+       BEFORE the one bucketed exchange,
+    3. per-doc bucket count of surviving rows (already distinct per
+       doc) with the ``min_shared`` threshold applied bucket-side.
+    """
+    from .joins import _bucket_of, hash_join
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def doc_grams(t: pa.Table) -> pa.Table:
+        g = _gram_rows(t, text_col, id_col, k)
+        return g.select(["gram", "doc_id"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        return _gram_rows(t, text_col, id_col, k).select(["gram"])
+
+    hits = hash_join(
+        ds.map_batches(doc_grams, batch_format="pyarrow"),
+        bench.map_batches(bench_grams, batch_format="pyarrow"),
+        on="gram",
+        right_cols=[],
+        how="semi",
+        left_fields=[pa.field("gram", pa.int64()), pa.field("doc_id", pa.int64())],
+        right_fields=[pa.field("gram", pa.int64())],
+        n_buckets=n_buckets,
+        bloom_prefilter=True,
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        doc = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64)
+        return t.append_column("__bucket", pa.array(_bucket_of(doc, n_buckets)))
+
+    def count_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False).size().rename("n_shared").reset_index()
+        agg = agg[agg["n_shared"] >= min_shared]
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].to_numpy(np.int64),
+                "n_shared": agg["n_shared"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        hits.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_doc, batch_format="pandas")
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import hash_strings
@@ -686,3 +687,85 @@ def embedding_dedup_lsh(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# paragraph-level exact dedup (within- and cross-document)
+# --------------------------------------------------------------------------
+def dedup_paragraphs(ds: rd.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n",
+                     reassemble: bool = True,
+                     n_buckets: int | None = None) -> rd.Dataset:
+    """Paragraph-level exact dedup — the within-document layer
+    :func:`exact_dedup` doesn't cover (the C4/RefinedWeb "drop repeated
+    paragraphs/lines" rule): split every document on ``sep``, keep the
+    globally FIRST copy of each distinct paragraph (first = minimal
+    (doc_id, position)), and — with ``reassemble`` — stitch the kept
+    paragraphs back into per-document text with the same separator.
+
+    Plan: explode (doc_id, para_idx, para) rows via the Arrow split
+    kernel (empty paragraphs from adjacent separators participate like
+    any other string, matching SQL ``string_split``), ONE bucket
+    exchange keyed on the paragraph-content hash — every copy of a
+    paragraph meets in one bucket, where the full strings (not hashes)
+    are compared, so the result is exact even under hash collision —
+    then per-bucket vectorized keep-first.  Reassembly reuses
+    :func:`~.joins.keyed_string_agg` (a doc-keyed exchange).  Documents
+    whose every paragraph was dropped vanish from the reassembled
+    output, exactly like the SQL ``GROUP BY`` over kept rows.
+
+    Returns (doc_id, para_idx, para) kept rows, or with ``reassemble``
+    (doc_id, text_dedup).
+    """
+    from .joins import _bucket_of, _default_buckets, keyed_string_agg
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def explode(t: pa.Table) -> pa.Table:
+        paras = pc.split_pattern(
+            pc.cast(t[text_col].combine_chunks(), pa.string()), pattern=sep
+        )
+        flat = paras.flatten()
+        parent = np.asarray(pc.list_parent_indices(paras))
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)[parent]
+        lens = np.asarray(pc.list_value_length(paras), dtype=np.int64)
+        # 1-based position within the document (matches SQL range(1, n+1))
+        pidx = np.concatenate([np.arange(1, n + 1) for n in lens]) if len(lens) \
+            else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "para_idx": pa.array(pidx.astype(np.int64), type=pa.int64()),
+                "para": flat,
+                "__bucket": pa.array(
+                    _bucket_of(hash_strings(flat).view(np.int64), n_buckets)
+                ),
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["para", "doc_id", "para_idx"], kind="mergesort")
+        first = ~g["para"].duplicated(keep="first")
+        k = g[first]
+        return pd.DataFrame(
+            {
+                "doc_id": k["doc_id"].to_numpy(np.int64),
+                "para_idx": k["para_idx"].to_numpy(np.int64),
+                "para": k["para"].to_numpy(),
+            }
+        )
+
+    kept = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+    if not reassemble:
+        return kept
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "text_dedup"])
+
+    return keyed_string_agg(
+        kept, by="doc_id", val_col="para", order_col="para_idx", sep=sep
+    ).map_batches(rename, batch_format="pyarrow")

@@ -248,3 +248,37 @@ class TestKeyedGapsStringKeys:
         assert out.loc["a.com", "max_gap_us"] == 15_000_000
         assert out.loc["b.com", "n_gaps"] == 1
         assert out.loc["b.com", "max_gap_us"] == 30_000_000
+
+
+class TestDecontaminate:
+    def test_flags_overlap_only(self, ray_session):
+        import pandas as pd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import decontaminate
+
+        bench = pd.DataFrame({"doc_id": pd.array([100], dtype="int64"),
+                              "text": ["alpha beta gamma delta epsilon"]})
+        corpus = pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",  # 3 shared 3-grams
+                    "alpha beta gamma unrelated words here",  # 1 shared
+                    "totally different text with no overlap at all",  # 0
+                    "xx",  # < k tokens → no grams
+                ],
+            }
+        )
+        out = (
+            decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench),
+                          k=3, min_shared=2)
+            .to_pandas().set_index("doc_id")["n_shared"]
+        )
+        assert out.to_dict() == {1: 3}
+        # min_shared=1 also catches doc 2
+        out1 = (
+            decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench),
+                          k=3, min_shared=1)
+            .to_pandas().set_index("doc_id")["n_shared"]
+        )
+        assert out1.to_dict() == {1: 3, 2: 1}

@@ -192,3 +192,46 @@ class TestBatchedMinhashStage:
         assert (got_keys == keys).all()
         sig_bytes = [sigs[i].tobytes() for i in range(len(docs)) for _ in range(16)]
         assert out["sig"].to_pylist() == sig_bytes
+
+
+class TestParagraphDedup:
+    def test_keep_first_and_reassemble(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.dedup import dedup_paragraphs
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 2], dtype="int64"),
+                "text": ["aa\n\nbb\n\naa\n\ncc",  # within-doc dup of aa
+                         "bb\n\ndd"],             # cross-doc dup of bb
+            }
+        )
+        kept = (
+            dedup_paragraphs(rd.from_pandas(docs), reassemble=False)
+            .to_pandas().sort_values(["doc_id", "para_idx"])
+        )
+        assert list(zip(kept.doc_id, kept.para_idx, kept.para)) == [
+            (1, 1, "aa"), (1, 2, "bb"), (1, 4, "cc"), (2, 2, "dd")
+        ]
+        re = (
+            dedup_paragraphs(rd.from_pandas(docs))
+            .to_pandas().sort_values("doc_id").set_index("doc_id")["text_dedup"]
+        )
+        assert re.to_dict() == {1: "aa\n\nbb\n\ncc", 2: "dd"}
+
+    def test_all_dropped_doc_vanishes(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.dedup import dedup_paragraphs
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 2], dtype="int64"),
+                "text": ["xx", "xx"],  # doc 2's only paragraph is a dup
+            }
+        )
+        re = dedup_paragraphs(rd.from_pandas(docs)).to_pandas()
+        assert re.set_index("doc_id")["text_dedup"].to_dict() == {1: "xx"}

@@ -250,3 +250,45 @@ def test_codec_encoders_reject_bad_input():
         encode_ppm(np.zeros((4, 4), dtype=np.uint8))  # no channel dim
     with pytest.raises(ValueError):
         encode_wav(np.zeros(8, dtype=np.float32))  # not int16
+
+
+class TestRedactPII:
+    def test_sequential_counts_and_rewrite(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.functions.redact import redact_pii
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 2], dtype="int64"),
+                "text": [
+                    "mail a@b.com and c.d@e.org call +1 555-123-4567 ip 1.2.3.4",
+                    "no pii here",
+                ],
+            }
+        )
+        out = (
+            redact_pii(rd.from_pandas(docs))
+            .to_pandas().sort_values("doc_id").set_index("doc_id")
+        )
+        assert out.loc[1, "n_emails"] == 2
+        assert out.loc[1, "n_phones"] == 1
+        assert out.loc[1, "n_ips"] == 1
+        assert out.loc[1, "redacted"] == (
+            "mail [EMAIL] and [EMAIL] call [PHONE] ip [IP]"
+        )
+        assert out.loc[2].tolist() == [0, 0, 0, "no pii here"]
+
+    def test_email_consumed_before_ip(self, ray_session):
+        # digits-and-dots inside an email must not double count as an IP
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.functions.redact import redact_pii
+
+        docs = pd.DataFrame({"doc_id": pd.array([1], dtype="int64"),
+                             "text": ["x 1.2.3.4@9.8.7.6sub.com y"]})
+        out = redact_pii(rd.from_pandas(docs)).to_pandas().iloc[0]
+        assert out["n_emails"] == 1 and out["n_ips"] == 0
+        assert out["redacted"] == "x [EMAIL] y"
