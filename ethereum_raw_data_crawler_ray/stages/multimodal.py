@@ -73,6 +73,27 @@ def attach_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     )
 
 
+def _import_pil():
+    """Feature-detect Pillow (r03 verdict #7): return the PIL.Image
+    module when importable, else None.  Called once per ACTOR from the
+    stage __init__s — never per batch — so the import cost and the
+    decision are paid at pool-spinup."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
+def _no_codec(codec: str):
+    raise NotImplementedError(
+        f"codec {codec!r} requires media libraries not present in "
+        "this environment (PIL is feature-detected at actor init and "
+        "was not importable); the deterministic 'fake' codec and the "
+        "real numpy PPM/WAV codecs run everywhere"
+    )
+
+
 class DecodeStage:
     """map_batches actor: decode binary payloads → typed metadata
     (+ optionally a feature vector). Codec state is 'loaded' once per
@@ -80,19 +101,32 @@ class DecodeStage:
     library handle here.
 
     codec="fake"  → parse the fake header (deterministic, no deps)
-    codec="pil" / "ffmpeg" / ... → NotImplementedError (not in container)
+    codec="pil"   → Pillow, feature-detected at actor init: decodes any
+                    compressed format Pillow knows (JPEG/PNG/…); raises
+                    NotImplementedError when Pillow isn't installed
+    codec="ffmpeg" / ... → NotImplementedError (not in container)
     """
 
     def __init__(self, codec: str = "fake", with_features: bool = False):
-        if codec != "fake":
-            raise NotImplementedError(
-                f"codec {codec!r} requires media libraries not present in "
-                "this environment; only the deterministic 'fake' codec runs here"
-            )
+        self._pil = None
+        if codec == "pil":
+            self._pil = _import_pil()
+            if self._pil is None:
+                _no_codec(codec)
+        elif codec != "fake":
+            _no_codec(codec)
         self.codec = codec
         self.with_features = with_features
 
     def _decode_one(self, blob: bytes) -> tuple[int, int, str]:
+        if self.codec == "pil":
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(blob)) as img:
+                    return int(img.width), int(img.height), (img.format or "unknown").lower()
+            except Exception:
+                return -1, -1, "unknown"
         if blob[:8] != _MAGIC:
             return -1, -1, "unknown"
         w, h = struct.unpack("<II", blob[8:16])
@@ -133,14 +167,28 @@ class ResizeStage:
     feature-extract)."""
 
     def __init__(self, target_w: int, target_h: int, codec: str = "fake"):
-        if codec != "fake":
-            raise NotImplementedError(
-                f"codec {codec!r} requires media libraries not present in "
-                "this environment; only the deterministic 'fake' codec runs here"
-            )
+        self._pil = None
+        if codec == "pil":
+            self._pil = _import_pil()
+            if self._pil is None:
+                _no_codec(codec)
+        elif codec != "fake":
+            _no_codec(codec)
+        self.codec = codec
         self.tw, self.th = int(target_w), int(target_h)
 
     def _resize_one(self, blob: bytes) -> bytes:
+        if self.codec == "pil":
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(blob)) as img:
+                    fmt = img.format or "PNG"
+                    out = io.BytesIO()
+                    img.resize((self.tw, self.th)).save(out, format=fmt)
+                    return out.getvalue()
+            except Exception:
+                return blob
         if blob[:8] != _MAGIC:
             return blob
         w, h = struct.unpack("<II", blob[8:16])
@@ -185,10 +233,7 @@ class FrameSampleStage:
     def __init__(self, frame_bytes: int = 256, stride: int = 4,
                  max_frames: int = 8, codec: str = "fake"):
         if codec != "fake":
-            raise NotImplementedError(
-                f"codec {codec!r} requires media libraries not present in "
-                "this environment; only the deterministic 'fake' codec runs here"
-            )
+            _no_codec(codec)  # video demux needs ffmpeg — no PIL analog
         self.frame_bytes = frame_bytes
         self.stride = stride
         self.max_frames = max_frames
