@@ -86,7 +86,11 @@ def run_bench() -> dict:
             index_dir=index_dir,
             out_dir=out_dir,
             n_fetch_buckets=32,
-            n_seen_shards=8,
+            # state-pool sizes scale with the cluster (a 4× cluster runs
+            # 4× shards), and each pool holds a fractional CPU
+            # reservation (state/resources.py) — both parallelism levels
+            # pay the state-serving cost proportionally
+            n_seen_shards=max(2, ncpu // 4),
             seen_shard_capacity=1 << 19,
             round_ms=1_200_000,     # 20-minute simulated rounds → big budgets
             max_per_host_round=20_000,
@@ -94,7 +98,8 @@ def run_bench() -> dict:
                 "robots_path": corpus + "/robots.parquet",
                 "seeds_path": corpus + "/seeds.parquet",
                 "checkpoint_every": 5,
-                "n_store_shards": 16,   # payload serving parallelism
+                "n_store_shards": max(4, ncpu // 2),  # payload serving parallelism
+                "n_cutoff_actors": max(2, ncpu // 4),
                 "host_salt": 2,         # exercise the skew-salting path
                 "enrich": True,         # in-flight page analytics (real work/URL)
             },
@@ -232,7 +237,15 @@ def run_scaling(repeats: int = 2) -> dict:
     map_results: dict = {}
     for rep in range(repeats):
         for ncpu in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            # pin each level to that many PHYSICAL cores: a plain
+            # ray.init(num_cpus=8) run on a 32-core box free-rides —
+            # actor pools and library threads land on the 24 cores Ray
+            # didn't count, inflating the 8-CPU throughput and deflating
+            # measured 8→32 efficiency.  Affinity makes each level an
+            # honest N-core machine (children inherit it, so the raylet
+            # and every worker are confined too).
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_CPU_AFFINITY=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
@@ -270,10 +283,24 @@ def run_scaling(repeats: int = 2) -> dict:
 
 
 
+def _apply_affinity() -> None:
+    """Confine this process (and every child: raylet, workers, actors)
+    to the first $GRAFT_CPU_AFFINITY physical cores — the scaling
+    harness's honest-N-core-machine emulation.  No-op when unset or
+    when the host has fewer cores."""
+    n = int(os.environ.get("GRAFT_CPU_AFFINITY", "0"))
+    if n > 0 and hasattr(os, "sched_setaffinity"):
+        avail = sorted(os.sched_getaffinity(0))
+        if n < len(avail):
+            os.sched_setaffinity(0, set(avail[:n]))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif os.environ.get("GRAFT_BENCH_MODE") == "map":
+        _apply_affinity()
         print(json.dumps(run_map_bench()))
     else:
+        _apply_affinity()
         print(json.dumps(run_bench()))

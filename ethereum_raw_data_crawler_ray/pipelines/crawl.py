@@ -758,10 +758,9 @@ class CrawlPipeline:
             fn_kwargs=kwargs,
             batch_format="pyarrow",
             batch_size=None,  # one pre-balanced item per task
-            # slightly over 1 CPU per task leaves a few cores free
-            # for the (num_cpus=0) seen/store/cutoff actors, which
-            # do real work during the round — at full task
-            # concurrency they preempt the compute tasks instead
+            # the seen/store/cutoff pools hold fractional reservations
+            # (state/resources.py), so task concurrency is ncpu minus
+            # the pools' proportional share — no oversubscription
             num_cpus=float(cfg.extra.get("round_task_cpus", 1.0)),
         )
         # hive-partitioned by row_kind: the next round's frontier read and

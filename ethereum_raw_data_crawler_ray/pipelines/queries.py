@@ -1392,6 +1392,16 @@ def q76_ntile(sf_dir: str):
     )
 
 
+def q80_tdigest_quantiles(sf_dir: str):
+    """One-pass streaming quantile sketch (stages/sketches.
+    tdigest_quantiles) over event values — the unbounded-column
+    companion to the exact two-pass quantiles (q46).  Approximate by
+    design → rows-only (rank-error bound property-tested)."""
+    from ..stages.sketches import tdigest_quantiles
+
+    return tdigest_quantiles(_t(sf_dir, "events", ["value"]), "value")
+
+
 def q77_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/corpus.decontaminate): flag
     corpus documents sharing ≥ 5 distinct word-3-grams with the
@@ -1539,6 +1549,7 @@ QUERIES = {
     "q77_decontaminate": q77_decontaminate,
     "q78_pii_redaction": q78_pii_redaction,
     "q79_paragraph_dedup": q79_paragraph_dedup,
+    "q80_tdigest_quantiles": q80_tdigest_quantiles,
 }
 
 ORACLE_SQL = {

@@ -596,3 +596,81 @@ def rollup_agg(
     out = pd.concat(levels, ignore_index=True)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+# --------------------------------------------------------------------------
+# t-digest: one-pass mergeable quantile sketch
+# --------------------------------------------------------------------------
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge weighted points (sorted by mean) into ≤ ~delta centroids by
+    k-index clustering: centroid id = floor(k1(q_mid)) with the t-digest
+    scale function k1(q) = (δ/2π)·asin(2q−1), so cluster mass is bounded
+    by ~2πn√(q(1−q))/δ — tight at the tails, loose in the middle (the
+    t-digest accuracy shape; Dunning & Ertl 2019, arXiv:1902.04023 —
+    public).  Fully vectorized (cumsum + reduceat), deterministic."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    if total <= 0 or len(means) == 0:
+        return np.array([], np.float64), np.array([], np.float64)
+    cum = np.cumsum(weights)
+    q_mid = (cum - weights / 2.0) / total
+    k = np.floor((delta / (2 * np.pi)) * np.arcsin(2 * q_mid - 1) + delta / 4.0)
+    starts = np.flatnonzero(np.diff(k, prepend=np.nan) != 0)
+    w_out = np.add.reduceat(weights, starts)
+    m_out = np.add.reduceat(means * weights, starts) / w_out
+    return m_out, w_out
+
+
+def tdigest_quantiles(ds: rd.Dataset, col: str,
+                      qs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.99),
+                      delta: int = 200) -> pd.DataFrame:
+    """Approximate quantiles in ONE streaming pass — the unbounded-
+    column companion to :func:`exact_quantiles` (which needs two passes
+    over the data).  Per-block t-digest blobs (≤ δ (mean, weight)
+    centroids, ~3 KB each), tree-merged exactly like
+    :func:`hll_distinct` so the driver only ever touches sketch-sized
+    state; rank error ≲ π√(q(1−q))/δ of n (≤ ~0.8 % at the median for
+    δ=200, tighter at the tails).  No SQL oracle by design
+    (approximate); the rank-error bound vs numpy is property-tested.
+
+    Returns DataFrame (q, value, n)."""
+
+    def blob(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        m, w = _tdigest_compress(v, np.ones(len(v), np.float64), delta)
+        return pa.table(
+            {
+                "means": pa.array([m.tobytes()], type=pa.binary()),
+                "weights": pa.array([w.tobytes()], type=pa.binary()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ms = [np.frombuffer(b, np.float64) for b in t["means"].to_pylist()]
+        ws = [np.frombuffer(b, np.float64) for b in t["weights"].to_pylist()]
+        m, w = _tdigest_compress(np.concatenate(ms), np.concatenate(ws), delta)
+        return pa.table(
+            {
+                "means": pa.array([m.tobytes()], type=pa.binary()),
+                "weights": pa.array([w.tobytes()], type=pa.binary()),
+            }
+        )
+
+    blobs = (
+        ds.map_batches(blob, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    m = np.concatenate([np.frombuffer(b, np.float64) for b in blobs["means"]])
+    w = np.concatenate([np.frombuffer(b, np.float64) for b in blobs["weights"]])
+    m, w = _tdigest_compress(m, w, delta)
+    n = w.sum()
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "value": np.nan, "n": 0})
+    # interpolate the centroid CDF: centroid i sits at rank cum_i − w_i/2
+    ranks = np.cumsum(w) - w / 2.0
+    vals = [float(np.interp(q * n, ranks, m)) for q in qs]
+    return pd.DataFrame({"q": list(qs), "value": vals, "n": int(round(n))})

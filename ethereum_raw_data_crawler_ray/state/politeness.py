@@ -577,9 +577,13 @@ class CutoffPool:
                     )
                 except Exception:
                     rec = False
+                import os as _os
+
+                tm = _os.times()
                 return {
                     "reconstructed": bool(rec),
                     "items": sum(len(s.keys) for s in self.rounds.values()),
+                    "cpu_s": float(tm.user + tm.system),
                 }
 
             def drop_round(self, round_no: int) -> None:
@@ -697,8 +701,11 @@ class CutoffPool:
                 self.errors = {}
                 self.lineage = {}
 
+        from .resources import shard_cpu_reservation
+
+        cpus_each = shard_cpu_reservation("cutoff", n_actors)
         self.handles = [
-            CutoffShard.remote(
+            CutoffShard.options(num_cpus=cpus_each).remote(
                 robots_ref, round_ms, default_delay_ms, max_per_host, error_backoff
             )
             for _ in range(n_actors)

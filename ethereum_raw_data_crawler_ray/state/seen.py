@@ -122,10 +122,12 @@ def _replay_claims(
 
 @ray.remote(num_cpus=0, max_restarts=2, max_task_retries=-1)
 class SeenShard:
-    """One shard actor. num_cpus=0: shards are memory-bound point lookups
-    that must never starve the fetch/extract pools of CPU slots
-    (stage-sizing note, SURVEY.md §4); their real footprint is the filter
-    table's memory, which Ray tracks via the object store anyway.
+    """One shard actor. The decorator default ``num_cpus=0`` is always
+    overridden at pool creation with a fractional reservation from
+    state/resources.py — the pool claims a fixed fraction of the
+    cluster, so its real CPU use is paid for proportionally at every
+    cluster size instead of free-riding (r03 verdict #2); the shard's
+    dominant footprint is still the filter table's memory.
 
     Fault tolerance (the Ray-native analog of the reference's
     reconnect-on-failure loops, ``crawler_service.go:727-864``): on actor
@@ -190,7 +192,9 @@ class SeenShard:
             rec = ray.get_runtime_context().was_current_actor_reconstructed
         except Exception:
             rec = False
-        return {"reconstructed": bool(rec), "items": int(self.filter.count)}
+        tm = os.times()
+        return {"reconstructed": bool(rec), "items": int(self.filter.count),
+                "cpu_s": float(tm.user + tm.system)}
 
     def check_and_insert(
         self, hashes: np.ndarray, round_no: int | None = None, token: int | None = None
@@ -233,10 +237,17 @@ class ActorSeenSet:
     """Driver-side bundle of shard actor handles."""
 
     def __init__(self, n_shards: int, capacity_per_shard: int,
-                 ckpt_root: str | None = None):
+                 ckpt_root: str | None = None,
+                 num_cpus_each: float | None = None):
+        from .resources import shard_cpu_reservation
+
+        if num_cpus_each is None:
+            num_cpus_each = shard_cpu_reservation("seen", n_shards)
         self.n_shards = n_shards
         self.handles = [
-            SeenShard.remote(j, capacity_per_shard, ckpt_root)
+            SeenShard.options(num_cpus=num_cpus_each).remote(
+                j, capacity_per_shard, ckpt_root
+            )
             for j in range(n_shards)
         ]
 

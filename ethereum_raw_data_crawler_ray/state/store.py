@@ -193,7 +193,9 @@ class PageStoreShard:
         except Exception:
             rec = False
         n = len(self.store) if self.mode == "preload" else self._n_pages
-        return {"reconstructed": bool(rec), "items": int(n)}
+        tm = os.times()
+        return {"reconstructed": bool(rec), "items": int(n),
+                "cpu_s": float(tm.user + tm.system)}
 
     def count(self) -> int:
         return self._n_pages
@@ -203,12 +205,19 @@ class ActorPageStore:
     """Driver-side bundle; handles serialize into fetch-stage closures."""
 
     def __init__(self, index_dir: str, n_buckets: int, n_shards: int,
-                 mode: str = "preload", lru_groups: int = 64):
+                 mode: str = "preload", lru_groups: int = 64,
+                 num_cpus_each: float | None = None):
+        from .resources import shard_cpu_reservation
+
         if n_buckets % n_shards != 0:
             raise ValueError("n_buckets must be a multiple of n_store_shards")
+        if num_cpus_each is None:
+            num_cpus_each = shard_cpu_reservation("store", n_shards)
         self.n_shards = n_shards
         self.handles = [
-            PageStoreShard.remote(index_dir, n_buckets, n_shards, j, mode, lru_groups)
+            PageStoreShard.options(num_cpus=num_cpus_each).remote(
+                index_dir, n_buckets, n_shards, j, mode, lru_groups
+            )
             for j in range(n_shards)
         ]
 

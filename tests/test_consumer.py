@@ -1,0 +1,75 @@
+"""Durable at-least-once events consumer (consumer.py) — the NATS
+durable-pull analog (reference examples/nats_consumer.go:85-101:
+durable name, pull, MaxDeliver=3, AckWait)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ethereum_raw_data_crawler_ray.consumer import EventsConsumer
+
+
+def _publish(out_dir, rounds):
+    for r in rounds:
+        d = os.path.join(out_dir, "events", f"round_{r:05d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"url": [f"u{r}"], "round": pa.array([r], pa.int32())}),
+            os.path.join(d, "part-0.parquet"),
+        )
+
+
+def test_fetch_ack_order_and_durability(tmp_path):
+    out = str(tmp_path)
+    _publish(out, [0, 1, 2])
+    c = EventsConsumer(out, name="c1")
+    got = [(r, t["round"][0].as_py()) for r, t in c.fetch(batch=2)]
+    assert got == [(0, 0), (1, 1)]
+    c.ack(0)
+    c.ack(1)
+    # a NEW instance (restart) resumes from the durable cursor
+    c2 = EventsConsumer(out, name="c1")
+    assert [r for r, _ in c2.fetch(batch=5)] == [2]
+    c2.ack(2)
+    assert c2.pending() == []
+    # late-published round becomes visible without any cursor surgery
+    _publish(out, [3])
+    assert c2.pending() == [3]
+
+
+def test_unacked_rounds_redeliver(tmp_path):
+    out = str(tmp_path)
+    _publish(out, [0])
+    c = EventsConsumer(out, name="c1")
+    assert [r for r, _ in c.fetch()] == [0]  # delivered, not acked
+    assert [r for r, _ in c.fetch()] == [0]  # redelivered (AckWait analog)
+    c.ack(0)
+    assert [r for r, _ in c.fetch()] == []
+
+
+def test_max_deliver_dead_letters(tmp_path):
+    out = str(tmp_path)
+    _publish(out, [0, 1])
+    c = EventsConsumer(out, name="c1", max_deliver=3)
+    for _ in range(3):  # three deliveries of the poison round, no ack
+        assert [r for r, _ in c.fetch(batch=1)] == [0]
+    # 4th pull: round 0 exceeds MaxDeliver → dead-lettered, skipped;
+    # the consumer moves on to round 1 instead of wedging
+    assert [r for r, _ in c.fetch(batch=1)] == [1]
+    assert c.dead_letters() == [0]
+    # dead-letter state is durable too
+    c2 = EventsConsumer(out, name="c1")
+    assert c2.dead_letters() == [0]
+    assert c2.pending() == [1]
+
+
+def test_independent_durable_names(tmp_path):
+    out = str(tmp_path)
+    _publish(out, [0])
+    a = EventsConsumer(out, name="a")
+    b = EventsConsumer(out, name="b")
+    a_got = [r for r, _ in a.fetch()]
+    a.ack(0)
+    assert a_got == [0] and a.pending() == []
+    assert [r for r, _ in b.fetch()] == [0]  # b has its own cursor

@@ -282,3 +282,45 @@ def test_hll_grouped_null_group_keys(ray_session):
     got = {(k if k is not None and k == k else None): round(v) for k, v in
            zip(out["g"], out["approx_distinct"])}
     assert got == {"a": 2, None: 1, "b": 1}
+
+
+class TestTDigest:
+    def test_rank_error_bound(self, sf_dir, ray_session):
+        import os
+
+        import pandas as pd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            exact_quantiles,
+            tdigest_quantiles,
+        )
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["value"])
+        vals = np.sort(ev.to_pandas()["value"].to_numpy(np.float64))
+        n = len(vals)
+        qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+        td = tdigest_quantiles(ev, "value", qs=qs, delta=200)
+        assert int(td["n"].iloc[0]) == n
+        for q, v in zip(td["q"], td["value"]):
+            rank = int(np.searchsorted(vals, v, side="right"))
+            # k1 scale bound: rank error ≲ πn√(q(1−q))/δ; assert 2×
+            tol = max(2.0, 2 * np.pi * n * np.sqrt(q * (1 - q)) / 200)
+            assert abs(rank - q * n) <= tol, (q, v, rank, q * n, tol)
+
+    def test_partition_robustness(self, sf_dir, ray_session):
+        # sketch accuracy must hold however blocks split the stream
+        import os
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import tdigest_quantiles
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["value"])
+        vals = np.sort(ev.to_pandas()["value"].to_numpy(np.float64))
+        n = len(vals)
+        for parts in (1, 7):
+            td = tdigest_quantiles(ev.repartition(parts), "value",
+                                   qs=(0.5,), delta=200)
+            v = float(td["value"].iloc[0])
+            rank = int(np.searchsorted(vals, v, side="right"))
+            assert abs(rank - 0.5 * n) <= max(2.0, 0.02 * n)
