@@ -239,6 +239,12 @@ class CrawlPipeline:
             self.cutoff_pool = None
 
     def prepare(self) -> None:
+        # idempotent: run() always calls prepare(), but a caller that
+        # prepared explicitly (bench setup, watch loops) must NOT pay a
+        # second actor-pool spinup + full store-index reload inside its
+        # timed window — the live pools are reused; close() resets.
+        if getattr(self, "seen", None) is not None:
+            return
         cfg = self.cfg
         os.makedirs(self.out, exist_ok=True)
         build_fetch_index(cfg.pages_path, cfg.index_dir, cfg.n_fetch_buckets)
