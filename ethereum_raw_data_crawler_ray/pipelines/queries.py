@@ -1392,6 +1392,31 @@ def q76_ntile(sf_dir: str):
     )
 
 
+def q81_decontaminated_corpus(sf_dir: str):
+    """The decontamination COMPOSITION: q77's flag list anti-joined back
+    against the corpus — the actual clean-corpus emit a training
+    pipeline runs (flag via Bloom-prefiltered gram semi-join, then drop
+    via the q58 hash anti-join; only doc_id lists cross stages).
+    Returns the surviving (doc_id, n_chars) rows."""
+    from ..stages.joins import hash_join
+
+    flagged = q77_decontaminate(sf_dir)
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["doc_id"].to_pandas(), dtype=np.int64) % 37 == 0
+        return t.filter(pa.array(~m))
+
+    corpus = _t(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        corpus_only, batch_format="pyarrow"
+    )
+    return hash_join(
+        corpus, flagged, on="doc_id", right_cols=[], how="anti",
+        left_fields=[pa.field("doc_id", pa.int64()),
+                     pa.field("n_chars", pa.int64())],
+        right_fields=[pa.field("doc_id", pa.int64())],
+    )
+
+
 def q80_tdigest_quantiles(sf_dir: str):
     """One-pass streaming quantile sketch (stages/sketches.
     tdigest_quantiles) over event values — the unbounded-column
@@ -1550,6 +1575,7 @@ QUERIES = {
     "q78_pii_redaction": q78_pii_redaction,
     "q79_paragraph_dedup": q79_paragraph_dedup,
     "q80_tdigest_quantiles": q80_tdigest_quantiles,
+    "q81_decontaminated_corpus": q81_decontaminated_corpus,
 }
 
 ORACLE_SQL = {
@@ -1972,6 +1998,17 @@ ORACLE_SQL = {
             CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
             regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t3 FROM r2)
         SELECT doc_id, n_emails, n_phones, n_ips, t3 AS redacted FROM r3
+    """,
+    "q81_decontaminated_corpus": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+              FROM d WHERE len(w) >= 3),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+        flagged AS (SELECT doc_id FROM g JOIN b USING (gram) WHERE doc_id % 37 <> 0
+                    GROUP BY doc_id HAVING COUNT(*) >= 5)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
     """,
     "q79_paragraph_dedup": """
         WITH d AS (SELECT doc_id, string_split(text, ' scan ') AS ps FROM documents),
