@@ -98,7 +98,11 @@ def run_bench() -> dict:
                 "robots_path": corpus + "/robots.parquet",
                 "seeds_path": corpus + "/seeds.parquet",
                 "checkpoint_every": 5,
-                "n_store_shards": max(4, ncpu // 2),  # payload serving parallelism
+                # payload serving parallelism — must DIVIDE the 32 fetch
+                # buckets (ActorPageStore invariant), so snap down to a
+                # power of two: 8cpu→4, 32cpu→16, 24cpu→8 (not 12)
+                "n_store_shards": min(32, max(4, 1 << ((ncpu // 2).bit_length() - 1)))
+                if ncpu >= 8 else 4,
                 "n_cutoff_actors": max(2, ncpu // 4),
                 "host_salt": 2,         # exercise the skew-salting path
                 "enrich": True,         # in-flight page analytics (real work/URL)
@@ -285,14 +289,37 @@ def run_scaling(repeats: int = 2) -> dict:
 
 def _apply_affinity() -> None:
     """Confine this process (and every child: raylet, workers, actors)
-    to the first $GRAFT_CPU_AFFINITY physical cores — the scaling
-    harness's honest-N-core-machine emulation.  No-op when unset or
-    when the host has fewer cores."""
+    to $GRAFT_CPU_AFFINITY PHYSICAL cores — the scaling harness's
+    honest-N-core-machine emulation.  Picks one logical CPU per
+    distinct core id first (on SMT hosts with sibling-adjacent
+    numbering, a naive first-N slice would hand the \"8-CPU\" level only
+    4 physical cores and skew the very ratio this exists to fix), then
+    falls back to plain ids when topology files are absent.  No-op when
+    unset or when the host has fewer cores."""
     n = int(os.environ.get("GRAFT_CPU_AFFINITY", "0"))
-    if n > 0 and hasattr(os, "sched_setaffinity"):
-        avail = sorted(os.sched_getaffinity(0))
-        if n < len(avail):
-            os.sched_setaffinity(0, set(avail[:n]))
+    if n <= 0 or not hasattr(os, "sched_setaffinity"):
+        return
+    avail = sorted(os.sched_getaffinity(0))
+    if n >= len(avail):
+        return
+    picked, seen_cores = [], set()
+    for cpu in avail:
+        try:
+            with open(f"/sys/devices/system/cpu/cpu{cpu}/topology/core_id") as f:
+                core = (f.read().strip(), )
+            with open(f"/sys/devices/system/cpu/cpu{cpu}/topology/physical_package_id") as f:
+                core = (f.read().strip(), core[0])
+        except OSError:
+            core = ("?", cpu)  # no topology info: every id its own core
+        if core not in seen_cores:
+            seen_cores.add(core)
+            picked.append(cpu)
+    # prefer distinct physical cores; top up with SMT siblings only if
+    # the host has fewer physical cores than requested
+    chosen = picked[:n]
+    if len(chosen) < n:
+        chosen += [c for c in avail if c not in chosen][: n - len(chosen)]
+    os.sched_setaffinity(0, set(chosen))
 
 
 if __name__ == "__main__":

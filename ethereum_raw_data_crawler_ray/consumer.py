@@ -75,8 +75,12 @@ class EventsConsumer:
 
     def fetch(self, batch: int = 1) -> Iterator[tuple[int, pa.Table]]:
         """Yield up to ``batch`` (round, events table) pairs.  The
-        delivery counter persists BEFORE each table is yielded: a crash
-        while processing leaves the round unacked, so it redelivers."""
+        delivery counter persists after a SUCCESSFUL read but BEFORE the
+        table is yielded: a crash while processing leaves the round
+        unacked so it redelivers, while a read that fails transiently —
+        a resumed crawl REPUBLISHES replayed rounds via rmtree+rename,
+        so a round dir can vanish for an instant — burns no delivery
+        (only real processing attempts count toward MaxDeliver)."""
         n = 0
         for r in self.pending():
             if n >= batch:
@@ -87,10 +91,14 @@ class EventsConsumer:
                 self._state["dead"].append(r)
                 self._persist()
                 continue
+            d = os.path.join(self.events_dir, f"round_{r:05d}")
+            try:
+                t = pads.dataset(d, format="parquet").to_table()
+            except (FileNotFoundError, OSError):
+                continue  # republish window — visible again next pull
             self._state["deliveries"][key] = count
             self._persist()
-            d = os.path.join(self.events_dir, f"round_{r:05d}")
-            yield r, pads.dataset(d, format="parquet").to_table()
+            yield r, t
             n += 1
 
     # -- ack ---------------------------------------------------------------

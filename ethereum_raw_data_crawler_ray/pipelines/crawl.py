@@ -237,13 +237,17 @@ class CrawlPipeline:
         if getattr(self, "cutoff_pool", None) is not None:
             self.cutoff_pool.kill()
             self.cutoff_pool = None
+        self._prepared = False
 
     def prepare(self) -> None:
         # idempotent: run() always calls prepare(), but a caller that
         # prepared explicitly (bench setup, watch loops) must NOT pay a
         # second actor-pool spinup + full store-index reload inside its
         # timed window — the live pools are reused; close() resets.
-        if getattr(self, "seen", None) is not None:
+        # The guard flag is set at the END, so a prepare() that failed
+        # partway (e.g. store-pool creation raised) is retried in full
+        # rather than leaving a half-initialized pipeline.
+        if getattr(self, "_prepared", False):
             return
         cfg = self.cfg
         os.makedirs(self.out, exist_ok=True)
@@ -275,6 +279,7 @@ class CrawlPipeline:
                 error_backoff=bool(cfg.extra.get("error_backoff", False)),
             )
             self.cutoff_pool.consume_fresh()  # clear the initial flags
+        self._prepared = True
 
     def bootstrap(self, seeds: pa.Table) -> None:
         """Write frontier/round=0 from the seed list, claiming seeds in

@@ -129,18 +129,22 @@ def ensure_parquet(path: str, staging_dir: str, *, pages: bool = False) -> str:
             t = t.set_column(i, "warc_ts", t["warc_ts"].cast(pa.timestamp("us")))
         return t
 
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)  # a crashed prior write leaves partials
-    ds.map_batches(fix, batch_format="pyarrow").write_parquet(tmp)
+    # PER-RUN unique tmp dir: two concurrent runs converting the same
+    # input must never share a staging scratch dir — with a shared
+    # `out + ".tmp"` the loser's initial rmtree deletes the winner's
+    # in-flight part files and the committed dir can end up holding a
+    # MIX of both runs' parts (cached forever by the (path,mtime,size)
+    # key).  mkdtemp isolates each writer; the rename is then a clean
+    # first-writer-wins race (same key ⇒ identical content).
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=f".{base}-{tag}-", dir=staging_dir)
     try:
+        ds.map_batches(fix, batch_format="pyarrow").write_parquet(tmp)
         os.rename(tmp, out)
     except OSError:
-        # Two concurrent runs converting the same input both passed the
-        # exists() check; the loser's rename onto the winner's non-empty
-        # staging dir raises.  First-writer-wins: reuse the winner's
-        # copy (same (path, mtime, size) key ⇒ identical content) and
-        # drop the orphaned tmp dir.
         if not os.path.exists(out):
             raise
-        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)  # loser's (or crashed) scratch
     return out

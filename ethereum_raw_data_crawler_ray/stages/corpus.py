@@ -564,6 +564,11 @@ def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
     """
     import ray
 
+    # validate BEFORE the (possibly minutes-long) model build, matching
+    # tfidf_topk's ordering — a typo'd mode must fail at call time
+    if distribute not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown distribute={distribute!r}")
+
     def bigram_stage(t: pa.Table) -> pa.Table:
         occ = _explode_tokens(t, text_col, id_col)
         toks = occ["token"].to_numpy()
@@ -602,8 +607,6 @@ def lm_score(train_ds: rd.Dataset, score_ds: rd.Dataset,
         .materialize()
     )
     # size check BEFORE the driver pull (count on materialized = metadata)
-    if distribute not in ("auto", "broadcast", "shuffle"):
-        raise ValueError(f"unknown distribute={distribute!r}")
     if model.count() > max_model_broadcast:
         if distribute == "broadcast":
             raise ValueError(

@@ -73,3 +73,22 @@ def test_independent_durable_names(tmp_path):
     a.ack(0)
     assert a_got == [0] and a.pending() == []
     assert [r for r, _ in b.fetch()] == [0]  # b has its own cursor
+
+
+def test_vanished_round_burns_no_delivery(tmp_path):
+    # a resumed crawl republishes replayed rounds via rmtree+rename; a
+    # read that hits that window must not count toward MaxDeliver
+    import shutil
+
+    out = str(tmp_path)
+    _publish(out, [0])
+    c = EventsConsumer(out, name="c1", max_deliver=2)
+    shutil.rmtree(os.path.join(out, "events", "round_00000"))
+    for _ in range(5):  # many collisions with the republish window
+        assert list(c.fetch()) == []
+    _publish(out, [0])  # republished
+    got = [r for r, _ in c.fetch()]
+    assert got == [0]
+    assert c.dead_letters() == []
+    c.ack(0)
+    assert c.pending() == []
