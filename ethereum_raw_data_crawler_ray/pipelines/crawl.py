@@ -534,15 +534,33 @@ class CrawlPipeline:
         return len(_glob.glob(self._p("ingest", "*", "*", "_MANIFEST.json")))
 
     def ingest_new_pages(self, r: int) -> int:
-        """Scan ``extra["watch_dir"]`` for page files not yet consumed;
-        for each new file: append its rows to the fetch index (per-bucket
-        files — restarted store shards re-read them for free), load them
-        into the resident store shards, seen-claim the novel URLs and
-        write them as frontier rows for round ``r`` (ingest/round_r/
-        batch_k/), then offer them to the politeness cutoffs. Returns the
-        number of new frontier rows. Driver-side work is bounded by the
-        pushed batch size (the reference handles one block per WS
-        message; a push batch is the analog)."""
+        """Scan ``extra["watch_dir"]`` for pushed files not yet consumed.
+        Three push CHANNELS mirror the reference's three WebSocket
+        subscription types (``websocket_listener.go:119-196``), routed
+        by subdirectory:
+
+        - ``<watch_dir>/*.parquet`` or ``<watch_dir>/pages/`` — full
+          page payloads (the ``newHeads`` analog): rows are appended to
+          the fetch index (per-bucket files — restarted store shards
+          re-read them for free), loaded into the resident store
+          shards, seen-claimed and written as frontier rows.
+        - ``<watch_dir>/urls/`` — URL-only announcements (the
+          ``newPendingTransactions`` analog: a unit id whose payload
+          may not exist yet): seen-claimed + frontier rows ONLY — no
+          index/store write; if the payload never arrives the fetch
+          fails through the normal attempts/skip retry machinery.
+          Columns: ``url`` (+ optional ``priority:int32``).
+        - ``<watch_dir>/logs/`` — externally-published event rows (the
+          filtered ``logs`` subscription analog): rows matching
+          ``extra["watch_log_event_types"]`` (a list; None = all) are
+          committed under ``external/round_r/batch_k/`` — they never
+          touch the frontier.
+
+        Frontier rows land in ingest/round_r/batch_k/; new candidates
+        are offered to the politeness cutoffs. Returns the number of
+        new frontier rows. Driver-side work is bounded by the pushed
+        batch size (the reference handles one block per WS message; a
+        push batch is the analog)."""
         import glob as _glob
         import json
 
@@ -562,12 +580,18 @@ class CrawlPipeline:
         if not os.path.isdir(wd):
             return 0
         processed = self._processed_watch_files()
-        files = sorted(
-            f
-            for f in _glob.glob(os.path.join(wd, "*.parquet"))
-            if os.path.basename(f) not in processed
-        )
-        if not files:
+
+        def _new(pattern: str) -> list[str]:
+            return sorted(
+                f
+                for f in _glob.glob(os.path.join(wd, pattern))
+                if os.path.relpath(f, wd) not in processed
+            )
+
+        files = _new("*.parquet") + _new(os.path.join("pages", "*.parquet"))
+        url_files = _new(os.path.join("urls", "*.parquet"))
+        log_files = _new(os.path.join("logs", "*.parquet"))
+        if not files and not url_files and not log_files:
             return 0
 
         tables = []
@@ -592,30 +616,72 @@ class CrawlPipeline:
         if self.store is not None:
             self.store.load_new_files(files_by_bucket)
 
-        # pushed pages → frontier rows for THIS round (priority 0, depth
-        # r, warc_ts from the page — deterministic, no wall clock)
-        allt = pa.concat_tables(tables)
-        urls, hosts, ok = normalize_many(allt["url"].to_pylist())
-        ts = np.asarray(
-            allt["warc_ts"].cast(pa.int64()).to_pandas(), dtype=np.int64
-        )[ok]
-        n = len(urls[ok])
-        ft = pa.table(
-            {
-                "url": pa.array(urls[ok], type=pa.string()),
-                "url_hash": pa.array(hash_strings(urls[ok]), type=pa.uint64()),
-                "host": pa.array(hosts[ok], type=pa.string()),
-                "priority": pa.array(np.zeros(n, dtype=np.int32)),
-                "depth": pa.array(np.full(n, r, dtype=np.int32)),
-                "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
-                "attempts": pa.array(np.zeros(n, dtype=np.int32)),
-                "skip_until_round": pa.array(np.full(n, -1, dtype=np.int32)),
-            },
-            schema=FRONTIER,
-        )
+        def _frontier_rows(url_list, ts_us: np.ndarray | None,
+                           prio: np.ndarray | None) -> pa.Table:
+            """Normalized frontier rows for THIS round (depth r,
+            deterministic — warc_ts from the push or epoch 0)."""
+            urls, hosts, ok = normalize_many(url_list)
+            n = int(ok.sum())
+            ts = (ts_us[ok] if ts_us is not None
+                  else np.zeros(n, dtype=np.int64))
+            pr = (prio[ok] if prio is not None
+                  else np.zeros(n, dtype=np.int32))
+            return pa.table(
+                {
+                    "url": pa.array(urls[ok], type=pa.string()),
+                    "url_hash": pa.array(hash_strings(urls[ok]), type=pa.uint64()),
+                    "host": pa.array(hosts[ok], type=pa.string()),
+                    "priority": pa.array(pr.astype(np.int32)),
+                    "depth": pa.array(np.full(n, r, dtype=np.int32)),
+                    "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+                    "attempts": pa.array(np.zeros(n, dtype=np.int32)),
+                    "skip_until_round": pa.array(np.full(n, -1, dtype=np.int32)),
+                },
+                schema=FRONTIER,
+            )
+
+        fts = []
+        if tables:
+            # pages channel (newHeads analog): payload + frontier
+            allt = pa.concat_tables(tables)
+            fts.append(_frontier_rows(
+                allt["url"].to_pylist(),
+                np.asarray(allt["warc_ts"].cast(pa.int64()).to_pandas(),
+                           dtype=np.int64),
+                None,
+            ))
+        for path in url_files:
+            # urls channel (newPendingTransactions analog): frontier only
+            t = pq.read_table(path)
+            prio = (np.asarray(t["priority"].to_pandas(), dtype=np.int32)
+                    if "priority" in t.schema.names else None)
+            fts.append(_frontier_rows(t["url"].to_pylist(), None, prio))
+        ft = (pa.concat_tables(fts) if fts
+              else pa.table({f.name: pa.nulls(0, f.type) for f in FRONTIER},
+                            schema=FRONTIER))
         hashes = np.asarray(ft["url_hash"].to_pandas(), dtype=np.uint64)
         novel = self.seen.check_and_insert(hashes)
         ft = ft.filter(pa.array(novel))
+
+        # logs channel (filtered logs-subscription analog): externally
+        # published event rows committed per ingest batch, never frontier
+        if log_files:
+            lt = pa.concat_tables([pq.read_table(p) for p in log_files])
+            kinds = cfg.extra.get("watch_log_event_types")
+            if kinds is not None and "event_type" in lt.schema.names:
+                keep = np.isin(
+                    np.asarray(lt["event_type"].to_pandas(), dtype=object),
+                    np.asarray(list(kinds), dtype=object),
+                )
+                lt = lt.filter(pa.array(keep))
+            ext = self._p("external", f"round_{r:05d}", f"batch_{batch_no}")
+            etmp = ext + ".tmp"
+            shutil.rmtree(etmp, ignore_errors=True)
+            os.makedirs(etmp, exist_ok=True)
+            if len(lt):
+                pq.write_table(lt, os.path.join(etmp, "part-0.parquet"))
+            shutil.rmtree(ext, ignore_errors=True)
+            os.rename(etmp, ext)
 
         d = self._p("ingest", f"round_{r:05d}", f"batch_{batch_no}")
         tmp = d + ".tmp"
@@ -624,7 +690,11 @@ class CrawlPipeline:
         if len(ft):
             pq.write_table(ft, os.path.join(tmp, "part-0.parquet"))
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
-            json.dump(sorted(os.path.basename(p) for p in files), f)
+            json.dump(
+                sorted(os.path.relpath(p, wd)
+                       for p in (*files, *url_files, *log_files)),
+                f,
+            )
         shutil.rmtree(d, ignore_errors=True)
         os.rename(tmp, d)
         # new frontier files for this round → re-plan it
@@ -1316,3 +1386,9 @@ def lineage_output(out_dir: str) -> rd.Dataset:
 
 def health_output(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(out_dir, "health"))
+
+
+def external_events_output(out_dir: str) -> rd.Dataset:
+    """Rows pushed through the watch-mode ``logs/`` channel (the
+    filtered logs-subscription analog), committed per ingest batch."""
+    return rd.read_parquet(os.path.join(out_dir, "external"))

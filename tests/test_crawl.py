@@ -781,6 +781,76 @@ class TestWatchIngest:
         cols = ["url", "text", "round", "depth"]
         pd.testing.assert_frame_equal(a[cols], b[cols])
 
+    def test_urls_and_logs_channels(self, corpus_dir, ray_session):
+        # the reference's three WS subscription types
+        # (websocket_listener.go:119-196) map to three watch channels:
+        # pages/ (newHeads), urls/ (newPendingTransactions), logs/
+        # (filtered logs). urls/ announces ids with NO payload — they
+        # enter the frontier but fetch as misses (timeout-class) and
+        # never produce a fetched page; logs/ rows are committed to the
+        # external output, filtered by watch_log_event_types, and never
+        # touch the frontier.
+        import pyarrow as pa
+
+        from ethereum_raw_data_crawler_ray.pipelines.crawl import (
+            external_events_output,
+        )
+
+        cfg = self._watch_cfg(corpus_dir, "watch_multi")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__,
+               "extra": {**cfg.extra, "watch_log_event_types": ["alert"]}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        wd = cfg.extra["watch_dir"]
+        os.makedirs(os.path.join(wd, "urls"), exist_ok=True)
+        os.makedirs(os.path.join(wd, "logs"), exist_ok=True)
+        ghost_urls = [f"http://ghost{i}.test/page{i}" for i in range(4)]
+        pq.write_table(pa.table({"url": pa.array(ghost_urls)}),
+                       os.path.join(wd, "urls", "announce1.parquet"))
+        pq.write_table(
+            pa.table({"event_type": pa.array(["alert", "noise", "alert"]),
+                      "payload": pa.array(["a", "b", "c"])}),
+            os.path.join(wd, "logs", "ext1.parquet"),
+        )
+
+        pipe = CrawlPipeline(cfg)
+        pipe.prepare()
+        pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
+        pipe._backfill_offers(0)
+        r = 0
+        while r < 30 and pipe._frontier_count(r) > 0:
+            pipe.ingest_new_pages(r)
+            pipe.run_round(r)
+            r += 1
+        pipe._join_bg()
+        pipe.close()
+
+        import pyarrow.dataset as pads
+
+        # pages_output filters to fetched rows — read ALL round rows
+        allrows = pads.dataset(
+            os.path.join(cfg.out_dir, "rounds"), format="parquet",
+            partitioning="hive",
+        ).to_table().to_pandas()
+        ghosts = allrows[allrows["url"].isin(ghost_urls)]
+        # announced urls entered the frontier and were attempted …
+        assert set(ghosts["url"]) == set(ghost_urls)
+        assert (ghosts[ghosts["row_kind"] == "page"]["status"] == "error").all()
+        # … but have no payload: misses are timeout-class errors that
+        # retry (carry rows) and never fetch
+        assert len(ghosts[ghosts["row_kind"] == "carry"]) > 0
+        assert not (ghosts["status"] == "fetched").any()
+        assert not set(_rounds_df(cfg.out_dir)["url"]) & set(ghost_urls)
+        # second scan of the same files is a no-op (manifest relpaths)
+        assert pipe._processed_watch_files() >= {
+            os.path.join("urls", "announce1.parquet"),
+            os.path.join("logs", "ext1.parquet"),
+        }
+        ext = external_events_output(cfg.out_dir).to_pandas()
+        assert sorted(ext["payload"]) == ["a", "c"]
+        assert set(ext["event_type"]) == {"alert"}
+
 
 class TestResume:
     def test_bit_identical_resume(self, crawl_run, corpus_dir):
