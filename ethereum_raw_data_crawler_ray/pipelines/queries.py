@@ -1392,6 +1392,19 @@ def q76_ntile(sf_dir: str):
     )
 
 
+def q82_pack_sequences(sf_dir: str):
+    """Sequence packing (stages/corpus.pack_sequences): greedy next-fit
+    assembly of documents into ≤512-token training context windows —
+    one thin (doc_id, n_tokens) exchange, per-bucket deterministic
+    packing.  Bin assignment depends on the engine's bucket hash, so
+    rows-only (invariants property-tested: exactly-once, no overflow,
+    partition-invariance)."""
+    from ..stages.corpus import pack_sequences
+
+    return pack_sequences(_t(sf_dir, "documents", ["doc_id", "text"]),
+                          max_tokens=512)
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1576,6 +1589,7 @@ QUERIES = {
     "q79_paragraph_dedup": q79_paragraph_dedup,
     "q80_tdigest_quantiles": q80_tdigest_quantiles,
     "q81_decontaminated_corpus": q81_decontaminated_corpus,
+    "q82_pack_sequences": q82_pack_sequences,
 }
 
 ORACLE_SQL = {

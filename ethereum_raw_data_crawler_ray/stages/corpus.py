@@ -56,6 +56,7 @@ __all__ = [
     "jaccard_ngram_pairs",
     "lm_score",
     "decontaminate",
+    "pack_sequences",
 ]
 
 
@@ -838,4 +839,96 @@ def decontaminate(ds: rd.Dataset, bench: rd.Dataset,
         hits.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(count_doc, batch_format="pandas")
+    )
+
+# --------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+def pack_sequences(ds: rd.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id", max_tokens: int = 512,
+                   n_buckets: int | None = None) -> rd.Dataset:
+    """Pack documents into training context windows of ≤ ``max_tokens``
+    whitespace tokens — the sequence-packing stage an LLM training
+    pipeline runs between cleaning and tokenized-shard writing (greedy
+    next-fit, the standard streaming packer).
+
+    Scale plan: ONE exchange of thin (doc_id, n_tokens) rows — text
+    never shuffles — hash-bucketed by doc id; each bucket packs
+    INDEPENDENTLY (deterministic doc_id order, next-fit: open a new bin
+    when the next document would overflow) and bin ids are globally
+    unique as ``bucket · 2⁴⁰ + local_bin``.  Cross-bucket packing would
+    need a global sequential scan; next-fit-per-bucket wastes at most
+    one partial bin per bucket — negligible at corpus scale — and keeps
+    packing embarrassingly parallel.  A single document longer than
+    ``max_tokens`` gets a bin of its own (truncation is the tokenizer's
+    job, not the packer's).
+
+    Returns (doc_id, n_tokens, bin_id, bin_pos) — bin_pos is the
+    document's 0-based position within its bin.
+    """
+    from .joins import _bucket_of
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    n_buckets = n_buckets or _default_buckets()
+
+    def count_stage(t: pa.Table) -> pa.Table:
+        # non-empty whitespace token count, vectorized: total splits
+        # minus empty splits (adjacent separators), same token stream as
+        # every other corpus op
+        toks = pc.split_pattern(
+            pc.cast(t[text_col].combine_chunks(), pa.string()), pattern=" "
+        )
+        total = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = toks.flatten()
+        parent = np.asarray(pc.list_parent_indices(toks))
+        empty = np.asarray(pc.equal(flat, ""), dtype=bool)
+        n_empty = np.bincount(parent[empty], minlength=len(t)) if len(flat) \
+            else np.zeros(len(t), dtype=np.int64)
+        counts = total - n_empty
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(counts.astype(np.int64), type=pa.int64()),
+                "__bucket": pa.array(_bucket_of(ids, n_buckets)),
+            }
+        )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        bucket = int(g["__bucket"].iloc[0]) if len(g) else 0
+        bins = np.empty(len(g), np.int64)
+        pos = np.empty(len(g), np.int64)
+        b, fill, p = 0, 0, 0
+        # scalar next-fit over thin int rows (inherently sequential —
+        # a reset-on-overflow cumsum has no vectorized form); the rows
+        # are (id, count) pairs, never documents
+        for i in range(len(g)):
+            need = nt[i]
+            if fill > 0 and fill + need > max_tokens:
+                b += 1
+                fill, p = 0, 0
+            bins[i] = b
+            pos[i] = p
+            fill += need
+            p += 1
+            if fill >= max_tokens:  # exactly full or oversized singleton
+                b += 1
+                fill, p = 0, 0
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": nt,
+                "bin_id": (np.int64(bucket) << np.int64(40)) + bins,
+                "bin_pos": pos,
+            }
+        )
+
+    return (
+        ds.map_batches(count_stage, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
     )

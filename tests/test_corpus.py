@@ -282,3 +282,57 @@ class TestDecontaminate:
             .to_pandas().set_index("doc_id")["n_shared"]
         )
         assert out1.to_dict() == {1: 3, 2: 1}
+
+
+class TestPackSequences:
+    def test_invariants(self, sf_dir, ray_session):
+        from ethereum_raw_data_crawler_ray.stages.corpus import pack_sequences
+
+        max_tokens = 128
+        out = to_pandas(pack_sequences(_docs(sf_dir), max_tokens=max_tokens))
+        docs = to_pandas(_docs(sf_dir))
+        # every document packed exactly once, token counts correct
+        assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+        ref_counts = {
+            r.doc_id: len([w for w in r.text.split(" ") if w])
+            for r in docs.itertuples()
+        }
+        assert all(ref_counts[r.doc_id] == r.n_tokens for r in out.itertuples())
+        # no bin overflows (a bin may hold ONE oversized doc)
+        per_bin = out.groupby("bin_id").agg(tot=("n_tokens", "sum"),
+                                            n=("n_tokens", "size"))
+        over = per_bin[per_bin["tot"] > max_tokens]
+        assert (over["n"] == 1).all()
+        # bin_pos is a clean 0..k-1 sequence within each bin
+        for _, g in out.groupby("bin_id"):
+            assert sorted(g["bin_pos"]) == list(range(len(g)))
+        # utilization sanity: next-fit wastes < one doc per bin on average
+        multi = per_bin[per_bin["n"] > 1]
+        assert multi["tot"].mean() > max_tokens * 0.5
+
+    def test_partition_invariant_and_next_fit(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import pack_sequences
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array(range(8), dtype="int64"),
+                "text": ["w " * n for n in (3, 4, 5, 10, 2, 2, 9, 1)],
+            }
+        )
+        a = to_pandas(pack_sequences(rd.from_pandas(docs).repartition(1),
+                                     max_tokens=10, n_buckets=1))
+        b = to_pandas(pack_sequences(rd.from_pandas(docs).repartition(5),
+                                     max_tokens=10, n_buckets=1))
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)  # packing is partition-invariant
+        # next-fit reference: docs in id order, counts 3,4,5,10,2,2,9,1
+        # bins: [3,4]=7 (+5 would be 12) | [5]=5? no: 5+... wait greedy:
+        # [3,4] -> +5 overflows(12) -> bin1=[5] +10 overflows -> bin2=[10]
+        # full -> bin3=[2,2] +9 overflows -> bin4=[9,1]=10 full
+        expect = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+        got = dict(zip(a["doc_id"], a["bin_id"]))
+        assert got == expect
