@@ -653,8 +653,17 @@ class CrawlPipeline:
         for path in url_files:
             # urls channel (newPendingTransactions analog): frontier only
             t = pq.read_table(path)
-            prio = (np.asarray(t["priority"].to_pandas(), dtype=np.int32)
-                    if "priority" in t.schema.names else None)
+            prio = None
+            if "priority" in t.schema.names:
+                # fill nulls BEFORE the numpy cast: NaN→int32 silently
+                # becomes INT32_MIN, which would jump the announcement
+                # to an extreme of the frontier ordering (priority is
+                # the comparator's first key) instead of the default 0
+                prio = np.asarray(
+                    pc.fill_null(pc.cast(t["priority"].combine_chunks(),
+                                         pa.int32()), 0).to_pandas(),
+                    dtype=np.int32,
+                )
             fts.append(_frontier_rows(t["url"].to_pylist(), None, prio))
         ft = (pa.concat_tables(fts) if fts
               else pa.table({f.name: pa.nulls(0, f.type) for f in FRONTIER},
@@ -666,22 +675,38 @@ class CrawlPipeline:
         # logs channel (filtered logs-subscription analog): externally
         # published event rows committed per ingest batch, never frontier
         if log_files:
-            lt = pa.concat_tables([pq.read_table(p) for p in log_files])
+            # permissive promote: pushers evolve their log schema; a
+            # missing column in one file must null-fill, not poison the
+            # watch loop with an ArrowInvalid on every restart
+            lt = pa.concat_tables(
+                [pq.read_table(p) for p in log_files],
+                promote_options="permissive",
+            )
             kinds = cfg.extra.get("watch_log_event_types")
-            if kinds is not None and "event_type" in lt.schema.names:
+            if kinds is not None:
+                if "event_type" not in lt.schema.names:
+                    # fail loudly: a configured filter with no column to
+                    # filter on would otherwise silently pass EVERY row
+                    raise ValueError(
+                        "watch_log_event_types is configured but a pushed "
+                        f"logs file has no event_type column: {log_files}"
+                    )
                 keep = np.isin(
                     np.asarray(lt["event_type"].to_pandas(), dtype=object),
                     np.asarray(list(kinds), dtype=object),
                 )
                 lt = lt.filter(pa.array(keep))
-            ext = self._p("external", f"round_{r:05d}", f"batch_{batch_no}")
-            etmp = ext + ".tmp"
-            shutil.rmtree(etmp, ignore_errors=True)
-            os.makedirs(etmp, exist_ok=True)
             if len(lt):
+                ext = self._p("external", f"round_{r:05d}", f"batch_{batch_no}")
+                etmp = ext + ".tmp"
+                shutil.rmtree(etmp, ignore_errors=True)
+                os.makedirs(etmp, exist_ok=True)
                 pq.write_table(lt, os.path.join(etmp, "part-0.parquet"))
-            shutil.rmtree(ext, ignore_errors=True)
-            os.rename(etmp, ext)
+                shutil.rmtree(ext, ignore_errors=True)
+                os.rename(etmp, ext)
+            # all-filtered batch: the manifest alone marks the files
+            # processed — an empty committed dir would only break
+            # external_events_output's parquet read
 
         d = self._p("ingest", f"round_{r:05d}", f"batch_{batch_no}")
         tmp = d + ".tmp"

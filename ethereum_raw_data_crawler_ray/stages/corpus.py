@@ -875,9 +875,16 @@ def pack_sequences(ds: rd.Dataset, text_col: str = "text",
     def count_stage(t: pa.Table) -> pa.Table:
         # non-empty whitespace token count, vectorized: total splits
         # minus empty splits (adjacent separators), same token stream as
-        # every other corpus op
+        # every other corpus op.  Null text counts as 0 tokens (fill
+        # BEFORE the split: list_value_length's null would otherwise
+        # cast to INT64_MIN and silently wreck the bucket's fill
+        # arithmetic) — packing keeps the exactly-once invariant even
+        # for empty documents.
         toks = pc.split_pattern(
-            pc.cast(t[text_col].combine_chunks(), pa.string()), pattern=" "
+            pc.fill_null(
+                pc.cast(t[text_col].combine_chunks(), pa.string()), ""
+            ),
+            pattern=" ",
         )
         total = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         flat = toks.flatten()

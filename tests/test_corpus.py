@@ -329,10 +329,26 @@ class TestPackSequences:
         a = a.sort_values("doc_id").reset_index(drop=True)
         b = b.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)  # packing is partition-invariant
-        # next-fit reference: docs in id order, counts 3,4,5,10,2,2,9,1
-        # bins: [3,4]=7 (+5 would be 12) | [5]=5? no: 5+... wait greedy:
-        # [3,4] -> +5 overflows(12) -> bin1=[5] +10 overflows -> bin2=[10]
-        # full -> bin3=[2,2] +9 overflows -> bin4=[9,1]=10 full
+        # next-fit reference, docs in id order, counts 3,4,5,10,2,2,9,1:
+        # bin0=[3,4] (+5 overflows) | bin1=[5] (+10 overflows) |
+        # bin2=[10] (full) | bin3=[2,2] (+9 overflows) | bin4=[9,1] full
         expect = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
         got = dict(zip(a["doc_id"], a["bin_id"]))
         assert got == expect
+
+    def test_null_text_counts_zero(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import pack_sequences
+
+        docs = pd.DataFrame(
+            {"doc_id": pd.array([1, 2, 3], dtype="int64"),
+             "text": ["a b c", None, "d e"]}
+        )
+        out = to_pandas(pack_sequences(rd.from_pandas(docs), max_tokens=4,
+                                       n_buckets=1)).set_index("doc_id")
+        assert out.loc[2, "n_tokens"] == 0
+        assert sorted(out.index) == [1, 2, 3]  # exactly-once incl. null doc
+        per_bin = out.groupby("bin_id")["n_tokens"].sum()
+        assert (per_bin <= 4).all()

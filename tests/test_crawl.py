@@ -851,6 +851,64 @@ class TestWatchIngest:
         assert sorted(ext["payload"]) == ["a", "c"]
         assert set(ext["event_type"]) == {"alert"}
 
+    def test_logs_channel_edge_cases(self, corpus_dir, ray_session):
+        # schema-divergent files merge permissively; an all-filtered
+        # batch commits nothing; a filter with no event_type column
+        # fails loudly instead of passing every row
+        import pyarrow as pa
+
+        cfg = self._watch_cfg(corpus_dir, "watch_logs_edge")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__,
+               "extra": {**cfg.extra, "watch_log_event_types": ["alert"]}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        wd = cfg.extra["watch_dir"]
+        os.makedirs(os.path.join(wd, "logs"), exist_ok=True)
+
+        pipe = CrawlPipeline(cfg)
+        pipe.prepare()
+        pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
+        pipe._backfill_offers(0)
+
+        # batch 1: two files with DIVERGENT schemas, all rows filtered out
+        pq.write_table(pa.table({"event_type": pa.array(["noise"]),
+                                 "payload": pa.array(["x"])}),
+                       os.path.join(wd, "logs", "a.parquet"))
+        pq.write_table(pa.table({"event_type": pa.array(["noise"]),
+                                 "payload": pa.array(["y"]),
+                                 "extra": pa.array([1])}),
+                       os.path.join(wd, "logs", "b.parquet"))
+        pipe.ingest_new_pages(0)
+        assert not os.path.exists(os.path.join(cfg.out_dir, "external"))
+        # the files ARE marked processed (manifest), so no reprocessing
+        assert {os.path.join("logs", "a.parquet"),
+                os.path.join("logs", "b.parquet")} <= pipe._processed_watch_files()
+
+        # batch 2: surviving rows from divergent schemas null-fill
+        pq.write_table(pa.table({"event_type": pa.array(["alert"]),
+                                 "payload": pa.array(["z"]),
+                                 "extra": pa.array([7])}),
+                       os.path.join(wd, "logs", "c.parquet"))
+        pq.write_table(pa.table({"event_type": pa.array(["alert"])}),
+                       os.path.join(wd, "logs", "d.parquet"))
+        pipe.ingest_new_pages(0)
+        from ethereum_raw_data_crawler_ray.pipelines.crawl import (
+            external_events_output,
+        )
+        ext = external_events_output(cfg.out_dir).to_pandas()
+        assert len(ext) == 2 and set(ext["event_type"]) == {"alert"}
+
+        # batch 3: configured filter + file without event_type → loud
+        pq.write_table(pa.table({"payload": pa.array(["q"])}),
+                       os.path.join(wd, "logs", "e.parquet"))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="event_type"):
+            pipe.ingest_new_pages(0)
+        pipe._join_bg()
+        pipe.close()
+
 
 class TestResume:
     def test_bit_identical_resume(self, crawl_run, corpus_dir):
