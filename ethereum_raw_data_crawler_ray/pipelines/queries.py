@@ -1405,6 +1405,18 @@ def q82_pack_sequences(sf_dir: str):
                           max_tokens=512)
 
 
+def q83_tdigest_grouped(sf_dir: str):
+    """Per-group one-pass quantile sketch (stages/sketches.
+    tdigest_quantiles_grouped) over event values by type — the grouped
+    companion to q80 exactly as q50 is to q46.  Approximate by design →
+    rows-only (per-group rank-error bound property-tested)."""
+    from ..stages.sketches import tdigest_quantiles_grouped
+
+    return tdigest_quantiles_grouped(
+        _t(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1590,6 +1602,7 @@ QUERIES = {
     "q80_tdigest_quantiles": q80_tdigest_quantiles,
     "q81_decontaminated_corpus": q81_decontaminated_corpus,
     "q82_pack_sequences": q82_pack_sequences,
+    "q83_tdigest_grouped": q83_tdigest_grouped,
 }
 
 ORACLE_SQL = {

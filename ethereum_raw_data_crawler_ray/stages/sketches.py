@@ -674,3 +674,73 @@ def tdigest_quantiles(ds: rd.Dataset, col: str,
     ranks = np.cumsum(w) - w / 2.0
     vals = [float(np.interp(q * n, ranks, m)) for q in qs]
     return pd.DataFrame({"q": list(qs), "value": vals, "n": int(round(n))})
+
+
+def tdigest_quantiles_grouped(ds: rd.Dataset, group: str, col: str,
+                              qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                              delta: int = 200) -> pd.DataFrame:
+    """Per-group one-pass approximate quantiles — the grouped companion
+    to :func:`tdigest_quantiles` exactly as :func:`grouped_quantiles`
+    is to :func:`exact_quantiles`.  Per-batch, per-group centroid blobs
+    (one ≤δ-centroid row per group present in the batch), merged in a
+    group-keyed reduce — the shuffle carries #groups × #blocks sketch
+    rows, never the data; right for an unbounded ``col`` under a
+    low-cardinality ``group``.  Same rank-error bound per group as the
+    global sketch.  Returns DataFrame (group, q, value, n)."""
+
+    def blob(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group).type
+        if len(t) == 0:
+            return pa.table(
+                {group: pa.array([], type=gtype),
+                 "means": pa.array([], pa.binary()),
+                 "weights": pa.array([], pa.binary())}
+            )
+        df = pd.DataFrame(
+            {
+                "g": t[group].to_pandas(),
+                "v": t[col].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        df = df[~np.isnan(df["v"].to_numpy())]
+        keys, means, weights = [], [], []
+        for k, sub in df.groupby("g", sort=False, dropna=False):
+            m, w = _tdigest_compress(sub["v"].to_numpy(np.float64),
+                                     np.ones(len(sub), np.float64), delta)
+            keys.append(k)
+            means.append(m.tobytes())
+            weights.append(w.tobytes())
+        return pa.table(
+            {
+                group: pa.array(keys, type=gtype),
+                "means": pa.array(means, type=pa.binary()),
+                "weights": pa.array(weights, type=pa.binary()),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.frombuffer(b, np.float64) for b in g["means"]])
+        w = np.concatenate([np.frombuffer(b, np.float64) for b in g["weights"]])
+        m, w = _tdigest_compress(m, w, delta)
+        return pd.DataFrame(
+            {group: [g[group].iloc[0]],
+             "means": [m.tobytes()], "weights": [w.tobytes()]}
+        )
+
+    merged = (
+        ds.map_batches(blob, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for r in merged.itertuples(index=False):
+        m = np.frombuffer(getattr(r, "means"), np.float64)
+        w = np.frombuffer(getattr(r, "weights"), np.float64)
+        n = w.sum()
+        ranks = np.cumsum(w) - w / 2.0
+        for q in qs:
+            rows.append((getattr(r, group), q,
+                         float(np.interp(q * n, ranks, m)), int(round(n))))
+    out = pd.DataFrame(rows, columns=[group, "q", "value", "n"])
+    return out.sort_values([group, "q"]).reset_index(drop=True)

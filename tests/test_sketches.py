@@ -324,3 +324,26 @@ class TestTDigest:
             v = float(td["value"].iloc[0])
             rank = int(np.searchsorted(vals, v, side="right"))
             assert abs(rank - 0.5 * n) <= max(2.0, 0.02 * n)
+
+    def test_grouped_rank_error_bound(self, sf_dir, ray_session):
+        import os
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            tdigest_quantiles_grouped,
+        )
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_type", "value"])
+        ref = ev.to_pandas()
+        out = tdigest_quantiles_grouped(ev, "event_type", "value",
+                                        qs=(0.1, 0.5, 0.9), delta=200)
+        assert set(out["event_type"]) == set(ref["event_type"])
+        for key, sub in ref.groupby("event_type"):
+            vals = np.sort(sub["value"].to_numpy(np.float64))
+            n = len(vals)
+            rows = out[out["event_type"] == key]
+            assert int(rows["n"].iloc[0]) == n
+            for q, v in zip(rows["q"], rows["value"]):
+                rank = int(np.searchsorted(vals, v, side="right"))
+                tol = max(2.0, 2 * np.pi * n * np.sqrt(q * (1 - q)) / 200)
+                assert abs(rank - q * n) <= tol, (key, q, rank, q * n, tol)
