@@ -50,13 +50,45 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+def _dtype_class(s: pd.Series) -> str:
+    """The dtype class the driver's value-hash can distinguish: a float
+    column renders 9000.0 where an int column renders 9000, so int-vs-float
+    drift between engine and oracle hash-mismatches even when values are
+    numerically equal (r04's q65).  bool renders True/False, datetimes
+    render with sub-second precision; everything else stringifies."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def compare(
+    name: str,
+    ray_df: pd.DataFrame,
+    sql_df: pd.DataFrame,
+    strict_dtypes: bool = False,
+) -> list[str]:
     problems = []
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         problems.append(f"cols: ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
         return problems
+    if strict_dtypes:
+        # Mirror the driver's hash, which sees rendered values BEFORE any
+        # canonicalization: flag class drift even when values match.
+        for c in sorted(ray_df.columns):
+            ka, kb = _dtype_class(ray_df[c]), _dtype_class(sql_df[c])
+            if ka != kb:
+                problems.append(
+                    f"col {c}: dtype class drift ray={ka}({ray_df[c].dtype}) "
+                    f"sql={kb}({sql_df[c].dtype}) — driver hash would differ"
+                )
     a, b = canon(ray_df), canon(sql_df)
     if len(a) == len(b):
         for c in a.columns:
@@ -71,7 +103,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     return problems
 
 
-def check_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+def check_all(
+    sf_dir: str,
+    only: list[str] | None = None,
+    strict_dtypes: bool = False,
+) -> dict[str, list[str]]:
     from .queries import ORACLE_SQL, QUERIES
 
     con = oracle_connect(sf_dir)
@@ -83,5 +119,5 @@ def check_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]
             continue
         ray_df = to_pandas(fn(sf_dir))
         sql_df = con.execute(ORACLE_SQL[name]).fetchdf()
-        out[name] = compare(name, ray_df, sql_df)
+        out[name] = compare(name, ray_df, sql_df, strict_dtypes=strict_dtypes)
     return out

@@ -17,9 +17,33 @@ def test_every_oracle_key_has_query():
 
 
 def test_oracle_parity_sf0001(sf_dir, ray_session):
-    res = check_all(sf_dir)
+    # strict_dtypes mirrors the driver's value-hash: int-vs-float class
+    # drift between engine and oracle fails here even when values are
+    # numerically equal (the r04 q65 HUGEINT-rendered-as-float miss).
+    res = check_all(sf_dir, strict_dtypes=True)
     bad = {k: v for k, v in res.items() if v}
     assert not bad, f"oracle mismatches: {bad}"
+
+
+def test_registry_window_holds_newest_oracled():
+    """The driver attests a 50-entry prefix; the registry must put the
+    newest-registered oracled queries inside it (older long-green entries
+    cede slots) and expose the oracled/rows-only split by NAME so no
+    consumer needs to rely on dict position."""
+    from ethereum_raw_data_crawler_ray.pipelines.queries import (
+        ORACLED_QUERY_NAMES,
+        ROWS_ONLY_QUERY_NAMES,
+    )
+
+    names = list(QUERIES)
+    n_window = min(50, len(ORACLED_QUERY_NAMES))
+    window = names[:n_window]
+    assert all(q in ORACLE_SQL for q in window)
+    # newest-first within the oracled class: the LAST-registered oracled
+    # queries (highest q-numbers, each round's additions) lead the window.
+    assert window == list(reversed(ORACLED_QUERY_NAMES))[:n_window]
+    assert set(ORACLED_QUERY_NAMES) | set(ROWS_ONLY_QUERY_NAMES) == set(names)
+    assert not set(ORACLED_QUERY_NAMES) & set(ROWS_ONLY_QUERY_NAMES)
 
 
 class TestRowsOnly:
