@@ -94,9 +94,27 @@ class EventsConsumer:
             d = os.path.join(self.events_dir, f"round_{r:05d}")
             try:
                 t = pads.dataset(d, format="parquet").to_table()
-            except (FileNotFoundError, OSError):
-                continue  # republish window — visible again next pull
+            except (FileNotFoundError, OSError, pa.ArrowInvalid):
+                # republish window — normally visible again next pull.
+                # But a round that stays unreadable PERMANENTLY (corrupt
+                # payload, or vanished under retention cleanup) while
+                # NEWER rounds exist would re-probe forever: probes burn
+                # no delivery and the round can never be acked.  Count
+                # failed probes only when a higher round is published (a
+                # replayed resume rewrites the NEWEST rounds, so those
+                # stay in the grace window) and dead-letter after
+                # max_deliver of them (ADVICE r04).
+                published = self._published_rounds()
+                if published and r < max(published):
+                    probes = self._state.setdefault("probes", {})
+                    probes[key] = probes.get(key, 0) + 1
+                    if probes[key] >= self.max_deliver:
+                        self._state["dead"].append(r)
+                        probes.pop(key, None)
+                    self._persist()
+                continue
             self._state["deliveries"][key] = count
+            self._state.setdefault("probes", {}).pop(key, None)
             self._persist()
             yield r, t
             n += 1

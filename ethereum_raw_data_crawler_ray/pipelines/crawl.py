@@ -594,12 +594,56 @@ class CrawlPipeline:
         if not files and not url_files and not log_files:
             return 0
 
+        # A malformed external push must never wedge the watch loop: the
+        # reference WS listener logs-and-continues on a bad message
+        # (websocket_listener.go), and consumer.py dead-letters the same
+        # poison case after MaxDeliver. Each channel validates PER FILE;
+        # an unreadable / schema-broken file is quarantined — recorded in
+        # the batch manifest (so it is never re-scanned) plus a
+        # _REJECTED.json error map for the operator (ADVICE r04).
+        rejected: dict[str, str] = {}
+        _PUSH_ERRORS = (KeyError, ValueError, OSError, pa.ArrowInvalid,
+                        pa.ArrowNotImplementedError, pa.ArrowTypeError)
+
+        def _quarantine(path: str, err: Exception) -> None:
+            import logging
+
+            rel = os.path.relpath(path, wd)
+            rejected[rel] = f"{type(err).__name__}: {err}"
+            logging.getLogger(__name__).warning(
+                "quarantined pushed file %s: %s", rel, rejected[rel]
+            )
+
+        def _read_push(path: str, required: tuple[str, ...]) -> pa.Table:
+            t = pq.read_table(path)
+            for col in required:
+                if col not in t.schema.names:
+                    raise KeyError(
+                        f"pushed file missing required column {col!r}"
+                    )
+            if "url" in required and not pa.types.is_string(
+                t.schema.field("url").type
+            ) and not pa.types.is_large_string(t.schema.field("url").type):
+                raise ValueError(
+                    f"pushed url column has non-string type "
+                    f"{t.schema.field('url').type}"
+                )
+            return t
+
         tables = []
         files_by_bucket: dict[int, list[str]] = {}
         batch_no = len(_glob.glob(self._p("ingest", f"round_{r:05d}", "batch_*")))
         tag = f"r{r:05d}b{batch_no}"
         for fi, path in enumerate(files):
-            t = pq.read_table(path)
+            try:
+                t = _read_push(path, ("url", "warc_ts"))
+                # the frontier build casts warc_ts→int64: validate now so
+                # a bad file is quarantined instead of poisoning the
+                # whole-batch concat below
+                t["warc_ts"].combine_chunks().cast(pa.int64())
+            except _PUSH_ERRORS as e:
+                _quarantine(path, e)
+                continue
             tables.append(t)
             # append to the fetch index under deterministic names
             h = hash_strings(t["url"])
@@ -652,18 +696,22 @@ class CrawlPipeline:
             ))
         for path in url_files:
             # urls channel (newPendingTransactions analog): frontier only
-            t = pq.read_table(path)
-            prio = None
-            if "priority" in t.schema.names:
-                # fill nulls BEFORE the numpy cast: NaN→int32 silently
-                # becomes INT32_MIN, which would jump the announcement
-                # to an extreme of the frontier ordering (priority is
-                # the comparator's first key) instead of the default 0
-                prio = np.asarray(
-                    pc.fill_null(pc.cast(t["priority"].combine_chunks(),
-                                         pa.int32()), 0).to_pandas(),
-                    dtype=np.int32,
-                )
+            try:
+                t = _read_push(path, ("url",))
+                prio = None
+                if "priority" in t.schema.names:
+                    # fill nulls BEFORE the numpy cast: NaN→int32 silently
+                    # becomes INT32_MIN, which would jump the announcement
+                    # to an extreme of the frontier ordering (priority is
+                    # the comparator's first key) instead of the default 0
+                    prio = np.asarray(
+                        pc.fill_null(pc.cast(t["priority"].combine_chunks(),
+                                             pa.int32()), 0).to_pandas(),
+                        dtype=np.int32,
+                    )
+            except _PUSH_ERRORS as e:
+                _quarantine(path, e)
+                continue
             fts.append(_frontier_rows(t["url"].to_pylist(), None, prio))
         ft = (pa.concat_tables(fts) if fts
               else pa.table({f.name: pa.nulls(0, f.type) for f in FRONTIER},
@@ -675,22 +723,29 @@ class CrawlPipeline:
         # logs channel (filtered logs-subscription analog): externally
         # published event rows committed per ingest batch, never frontier
         if log_files:
+            kinds = cfg.extra.get("watch_log_event_types")
+            lts = []
+            for path in log_files:
+                try:
+                    t = pq.read_table(path)
+                    if kinds is not None and "event_type" not in t.schema.names:
+                        # a configured filter with no column to filter on
+                        # would silently pass EVERY row — quarantine the
+                        # file instead of wedging the loop (ADVICE r04)
+                        raise KeyError(
+                            "watch_log_event_types is configured but the "
+                            "pushed logs file has no event_type column"
+                        )
+                except _PUSH_ERRORS as e:
+                    _quarantine(path, e)
+                    continue
+                lts.append(t)
             # permissive promote: pushers evolve their log schema; a
             # missing column in one file must null-fill, not poison the
             # watch loop with an ArrowInvalid on every restart
-            lt = pa.concat_tables(
-                [pq.read_table(p) for p in log_files],
-                promote_options="permissive",
-            )
-            kinds = cfg.extra.get("watch_log_event_types")
-            if kinds is not None:
-                if "event_type" not in lt.schema.names:
-                    # fail loudly: a configured filter with no column to
-                    # filter on would otherwise silently pass EVERY row
-                    raise ValueError(
-                        "watch_log_event_types is configured but a pushed "
-                        f"logs file has no event_type column: {log_files}"
-                    )
+            lt = (pa.concat_tables(lts, promote_options="permissive")
+                  if lts else pa.table({}))
+            if kinds is not None and len(lt):
                 keep = np.isin(
                     np.asarray(lt["event_type"].to_pandas(), dtype=object),
                     np.asarray(list(kinds), dtype=object),
@@ -715,11 +770,16 @@ class CrawlPipeline:
         if len(ft):
             pq.write_table(ft, os.path.join(tmp, "part-0.parquet"))
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            # quarantined files are manifest-marked too: processed means
+            # "never re-scan", which is exactly the poison-pill contract
             json.dump(
                 sorted(os.path.relpath(p, wd)
                        for p in (*files, *url_files, *log_files)),
                 f,
             )
+        if rejected:
+            with open(os.path.join(tmp, "_REJECTED.json"), "w") as f:
+                json.dump(rejected, f)
         shutil.rmtree(d, ignore_errors=True)
         os.rename(tmp, d)
         # new frontier files for this round → re-plan it
@@ -1243,12 +1303,15 @@ class CrawlPipeline:
         if getattr(self, "cutoff_pool", None) is not None:
             comps.append(("cutoff", self.cutoff_pool.health()))
         comp_col, shard_col, rec_col, items_col = [], [], [], []
+        cpu_col, rss_col = [], []
         for name, rows in comps:
             for j, h in enumerate(rows):
                 comp_col.append(name)
                 shard_col.append(j)
                 rec_col.append(bool(h["reconstructed"]))
                 items_col.append(int(h["items"]))
+                cpu_col.append(float(h.get("cpu_s", 0.0)))
+                rss_col.append(int(h.get("rss_kb", 0)))
         t = pa.table(
             {
                 "round": pa.array(
@@ -1261,6 +1324,14 @@ class CrawlPipeline:
                 "reconstructed": pa.array(rec_col, type=pa.bool_()),
                 "items": pa.array(
                     np.asarray(items_col, dtype=np.int64), type=pa.int64()
+                ),
+                # resource gauges (crawler_metrics.go:18-43 analog):
+                # cumulative actor-process CPU seconds + resident memory
+                "cpu_s": pa.array(
+                    np.asarray(cpu_col, dtype=np.float64), type=pa.float64()
+                ),
+                "rss_kb": pa.array(
+                    np.asarray(rss_col, dtype=np.int64), type=pa.int64()
                 ),
             }
         )

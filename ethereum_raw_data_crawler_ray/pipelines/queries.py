@@ -799,11 +799,15 @@ def q42_crawl_lineage(sf_dir: str):
 def q43_crawl_health(sf_dir: str):
     """Per-round component health (SystemHealth analog,
     crawler_metrics.go:46-68): one row per stateful shard actor per
-    round with its reconstruction flag and state size."""
+    round with its reconstruction flag, state size and resource gauges
+    (cumulative CPU seconds + resident memory, crawler_metrics.go:18-43
+    — the gauges are host-dependent, so the correctness gate on this
+    query is rows-only by design)."""
     from .crawl import health_output
 
     return health_output(_crawl_out(sf_dir)).select_columns(
-        ["round", "component", "shard_id", "reconstructed", "items"]
+        ["round", "component", "shard_id", "reconstructed", "items",
+         "cpu_s", "rss_kb"]
     )
 
 

@@ -177,7 +177,11 @@ class ResizeStage:
         self.codec = codec
         self.tw, self.th = int(target_w), int(target_h)
 
-    def _resize_one(self, blob: bytes) -> bytes:
+    def _resize_one(self, blob: bytes) -> tuple[bytes, bool]:
+        """→ (payload, ok). A decode/resize failure passes the ORIGINAL
+        blob through with ok=False — corrupt inputs must not kill the
+        pool, but downstream must be able to filter wrong-size payloads
+        instead of silently treating them as resized (ADVICE r04)."""
         if self.codec == "pil":
             import io
 
@@ -186,11 +190,11 @@ class ResizeStage:
                     fmt = img.format or "PNG"
                     out = io.BytesIO()
                     img.resize((self.tw, self.th)).save(out, format=fmt)
-                    return out.getvalue()
+                    return out.getvalue(), True
             except Exception:
-                return blob
+                return blob, False
         if blob[:8] != _MAGIC:
-            return blob
+            return blob, False
         w, h = struct.unpack("<II", blob[8:16])
         body = np.frombuffer(blob[16:], dtype=np.uint8)
         n_out = min(self.tw * self.th, 4096)
@@ -200,15 +204,26 @@ class ResizeStage:
             # deterministic nearest-neighbor-ish subsample of the body
             ix = (np.arange(n_out, dtype=np.int64) * body.size) // max(1, n_out)
             out = body[np.clip(ix, 0, body.size - 1)]
-        return _MAGIC + struct.pack("<II", self.tw, self.th) + out.tobytes()
+        return _MAGIC + struct.pack("<II", self.tw, self.th) + out.tobytes(), True
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        blobs = [self._resize_one(b) for b in t["blob"].to_pylist()]
+        done = [self._resize_one(b) for b in t["blob"].to_pylist()]
+        blobs = [b for b, _ in done]
+        ok = np.array([k for _, k in done], dtype=bool)
         cols = dict(zip(t.schema.names, t.columns))
         cols["blob"] = pa.array(blobs, type=pa.binary())
         cols["n_bytes"] = pa.array([len(b) for b in blobs], type=pa.int64())
-        cols["width"] = pa.array(np.full(len(blobs), self.tw, dtype=np.int32))
-        cols["height"] = pa.array(np.full(len(blobs), self.th, dtype=np.int32))
+        # failed rows keep their PRE-resize dims (the passthrough blob's
+        # real shape) so width/height never lie about the payload
+        old_w = (np.asarray(t["width"].to_pandas(), dtype=np.int32)
+                 if "width" in t.schema.names
+                 else np.full(len(blobs), -1, dtype=np.int32))
+        old_h = (np.asarray(t["height"].to_pandas(), dtype=np.int32)
+                 if "height" in t.schema.names
+                 else np.full(len(blobs), -1, dtype=np.int32))
+        cols["width"] = pa.array(np.where(ok, np.int32(self.tw), old_w))
+        cols["height"] = pa.array(np.where(ok, np.int32(self.th), old_h))
+        cols["resize_ok"] = pa.array(ok)
         return pa.table(cols)
 
 

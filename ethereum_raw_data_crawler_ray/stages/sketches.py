@@ -664,6 +664,10 @@ def tdigest_quantiles(ds: rd.Dataset, col: str,
         .map_batches(merge, batch_format="pyarrow", batch_size=64)
         .to_pandas()
     )
+    if not len(blobs):
+        # zero input blocks: no blob rows at all (np.concatenate of an
+        # empty list raises, making the n==0 branch below unreachable)
+        return pd.DataFrame({"q": list(qs), "value": np.nan, "n": 0})
     m = np.concatenate([np.frombuffer(b, np.float64) for b in blobs["means"]])
     w = np.concatenate([np.frombuffer(b, np.float64) for b in blobs["weights"]])
     m, w = _tdigest_compress(m, w, delta)

@@ -579,11 +579,14 @@ class CutoffPool:
                     rec = False
                 import os as _os
 
+                from ..state.resources import proc_rss_kb
+
                 tm = _os.times()
                 return {
                     "reconstructed": bool(rec),
                     "items": sum(len(s.keys) for s in self.rounds.values()),
                     "cpu_s": float(tm.user + tm.system),
+                    "rss_kb": proc_rss_kb(),
                 }
 
             def drop_round(self, round_no: int) -> None:

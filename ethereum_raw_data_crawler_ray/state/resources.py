@@ -61,3 +61,19 @@ def shard_cpu_reservation(pool: str, n_shards: int,
     ncpu = float(ray.cluster_resources().get("CPU", 8))
     per = fraction * ncpu / max(1, n_shards)
     return round(min(1.0, max(_TOKEN, per)), 4)
+
+
+def proc_rss_kb() -> int:
+    """Resident-set size of the calling process in KiB via /proc (no
+    psutil in the environment) — the memory gauge next to ``cpu_s`` in
+    every shard's ``health()`` row (``crawler_metrics.go:18-43`` records
+    runtime.MemStats alongside goroutine counts the same way).  0 where
+    /proc is unavailable."""
+    import os
+
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * (os.sysconf("SC_PAGE_SIZE") // 1024)
+    except Exception:
+        return 0

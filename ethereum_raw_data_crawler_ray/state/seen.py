@@ -192,9 +192,12 @@ class SeenShard:
             rec = ray.get_runtime_context().was_current_actor_reconstructed
         except Exception:
             rec = False
+        from .resources import proc_rss_kb
+
         tm = os.times()
         return {"reconstructed": bool(rec), "items": int(self.filter.count),
-                "cpu_s": float(tm.user + tm.system)}
+                "cpu_s": float(tm.user + tm.system),
+                "rss_kb": proc_rss_kb()}
 
     def check_and_insert(
         self, hashes: np.ndarray, round_no: int | None = None, token: int | None = None

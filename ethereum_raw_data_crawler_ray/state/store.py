@@ -192,10 +192,13 @@ class PageStoreShard:
             rec = ray.get_runtime_context().was_current_actor_reconstructed
         except Exception:
             rec = False
+        from .resources import proc_rss_kb
+
         n = len(self.store) if self.mode == "preload" else self._n_pages
         tm = os.times()
         return {"reconstructed": bool(rec), "items": int(n),
-                "cpu_s": float(tm.user + tm.system)}
+                "cpu_s": float(tm.user + tm.system),
+                "rss_kb": proc_rss_kb()}
 
     def count(self) -> int:
         return self._n_pages

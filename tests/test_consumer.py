@@ -92,3 +92,44 @@ def test_vanished_round_burns_no_delivery(tmp_path):
     assert c.dead_letters() == []
     c.ack(0)
     assert c.pending() == []
+
+
+def test_permanently_unreadable_round_dead_letters(tmp_path):
+    # ADVICE r04: a round that stays unreadable forever (corrupt payload
+    # under retention churn) must not be re-probed indefinitely — once
+    # NEWER rounds exist (so it cannot be a republish window), failed
+    # probes count and the round dead-letters after max_deliver of them
+    out = str(tmp_path)
+    _publish(out, [0, 1])
+    bad = os.path.join(out, "events", "round_00000", "part-0.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"not a parquet file")
+    c = EventsConsumer(out, name="c1", max_deliver=2)
+    got = [r for r, _ in c.fetch(batch=5)]
+    assert got == [1]  # probe 1 of round 0 fails, round 1 delivers
+    assert c.dead_letters() == []
+    got = [r for r, _ in c.fetch(batch=5)]  # round 1 redelivers (unacked)
+    assert got == [1]
+    assert c.dead_letters() == [0]  # probe 2 hit the limit
+    c.ack(1)
+    assert c.pending() == []
+    # the dead-letter is durable across restart
+    c2 = EventsConsumer(out, name="c1", max_deliver=2)
+    assert c2.dead_letters() == [0]
+    assert list(c2.fetch(batch=5)) == []
+
+
+def test_newest_round_unreadable_stays_in_grace_window(tmp_path):
+    # the NEWEST round is exactly what a resumed crawl republishes via
+    # rmtree+rename — unreadable probes there must never dead-letter
+    out = str(tmp_path)
+    _publish(out, [0])
+    bad = os.path.join(out, "events", "round_00000", "part-0.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    c = EventsConsumer(out, name="c1", max_deliver=2)
+    for _ in range(5):
+        assert list(c.fetch()) == []
+    assert c.dead_letters() == []
+    _publish(out, [0])  # republished with a readable payload
+    assert [r for r, _ in c.fetch()] == [0]

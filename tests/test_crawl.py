@@ -546,6 +546,14 @@ class TestHealthOutput:
         # seen item counts are monotone in rounds (claims only grow)
         seen_items = h[h["component"] == "seen"].groupby("round")["items"].sum()
         assert (seen_items.diff().dropna() >= 0).all()
+        # resource gauges (crawler_metrics.go:18-43 analog): every shard
+        # row carries a live RSS reading and a cumulative CPU counter
+        # that never decreases per (component, shard) across rounds
+        assert (h["rss_kb"] > 0).all()
+        assert (h["cpu_s"] >= 0).all()
+        mono = h.sort_values("round").groupby(["component", "shard_id"])[
+            "cpu_s"].apply(lambda s: (s.diff().dropna() >= 0).all())
+        assert mono.all()
 
 
 class TestSeenGapHeal:
@@ -899,13 +907,89 @@ class TestWatchIngest:
         ext = external_events_output(cfg.out_dir).to_pandas()
         assert len(ext) == 2 and set(ext["event_type"]) == {"alert"}
 
-        # batch 3: configured filter + file without event_type → loud
+        # batch 3: configured filter + file without event_type → the
+        # poison file is QUARANTINED (manifest-marked + _REJECTED.json)
+        # instead of wedging every subsequent scan (ADVICE r04: the
+        # reference WS listener logs-and-continues on a bad message)
+        import glob as _glob
+        import json as _json
+
         pq.write_table(pa.table({"payload": pa.array(["q"])}),
                        os.path.join(wd, "logs", "e.parquet"))
-        import pytest as _pytest
+        pipe.ingest_new_pages(0)  # must NOT raise
+        assert os.path.join("logs", "e.parquet") in pipe._processed_watch_files()
+        rej: dict = {}
+        for p in _glob.glob(os.path.join(cfg.out_dir, "ingest", "*", "*",
+                                         "_REJECTED.json")):
+            with open(p) as f:
+                rej.update(_json.load(f))
+        assert "event_type" in rej[os.path.join("logs", "e.parquet")]
 
-        with _pytest.raises(ValueError, match="event_type"):
-            pipe.ingest_new_pages(0)
+        # the loop keeps ingesting good pushes after the poison file
+        pq.write_table(pa.table({"event_type": pa.array(["alert"]),
+                                 "payload": pa.array(["w"])}),
+                       os.path.join(wd, "logs", "f.parquet"))
+        pipe.ingest_new_pages(0)
+        ext = external_events_output(cfg.out_dir).to_pandas()
+        assert sorted(ext[ext["payload"].notna()]["payload"]) == ["w", "z"]
+        pipe._join_bg()
+        pipe.close()
+
+    def test_malformed_push_quarantined_all_channels(self, corpus_dir,
+                                                     ray_session):
+        # ADVICE r04 (medium): one bad external push must never halt the
+        # watch loop — per channel: garbage bytes, missing required
+        # columns, wrong column type → quarantined; the GOOD file in the
+        # same batch still ingests
+        import glob as _glob
+        import json as _json
+
+        import pyarrow as pa
+
+        cfg = self._watch_cfg(corpus_dir, "watch_poison")
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        wd = cfg.extra["watch_dir"]
+        os.makedirs(os.path.join(wd, "urls"), exist_ok=True)
+        os.makedirs(os.path.join(wd, "pages"), exist_ok=True)
+
+        # bad pages: not parquet at all / missing warc_ts / int url
+        with open(os.path.join(wd, "pages", "junk.parquet"), "wb") as f:
+            f.write(b"these are not parquet bytes")
+        pq.write_table(pa.table({"url": pa.array(["http://a.test/x"])}),
+                       os.path.join(wd, "pages", "no_ts.parquet"))
+        pq.write_table(
+            pa.table({"url": pa.array([1, 2]),
+                      "warc_ts": pa.array([0, 0], pa.int64())}),
+            os.path.join(wd, "pages", "int_url.parquet"),
+        )
+        # bad urls announcement: missing url column
+        pq.write_table(pa.table({"link": pa.array(["http://b.test/y"])}),
+                       os.path.join(wd, "urls", "no_url.parquet"))
+        # one GOOD announcement in the same batch
+        pq.write_table(pa.table({"url": pa.array(["http://good.test/ok"])}),
+                       os.path.join(wd, "urls", "good.parquet"))
+
+        pipe = CrawlPipeline(cfg)
+        pipe.prepare()
+        pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
+        pipe._backfill_offers(0)
+        n = pipe.ingest_new_pages(0)  # must NOT raise
+        assert n >= 1  # the good announcement made it to the frontier
+
+        bad = {os.path.join("pages", "junk.parquet"),
+               os.path.join("pages", "no_ts.parquet"),
+               os.path.join("pages", "int_url.parquet"),
+               os.path.join("urls", "no_url.parquet")}
+        processed = pipe._processed_watch_files()
+        assert bad | {os.path.join("urls", "good.parquet")} <= processed
+        rej: dict = {}
+        for p in _glob.glob(os.path.join(cfg.out_dir, "ingest", "*", "*",
+                                         "_REJECTED.json")):
+            with open(p) as f:
+                rej.update(_json.load(f))
+        assert set(rej) == bad
+        # a second scan re-reads nothing (poison files never re-probe)
+        assert pipe.ingest_new_pages(0) == 0
         pipe._join_bg()
         pipe.close()
 

@@ -360,3 +360,44 @@ class TestPilFeatureDetect:
             DecodeStage(codec="pil")
         with _pytest.raises(NotImplementedError, match="feature-detected"):
             ResizeStage(4, 4, codec="pil")
+
+
+class TestResizeFailureFlag:
+    """ADVICE r04: a decode/resize failure must pass the original blob
+    through WITH a signal — resize_ok=False and untouched dims — so
+    downstream stages can filter wrong-size payloads."""
+
+    def test_fake_codec_flags_non_magic_blob(self):
+        import struct
+
+        import pyarrow as pa
+
+        from ethereum_raw_data_crawler_ray.stages.multimodal import (
+            _MAGIC,
+            ResizeStage,
+        )
+
+        good = _MAGIC + struct.pack("<II", 10, 10) + bytes(range(100))
+        bad = b"not an image at all"
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "blob": pa.array([good, bad], pa.binary()),
+            "width": pa.array([10, -1], pa.int32()),
+            "height": pa.array([10, -1], pa.int32()),
+        })
+        out = ResizeStage(4, 4)(t).to_pandas()
+        assert list(out["resize_ok"]) == [True, False]
+        # resized row reports target dims; failed row keeps its own
+        assert list(zip(out["width"], out["height"])) == [(4, 4), (-1, -1)]
+        # failed blob passes through byte-identical
+        assert out["blob"][1] == bad
+
+    def test_no_metadata_columns_fallback(self):
+        import pyarrow as pa
+
+        from ethereum_raw_data_crawler_ray.stages.multimodal import ResizeStage
+
+        t = pa.table({"blob": pa.array([b"junk"], pa.binary())})
+        out = ResizeStage(4, 4)(t).to_pandas()
+        assert not out["resize_ok"][0]
+        assert (out["width"][0], out["height"][0]) == (-1, -1)

@@ -347,3 +347,26 @@ class TestTDigest:
                 rank = int(np.searchsorted(vals, v, side="right"))
                 tol = max(2.0, 2 * np.pi * n * np.sqrt(q * (1 - q)) / 200)
                 assert abs(rank - q * n) <= tol, (key, q, rank, q * n, tol)
+
+
+class TestTDigestEmptyInput:
+    def test_empty_and_all_filtered_inputs(self, ray_session):
+        # ADVICE r04: zero blob rows (empty / fully-filtered dataset)
+        # must hit the n==0 branch, not ValueError in np.concatenate
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            tdigest_quantiles,
+        )
+
+        empty = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+        out = tdigest_quantiles(empty, "value", qs=(0.5,))
+        assert list(out["n"]) == [0] and np.isnan(out["value"]).all()
+
+        filtered = rd.from_arrow(
+            pa.table({"value": pa.array(np.arange(100.0))})
+        ).filter(expr="value > 1000")
+        out = tdigest_quantiles(filtered, "value", qs=(0.25, 0.75))
+        assert list(out["n"]) == [0, 0] and np.isnan(out["value"]).all()
