@@ -511,9 +511,12 @@ def q26_minhash_pairs(sf_dir: str):
 
 
 def q27_dedup_groups(sf_dir: str):
-    """Near-dup groups: LSH candidates → DISTRIBUTED n-gram-Jaccard
-    verify → union-find on verified pairs → streamed group assignment
-    (no oracle). The documents table never materializes on the driver."""
+    """Near-dup groups: LSH candidates → n-gram-Jaccard verify →
+    grouping → streamed assignment (no oracle). ``distribute="auto"``
+    keeps the broadcast plan at bench scale and switches to the fully
+    distributed one (inverted-gram count join + distributed connected
+    components — no driver pair/gram/union-find state) past the
+    candidate-pair guard; the two plans are equivalence-tested."""
     return dedup.near_dup_groups(
         _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
     )

@@ -9,11 +9,14 @@ vectorized per-batch signature computation inside ``map_batches``, a
 verification confined to candidate groups — the shuffle moves signatures,
 never the corpus.
 
-Scale notes (honest assumptions, per SURVEY.md §7.4):
-* LSH candidate-pair sets are assumed << corpus (standard near-dup
-  regime); the final union-find over *verified pairs* runs on the driver.
-  If a dataset produced pathological pair counts, the label-propagation
-  variant (iterated groupby-min) replaces it.
+Scale notes (per SURVEY.md §7.4):
+* Near-dup grouping has two equivalence-tested physical plans:
+  a broadcast plan for the candidates << corpus regime (driver pair
+  set + broadcast gram dict + driver union-find) and a fully
+  distributed plan for dup-heavy corpora where candidate state is
+  O(corpus) (semi-join + inverted-gram count join + distributed
+  connected components); ``distribute="auto"`` picks by measured
+  candidate-pair count (r04 verdict #2).
 * Exact dedup hash-partitions by content hash — one shuffle of (hash,
   id) pairs, not of documents.
 """
@@ -252,23 +255,40 @@ def union_find_roots(pairs: pd.DataFrame) -> dict[int, int]:
 def near_dup_groups(
     ds: rd.Dataset, text_col: str, id_col: str, threshold: float = 0.8,
     n_perm: int = 64, n_bands: int = 16, max_bucket: int = 64,
+    distribute: str = "auto", max_driver_pairs: int = 2_000_000,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Near-dup grouping, end to end distributed (the flagship LLM-data
-    operator): LSH candidates → distributed word-3-gram-Jaccard
-    verification → union-find on verified pairs → streamed group
+    """Near-dup grouping (the flagship LLM-data operator): LSH
+    candidates → word-3-gram-Jaccard verification of candidate pairs →
+    connected components over verified pairs → streamed group
     assignment. The documents table itself is NEVER materialized on the
-    driver (round-1 version did ``docs.to_pandas()`` — a driver OOM at
-    corpus scale); only three corpus-independent small sets are:
-    candidate PAIRS, candidate GRAM-HASH SETS (candidates << corpus, the
-    standard near-dup regime) and the verified-pair union-find roots.
-    Verification is Jaccard over hashed word 3-grams (each candidate
-    hashed once, pairs verified by array intersection).
+    driver. Two physical plans (r04 verdict #2), identical output
+    (equivalence-tested):
+
+    - ``distribute="broadcast"`` — the candidates << corpus regime:
+      candidate PAIRS, candidate GRAM-HASH SETS and the union-find
+      roots are driver/broadcast state; verification is a per-pair
+      array intersection against the broadcast gram dict. Fastest
+      while candidate state fits in driver memory.
+    - ``distribute="shuffle"`` — the dup-heavy web-corpus regime
+      (20-30 % near-dup rates make candidate state O(corpus)):
+      nothing corpus-sized ever lands on the driver. Candidate docs
+      are hash-semi-joined by id, gram-hash sets explode to thin
+      (gram, doc_id, n_grams) rows verified by the same inverted-gram
+      co-partition join as :func:`..corpus.jaccard_ngram_pairs`
+      (restricted to LSH-candidate pairs via a tagged union inside the
+      pair-count buckets — zero extra exchanges), and grouping runs
+      through the distributed
+      :func:`..graph.connected_components` instead of driver
+      union-find.
+    - ``"auto"`` (default) materializes the candidate pairs once,
+      counts them, and picks broadcast at ≤ ``max_driver_pairs``,
+      shuffle above — the same guard pattern as tfidf/lm_score.
 
     Output: one row per document, (id_col, group_id); group_id is the
     minimum doc id of the group (singletons map to themselves)."""
-    import ray
-
-    from ..functions.broadcast import get_broadcast
+    if distribute not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown distribute mode {distribute!r}")
 
     def singleton(t: pa.Table) -> pa.Table:
         ids = t[id_col].cast(pa.int64())
@@ -276,13 +296,33 @@ def near_dup_groups(
 
     ids_only = ds.select_columns([id_col])
     ds = _spread_if_small(ds)
-    pairs = minhash_candidates(
+    pairs_ds = minhash_candidates(
         ds, text_col, id_col, n_perm=n_perm, n_bands=n_bands, max_bucket=max_bucket
-    ).to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
-    if not len(pairs):
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return ids_only.map_batches(singleton, batch_format="pyarrow")
+    if distribute == "shuffle" or (
+        distribute == "auto" and n_pairs > max_driver_pairs
+    ):
+        return _near_dup_groups_shuffle(
+            ds, ids_only, pairs_ds, text_col, id_col, threshold, n_buckets
+        )
+    return _near_dup_groups_broadcast(
+        ds, ids_only, pairs_ds, text_col, id_col, threshold
+    )
+
+
+def _near_dup_groups_broadcast(
+    ds: rd.Dataset, ids_only: rd.Dataset, pairs_ds: rd.Dataset,
+    text_col: str, id_col: str, threshold: float,
+) -> rd.Dataset:
+    """Driver/broadcast plan — see :func:`near_dup_groups`."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
 
     # broadcast the (sorted) candidate id array; stream-filter ONLY
     # candidate texts — np.isin is the vectorized membership probe (the
@@ -353,6 +393,223 @@ def near_dup_groups(
         )
 
     return ids_only.map_batches(assign, batch_format="pyarrow")
+
+
+# reserved gram value routing zero-gram (empty-text) candidate docs into
+# one shared posting list, so both-empty pairs co-occur and verify with
+# jaccard 1.0 exactly like jaccard_hashed's 0/0 = 1.0 convention; a real
+# rolling-poly gram colliding with it has probability 2^-64
+_EMPTY_DOC_GRAM = np.int64(-0x61C8864680B583EB)
+
+
+def _near_dup_groups_shuffle(
+    ds: rd.Dataset, ids_only: rd.Dataset, pairs_ds: rd.Dataset,
+    text_col: str, id_col: str, threshold: float,
+    n_buckets: int | None,
+) -> rd.Dataset:
+    """Fully-distributed plan — see :func:`near_dup_groups`. Exchanges:
+    candidate-id dedup (thin ids), doc semi-join (one bucket exchange),
+    gram-bucket posting join + tagged pair-count buckets (thin gram /
+    pair rows — documents never shuffle after the semi-join), connected
+    components (edge stream), and the final left join of labels onto
+    ids. Driver state: none beyond per-bucket task metadata."""
+    from ..functions.hashing import mix64
+    from .corpus import _posting_pairs
+    from .graph import connected_components
+    from .joins import _default_buckets, hash_join
+
+    nb = n_buckets or _default_buckets()
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    # -- distinct candidate ids (bucketed exact dedup of the pair ids) --
+    def pair_ids(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            np.asarray(t["id_a"].to_pandas(), dtype=np.int64),
+            np.asarray(t["id_b"].to_pandas(), dtype=np.int64),
+        ]))
+        b = (mix64(ids.view(np.uint64), 11) % np.uint64(nb)).astype(np.int64)
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "__b": pa.array(b, type=pa.int64())})
+
+    def uniq_ids(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: np.unique(g[id_col].to_numpy(np.int64))}
+        )
+
+    cand_ids = (
+        pairs_ds.map_batches(pair_ids, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(uniq_ids, batch_format="pandas")
+    )
+
+    # -- candidate docs by distributed semi-join (no id broadcast) ------
+    def to64(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         text_col: t[text_col]})
+
+    cand_docs = hash_join(
+        ds.select_columns([id_col, text_col]).map_batches(
+            to64, batch_format="pyarrow"
+        ),
+        cand_ids,
+        on=id_col,
+        right_cols=[],
+        how="semi",
+        left_fields=[pa.field(id_col, pa.int64()),
+                     pa.field(text_col, pa.string())],
+        right_fields=[pa.field(id_col, pa.int64())],
+        n_buckets=nb,
+    )
+
+    # -- gram rows: the SAME word_gram_hash_set sets the broadcast
+    # plan's per-pair verify intersects, exploded to thin rows ----------
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        grams_l, ids_l, n_l = [], [], []
+        for i, x in enumerate(t[text_col].to_pylist()):
+            g = word_gram_hash_set(x)
+            n = int(g.size)
+            gg = (g.view(np.int64) if n
+                  else np.array([_EMPTY_DOC_GRAM], dtype=np.int64))
+            grams_l.append(gg)
+            ids_l.append(np.full(gg.size, ids[i], dtype=np.int64))
+            # n_grams carries the TRUE set size (0 for empty docs) so
+            # the count kernel can apply the 0/0 = 1.0 convention
+            n_l.append(np.full(gg.size, n, dtype=np.int64))
+        if not grams_l:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(grams_l), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids_l), type=pa.int64()),
+                "n_grams": pa.array(np.concatenate(n_l), type=pa.int64()),
+            }
+        )
+
+    def gram_bucket(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["gram"].to_pandas(), dtype=np.int64)
+             .view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, type=pa.int64()))
+
+    shared = (
+        cand_docs.map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(gram_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: _posting_pairs(g, None), batch_format="pandas")
+    )
+
+    # -- tagged union: shared-gram co-occurrence rows (side 0) + the LSH
+    # candidate pairs (side 1) meet in the same pair bucket, so the
+    # jaccard count is restricted to candidate pairs with NO extra
+    # exchange ---------------------------------------------------------
+    def tag_shared(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "side", pa.array(np.zeros(len(t), dtype=np.int64))
+        )
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+                "na": pa.array(z),
+                "nb": pa.array(z),
+                "side": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"].to_pandas(), dtype=np.int64).view(np.uint64)
+        b = np.asarray(t["id_b"].to_pandas(), dtype=np.int64).view(np.uint64)
+        pb = ((a * _GOLD ^ b) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    _PAIR_EMPTY = pd.DataFrame(
+        {c: pd.Series(dtype=np.int64) for c in ("id_a", "id_b")}
+    )
+
+    def count_verify(g: pd.DataFrame) -> pd.DataFrame:
+        cand = g[g["side"] == 1][["id_a", "id_b"]].drop_duplicates()
+        cnt = g[g["side"] == 0]
+        if not len(cand) or not len(cnt):
+            return _PAIR_EMPTY
+        agg = (
+            cnt.groupby(["id_a", "id_b"], sort=False)
+            .agg(n_common=("na", "size"), na=("na", "min"), nb=("nb", "min"))
+            .reset_index()
+        )
+        m = cand.merge(agg, on=["id_a", "id_b"], how="inner")
+        inter = m["n_common"].to_numpy(np.int64)
+        na = m["na"].to_numpy(np.int64)
+        nbv = m["nb"].to_numpy(np.int64)
+        union = na + nbv - inter
+        # 0/0 = 1.0 (both-empty docs, co-occurring via _EMPTY_DOC_GRAM);
+        # pairs with zero shared grams never reach here and have
+        # jaccard 0 < threshold by the caller's threshold > 0 contract
+        jac = np.where(
+            (na == 0) & (nbv == 0),
+            1.0,
+            inter / np.where(union > 0, union, 1).astype(np.float64),
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"].to_numpy(np.int64)[keep],
+                "id_b": m["id_b"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    cand_pairs = pairs_ds.map_batches(tag_cand, batch_format="pyarrow")
+    if threshold <= 0:
+        # every candidate pair verifies (matches jaccard >= 0 always
+        # holding in the broadcast plan) — skip the count join
+        verified = cand_pairs.map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+    else:
+        verified = (
+            shared.map_batches(tag_shared, batch_format="pyarrow")
+            .union(cand_pairs)
+            .map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(count_verify, batch_format="pandas")
+        )
+
+    # -- distributed grouping + streamed assignment ---------------------
+    cc = connected_components(verified, a="id_a", b="id_b")
+    labels = cc.map_batches(
+        lambda t: pa.table({id_col: t["node"].cast(pa.int64()),
+                            "component": t["component"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    _MISS = int(np.iinfo(np.int64).min)
+    joined = hash_join(
+        ids_only.map_batches(
+            lambda t: pa.table({id_col: t[id_col].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        labels,
+        on=id_col,
+        right_cols=["component"],
+        how="left",
+        fill_value={"component": _MISS},
+        left_fields=[pa.field(id_col, pa.int64())],
+        right_fields=[pa.field(id_col, pa.int64()),
+                      pa.field("component", pa.int64())],
+        n_buckets=nb,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        comp = np.asarray(t["component"].to_pandas(), dtype=np.int64)
+        gid = np.where(comp == _MISS, ids, comp)
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "group_id": pa.array(gid, type=pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -45,6 +45,7 @@ driver-finish path, which is gated by ``driver_cap``).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -119,9 +120,18 @@ def connected_components(
     if n_edges <= driver_cap:
         import ray
 
-        # empty map_batches outputs surface as schema-less 0-row blocks;
-        # drop them before concat
-        tabs = [t for t in ray.get(stars.to_arrow_refs()) if t.num_rows]
+        # empty upstream blocks surface as schema-less 0-row blocks —
+        # and an empty PANDAS block (e.g. an empty map_groups bucket in
+        # the caller) skips the map UDF entirely and comes back as a
+        # DataFrame from to_arrow_refs; drop both shapes before concat
+        tabs = []
+        for t in ray.get(stars.to_arrow_refs()):
+            if isinstance(t, pd.DataFrame):
+                if not len(t):
+                    continue  # schema-less empty bucket — nothing to keep
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows:
+                tabs.append(t)
         tbl = pa.concat_tables(tabs) if tabs else None
         if tbl is None or tbl.num_rows == 0:
             return rd.from_arrow(

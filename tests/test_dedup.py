@@ -48,6 +48,48 @@ class TestNearDupGroups:
         frac_singleton = (uniq["group_id"] == uniq["doc_id"]).mean()
         assert frac_singleton > 0.99
 
+    def test_shuffle_plan_equivalent_to_broadcast(self, ray_session):
+        # r04 verdict #2: the fully-distributed plan (semi-join +
+        # inverted-gram count join + distributed connected components)
+        # must match the driver/broadcast plan EXACTLY — including
+        # transitive group merges and the empty-doc 0/0 = 1.0 edge
+        docs = _mk_docs(2_000, 15)
+        # plant a CHAIN a~b, b~c with a!~c so grouping needs transitivity
+        base = docs.loc[0, "text"].split(" ")
+        n = len(base)
+        va = list(base)
+        vb = list(base)
+        for i in range(0, n // 3):
+            vb[i] = "XB%d" % i
+        vc = list(vb)
+        for i in range(2 * n // 3, n):
+            vc[i] = "XC%d" % i
+        extra = pd.DataFrame(
+            {"doc_id": [9001, 9002, 9003],
+             "text": [" ".join(va), " ".join(vb), " ".join(vc)]}
+        )
+        # two empty docs: verified as dups (jaccard 0/0 = 1.0 contract)
+        empties = pd.DataFrame({"doc_id": [9101, 9102], "text": ["", ""]})
+        docs = pd.concat([docs, extra, empties], ignore_index=True)
+        ds = rd.from_pandas(docs).repartition(8)
+        kw = dict(threshold=0.5, n_perm=64, n_bands=16)
+        a = dedup.near_dup_groups(
+            ds, "text", "doc_id", distribute="broadcast", **kw
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = dedup.near_dup_groups(
+            ds, "text", "doc_id", distribute="shuffle", **kw
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        g = dict(zip(a["doc_id"], a["group_id"]))
+        assert g[9101] == g[9102]  # both-empty pair verified
+        assert g[2] == g[3] == 2  # a planted near-dup pair survived
+        # auto picks the shuffle plan past the pair guard — same output
+        c = dedup.near_dup_groups(
+            ds, "text", "doc_id", distribute="auto", max_driver_pairs=1,
+            **kw
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, c)
+
     def test_no_candidates_all_singletons(self, ray_session):
         docs = pd.DataFrame(
             {"doc_id": [1, 2, 3], "text": ["aa bb cc dd", "ee ff gg hh", "ii jj kk ll"]}
