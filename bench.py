@@ -151,6 +151,12 @@ def run_bench() -> dict:
         to_pandas(QUERIES[name](sf_dir))
         qtimes[name] = round(time.perf_counter() - tq, 3)
 
+    # self-diagnosing control (r04 verdict #4): the barrier-free map with
+    # the same per-page work, in the SAME session and host window — a
+    # steal-noisy window slows this control too, so a slow crawl wall is
+    # attributable (engine regression vs host noise) from this JSON alone
+    map_s = _map_control_wall(corpus, ncpu)
+
     ray.shutdown()
     return {
         "metric": "frontier crawl wall time (synthetic Common-Crawl-style corpus, best of 2)",
@@ -166,7 +172,38 @@ def run_bench() -> dict:
         "rounds": totals["rounds"],
         "urls_per_sec": round(urls_per_s, 1),
         "setup_s": round(setup_s, 3),
+        "map_control_s": round(map_s, 3),
+        "map_control_rows_s": round(n_pages / map_s, 1) if map_s > 0 else 0.0,
     }
+
+
+def _map_control_wall(corpus: str, ncpu: int) -> float:
+    """Wall time of the barrier-free map over the whole corpus with the
+    crawl's per-page work (extract + enrich) — the hardware-parallel
+    control both ``run_bench`` (inline, r04 verdict #4) and the scaling
+    harness's map mode share. Requires a live Ray session."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.functions.extract import extract_batch
+    from ethereum_raw_data_crawler_ray.functions.textstats import enrich_batch
+
+    def work(t: pa.Table) -> pa.Table:
+        # the SAME per-page work as the crawl's enrichment (batched)
+        texts, _ = extract_batch(t["html"].to_pylist())
+        res = enrich_batch(list(texts), n_bands=4)
+        return pa.table({"url": t["url"], "simhash": pa.array(res["simhash"])})
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(
+        corpus + "/pages.parquet", columns=["url", "html"],
+        override_num_blocks=4 * ncpu,
+    ).map_batches(work, batch_format="pyarrow", batch_size=2048)
+    shutil.rmtree("/tmp/bench_map_out", ignore_errors=True)
+    ds.write_parquet("/tmp/bench_map_out")
+    return time.perf_counter() - t0
 
 
 def run_map_bench() -> dict:
@@ -189,34 +226,13 @@ def run_map_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import shutil
-
-    import numpy as np
-    import pyarrow as pa
-    import ray.data as rd
-
-    from ethereum_raw_data_crawler_ray.functions.extract import extract_batch
-    from ethereum_raw_data_crawler_ray.functions.textstats import enrich_batch
     from ethereum_raw_data_crawler_ray.testdata import ensure_corpus
 
     corpus = ensure_corpus(
         n_pages, n_hosts=100, n_seeds=max(100, n_pages // 200),
         base_dir="/tmp/bench_corpus", min_words=60, max_words=180,
     )
-
-    def work(t: pa.Table) -> pa.Table:
-        # the SAME per-page work as the crawl's enrichment (batched)
-        texts, _ = extract_batch(t["html"].to_pylist())
-        res = enrich_batch(list(texts), n_bands=4)
-        return pa.table({"url": t["url"], "simhash": pa.array(res["simhash"])})
-
-    t0 = time.perf_counter()
-    ds = rd.read_parquet(
-        corpus + "/pages.parquet", columns=["url", "html"], override_num_blocks=4 * ncpu
-    ).map_batches(work, batch_format="pyarrow", batch_size=2048)
-    shutil.rmtree("/tmp/bench_map_out", ignore_errors=True)
-    ds.write_parquet("/tmp/bench_map_out")
-    dt = time.perf_counter() - t0
+    dt = _map_control_wall(corpus, ncpu)
     ray.shutdown()
     return {
         "metric": "barrier-free map wall time (hardware parallel ceiling)",

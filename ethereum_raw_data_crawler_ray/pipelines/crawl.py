@@ -881,13 +881,32 @@ class CrawlPipeline:
             if self.cfg.extra.get("error_backoff"):
                 self._backfill_errors(r - 1)
         hot_r = self._load_hot(r)
-        cutoffs, host_counts = self.cutoff_pool.collect(r)
-        hot_next = self._hot_next(host_counts)
+        # shard-resident collect (r04 verdict #3): cutoffs stay on their
+        # shards; the driver sees one count per shard plus the hot-host
+        # subset (flat in active-host count). Transport: "auto" ships a
+        # small total as ONE broadcast dict (fewer RPCs in the round
+        # tasks — the single-node fast path) and leaves a large one
+        # resident for per-batch slice pulls; "broadcast"/"pull" force.
+        base_salt = max(1, int(cfg.extra.get("host_salt", 1)))
+        n_cutoffs, hot_counts = self.cutoff_pool.finalize(
+            r, cfg.host_skew_threshold, base_salt
+        )
+        hot_next = self._hot_next(hot_counts)
         self._save_hot(r + 1, hot_next)  # persisted BEFORE the round runs
-        cutoffs_ref = ray.put(cutoffs)
+        transport = cfg.extra.get("cutoff_transport", "auto")
+        if transport not in ("auto", "broadcast", "pull"):
+            raise ValueError(f"unknown cutoff_transport {transport!r}")
+        max_bc = int(cfg.extra.get("max_cutoff_broadcast", 500_000))
+        cutoff_pull = transport == "pull" or (
+            transport == "auto" and n_cutoffs > max_bc
+        )
+        cutoffs_ref = ray.put(
+            {} if cutoff_pull else self.cutoff_pool.fetch_ready(r)
+        )
         kwargs = dict(
             round_no=r,
             cutoffs_ref=cutoffs_ref,
+            cutoff_pull=cutoff_pull,
             hot_gate=hot_r,
             hot_offer=hot_next,
             robots_ref=self.robots_ref,

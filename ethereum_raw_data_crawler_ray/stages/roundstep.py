@@ -144,6 +144,7 @@ def round_step(
     hot_gate: dict | None = None,   # per-host salt map for THIS round's pkeys
     hot_offer: dict | None = None,  # per-host salt map for round r+1's offers
     error_backoff: bool = False,
+    cutoff_pull: bool = False,  # pull transport: per-batch cutoff slices
 ) -> pa.Table:
     import os
     import time as _time
@@ -160,7 +161,18 @@ def round_step(
         _marks.append(_time.perf_counter())
 
     robots = get_broadcast(robots_ref)
-    cutoffs = get_broadcast(cutoffs_ref)
+    if cutoff_pull:
+        # shard-resident transport (r04 verdict #3): fetch only THIS
+        # batch's pkey slice from the owning cutoff shards — the full
+        # cutoff dict never exists in any one process
+        from ..state.politeness import pull_cutoffs_for
+
+        cutoffs = pull_cutoffs_for(
+            df, cutoff_handles, round_no=round_no, n_salt=n_salt,
+            hot=hot_gate,
+        )
+    else:
+        cutoffs = get_broadcast(cutoffs_ref)
 
     # 1. gate ---------------------------------------------------------------
     gate, _ = gate_full(

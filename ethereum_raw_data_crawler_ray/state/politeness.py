@@ -401,6 +401,44 @@ def note_errors_scatter(cutoff_handles: list, round_no: int,
     ray.get(refs)
 
 
+def pull_cutoffs_for(
+    df: pd.DataFrame,
+    cutoff_handles: list,
+    *,
+    round_no: int,
+    n_salt: int,
+    hot: dict | None = None,
+) -> dict:
+    """Pull-transport gating (r04 verdict #3): fetch ONLY this batch's
+    politeness-key cutoff slice from the owning cutoff shards (the same
+    hash-by-host routing as offers), instead of reading a broadcast of
+    the full O(active hosts) dict.  One RPC per shard that owns a host
+    present in the batch; payload bounded by the batch's distinct
+    pkeys."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    pkeys = pkey_of(
+        df["host"].to_numpy(), df["url_hash"].to_numpy(dtype=np.uint64),
+        n_salt, hot,
+    )
+    uniq = pd.unique(pkeys)
+    if not len(uniq):
+        return {}
+    hosts = [parse_pkey(u)[0] for u in uniq]
+    owner = hash_strings(hosts) % np.uint64(len(cutoff_handles))
+    refs = []
+    for j in range(len(cutoff_handles)):
+        mine = [u for u, o in zip(uniq, owner) if o == j]
+        if mine:
+            refs.append(cutoff_handles[j].pull_cutoffs.remote(round_no, mine))
+    out: dict = {}
+    for d in ray.get(refs):
+        out.update(d)
+    return out
+
+
 def gate_full(
     df: pd.DataFrame,
     *,
@@ -545,6 +583,9 @@ class CutoffPool:
                 self._backoff = error_backoff
                 self._host_budgets: dict = {}
                 self.rounds: dict[int, _CutoffState] = {}
+                # round → finalized cutoffs kept shard-RESIDENT for the
+                # pull transport (r04 verdict #3)
+                self.ready: dict[int, dict] = {}
                 # round → {batch_token: {host: raw candidate count}}
                 # (skew signal; each host is counted by exactly one
                 # owning shard — offers, counts and errors all route by
@@ -698,11 +739,58 @@ class CutoffPool:
                     return {}, hc
                 return st.cutoffs({pk: self._budget(pk, err) for pk in st.keys}), hc
 
+            def finalize_round(self, round_no: int, hot_threshold: int,
+                               base_salt: int) -> tuple[int, dict]:
+                """Shard-resident collect (r04 verdict #3): compute this
+                shard's cutoffs for the round and KEEP them here —
+                gating tasks pull only their batch's pkey slice
+                (``pull_cutoffs``), so the driver payload is one int
+                per shard instead of an O(active hosts) dict.  The
+                skew-salting signal shrinks the same way: only hosts
+                whose candidate count crosses the salting threshold
+                (``salt_count_for(c) > base``, the exact predicate the
+                driver's ``_hot_next`` applies) are returned — typically
+                a handful of hot hosts, never the full host census."""
+                from ..state.politeness import salt_count_for
+
+                cutoffs, hc = self.collect_and_drop(round_no)
+                self.ready = {
+                    rn: v for rn, v in self.ready.items() if rn >= round_no
+                }
+                self.ready[round_no] = cutoffs
+                hot = {
+                    h: c for h, c in hc.items()
+                    if salt_count_for(c, hot_threshold, base_salt) > base_salt
+                }
+                return len(cutoffs), hot
+
+            def pull_cutoffs(self, round_no: int, pkeys: list[str]) -> dict:
+                """→ {pkey: cutoff} slice for the caller's batch.  Fails
+                loud if the round's resident cutoffs are gone (shard
+                restarted mid-round): the round execution then fails
+                before its output commits, and a rerun resumes from the
+                checkpoint and re-derives them deterministically —
+                silent fallback would over-fetch nondeterministically."""
+                c = self.ready.get(round_no)
+                if c is None:
+                    raise KeyError(
+                        f"cutoffs for round {round_no} are not resident "
+                        "(cutoff shard restarted mid-round); rerun resumes "
+                        "from the last checkpoint"
+                    )
+                return {pk: c[pk] for pk in pkeys if pk in c}
+
+            def fetch_ready(self, round_no: int) -> dict:
+                """Hand the resident cutoffs to the driver (broadcast
+                transport — the small-cutoff fast path)."""
+                return self.ready.pop(round_no, {})
+
             def reset(self) -> None:
                 self.rounds = {}
                 self.host_counts = {}
                 self.errors = {}
                 self.lineage = {}
+                self.ready = {}
 
         from .resources import shard_cpu_reservation
 
@@ -748,6 +836,36 @@ class CutoffPool:
             out.update(d)
             counts.update(hc)  # hosts are owned by exactly one shard
         return out, counts
+
+    def finalize(self, round_no: int, hot_threshold: int,
+                 base_salt: int) -> tuple[int, dict]:
+        """Shard-resident collect (r04 verdict #3): → (total cutoff
+        count, hot-host candidate counts).  The cutoff dicts stay on
+        their shards; the driver payload is O(shards) ints plus the
+        (tiny) hot-host set, flat in the active-host count."""
+        import ray
+
+        n = 0
+        hot: dict = {}
+        for c, h in ray.get(
+            [hd.finalize_round.remote(round_no, hot_threshold, base_salt)
+             for hd in self.handles]
+        ):
+            n += c
+            hot.update(h)  # hosts are owned by exactly one shard
+        return n, hot
+
+    def fetch_ready(self, round_no: int) -> dict:
+        """Pull every shard's finalized cutoffs to the driver — the
+        broadcast transport's small-dict fast path."""
+        import ray
+
+        out: dict = {}
+        for d in ray.get(
+            [h.fetch_ready.remote(round_no) for h in self.handles]
+        ):
+            out.update(d)
+        return out
 
     def collect_lineage(self, round_no: int):
         """→ (summed per-shard lineage bincounts | None, rows covered)."""

@@ -1026,3 +1026,108 @@ class TestResume:
         ).reset_index(drop=True)
         cols = [c for c in la.columns if c != "wall_s"]
         pd.testing.assert_frame_equal(la[cols], lb[cols])
+
+
+class TestCutoffPullTransport:
+    """r04 verdict #3: politeness cutoffs stay shard-RESIDENT and gating
+    tasks pull only their batch's pkey slice — the driver payload is one
+    count per shard plus the (tiny) hot-host set, flat in the number of
+    active hosts."""
+
+    def test_pull_crawl_bit_identical_to_broadcast(self, crawl_run,
+                                                   corpus_dir):
+        cfg_main, _, totals_main = crawl_run
+        cfg = make_cfg(corpus_dir, "cutoff_pull")
+        cfg = CrawlConfig(
+            **{**cfg.__dict__,
+               "extra": {**cfg.extra, "cutoff_transport": "pull"}}
+        )
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        pipe = CrawlPipeline(cfg)
+        totals = pipe.run(max_rounds=60)
+        pipe.close()
+        assert totals["fetched"] == totals_main["fetched"]
+        a = _rounds_df(cfg_main.out_dir).sort_values("url").reset_index(drop=True)
+        b = _rounds_df(cfg.out_dir).sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["url", "text", "lang", "round", "depth", "n_bytes"]],
+            b[["url", "text", "lang", "round", "depth", "n_bytes"]],
+        )
+        la = lineage_output(cfg_main.out_dir).to_pandas().sort_values(
+            ["round", "partition_id"]).reset_index(drop=True)
+        lb = lineage_output(cfg.out_dir).to_pandas().sort_values(
+            ["round", "partition_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            la.drop(columns=["wall_s"]), lb.drop(columns=["wall_s"])
+        )
+
+    def test_driver_payload_flat_in_host_count(self, corpus_dir,
+                                               ray_session):
+        # synthetic many-host frontier offered straight to a pool: the
+        # driver-visible finalize payload must stay O(shards + hot
+        # hosts) while the resident cutoffs cover every host, and pulled
+        # slices must equal the full resident dict
+        import numpy as np
+
+        from ethereum_raw_data_crawler_ray.functions.hashing import (
+            hash_strings,
+        )
+        from ethereum_raw_data_crawler_ray.state.politeness import (
+            CutoffPool,
+            pull_cutoffs_for,
+        )
+        import ray as _ray
+
+        n_hosts = 50_000
+        per_host = 3
+        hosts = np.repeat(
+            np.array([f"h{i}.test" for i in range(n_hosts)], dtype=object),
+            per_host,
+        )
+        n = len(hosts)
+        urls = np.array([f"http://{h}/p{i}" for i, h in enumerate(hosts)],
+                        dtype=object)
+        df = pd.DataFrame(
+            {
+                "url": urls,
+                "url_hash": hash_strings(urls),
+                "host": hosts,
+                "priority": np.zeros(n, dtype=np.int64),
+                "depth": np.zeros(n, dtype=np.int64),
+                "warc_ts": np.zeros(n, dtype="datetime64[us]"),
+                "attempts": np.zeros(n, dtype=np.int32),
+                "skip_until_round": np.full(n, -1, dtype=np.int32),
+            }
+        )
+        robots_ref = _ray.put({})
+        pool = CutoffPool(4, robots_ref, round_ms=1000,
+                          default_delay_ms=0, max_per_host=1, n_salt=1)
+        try:
+            from ethereum_raw_data_crawler_ray.state.politeness import (
+                offer_candidates,
+            )
+
+            for j in range(0, n, 30_000):  # batched like round tasks
+                offer_candidates(
+                    df.iloc[j:j + 30_000],
+                    robots={}, round_no=5, round_ms=1000,
+                    default_delay_ms=0, max_per_host=1, n_salt=1,
+                    cutoff_handles=pool.handles,
+                )
+            n_cutoffs, hot = pool.finalize(5, hot_threshold=1_000_000,
+                                           base_salt=1)
+            # budget 1 < 3 candidates → every host has a cutoff, but the
+            # driver only ever saw per-shard counts + an empty hot set
+            assert n_cutoffs == n_hosts
+            assert hot == {}
+            # pulled slices == the full resident dict, pkey for pkey
+            pulled = {}
+            for j in range(0, n, 30_000):
+                pulled.update(pull_cutoffs_for(
+                    df.iloc[j:j + 30_000], pool.handles,
+                    round_no=5, n_salt=1, hot=None,
+                ))
+            full = pool.fetch_ready(5)
+            assert pulled == full and len(full) == n_hosts
+        finally:
+            pool.kill()
