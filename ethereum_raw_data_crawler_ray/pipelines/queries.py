@@ -723,12 +723,18 @@ def q38_multimodal_resize(sf_dir: str):
 
 
 def q39_multimodal_frame_sample(sf_dir: str):
-    """'Video' frame sampling: one output row per sampled frame (the
-    flat_map multimodal shape; fake demuxer, real Ray plumbing)."""
-    blobs = multimodal.attach_blobs(
+    """Video frame sampling over REAL YUV4MPEG2 containers: numpy Y4M
+    demux (stream-header parse, per-FRAME offset scan, O(1) seek to
+    sampled frames) → stride sample → per-frame luma features, one
+    output row per sampled frame (flat_map multimodal shape; no SQL
+    analog — binary payloads). Compressed formats (ffmpeg) stay
+    feature-detected stubs; rows-only gate by design."""
+    blobs = multimodal.attach_y4m_blobs(
         _t(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
     )
-    return multimodal.frame_sample_pipeline(blobs, stride=4, max_frames=8)
+    return multimodal.frame_sample_pipeline(
+        blobs, stride=4, max_frames=8, codec="y4m"
+    )
 
 
 # ==========================================================================

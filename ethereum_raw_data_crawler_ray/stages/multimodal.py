@@ -239,21 +239,60 @@ def resize_pipeline(ds: rd.Dataset, target_w: int = 64, target_h: int = 64) -> r
 
 
 class FrameSampleStage:
-    """map_batches actor: 'video' payload → one row per sampled frame
-    (flat_map shape: N input rows → N×k output rows). The fake codec
-    treats the payload body as a stream of fixed-size frames and samples
-    every ``stride``-th one; a real ffmpeg-based stage would keep the
-    demuxer handle in __init__ and emit decoded frames the same way."""
+    """map_batches actor: video payload → one row per sampled frame
+    (flat_map shape: N input rows → N×k output rows).
+
+    codec="y4m"  → REAL demux of YUV4MPEG2 containers (the third WS
+                   subscription type's media analog,
+                   websocket_listener.go:119-196): stream-header parse,
+                   per-FRAME offset scan, O(1) seek to each sampled
+                   frame's luma plane, per-frame luma features —
+                   skipped frames' pixel bytes are never touched.
+    codec="fake" → fixed-size body slicing (the generic-plumbing fake).
+    Compressed containers (ffmpeg formats) stay feature-detected stubs.
+    """
 
     def __init__(self, frame_bytes: int = 256, stride: int = 4,
                  max_frames: int = 8, codec: str = "fake"):
-        if codec != "fake":
-            _no_codec(codec)  # video demux needs ffmpeg — no PIL analog
+        if codec not in ("fake", "y4m"):
+            _no_codec(codec)  # compressed-video demux needs ffmpeg
+        self.codec = codec
         self.frame_bytes = frame_bytes
         self.stride = stride
         self.max_frames = max_frames
 
+    def _call_y4m(self, t: pa.Table) -> pa.Table:
+        ids = t.column(0).to_pylist()
+        id_name = t.schema.names[0]
+        out = {k: [] for k in ("id", "frame_no", "width", "height",
+                               "y_mean", "y_std", "frame")}
+        for rid, blob in zip(ids, t["blob"].to_pylist()):
+            hdr, offs = scan_y4m(blob)
+            picked = range(0, hdr["n_frames"], self.stride)
+            for f in list(picked)[: self.max_frames]:
+                y = y4m_luma(blob, hdr, offs[f])
+                out["id"].append(rid)
+                out["frame_no"].append(f)
+                out["width"].append(hdr["width"])
+                out["height"].append(hdr["height"])
+                out["y_mean"].append(float(y.mean()))
+                out["y_std"].append(float(y.std()))
+                out["frame"].append(y.tobytes())
+        return pa.table(
+            {
+                id_name: pa.array(out["id"], type=pa.int64()),
+                "frame_no": pa.array(out["frame_no"], type=pa.int64()),
+                "width": pa.array(out["width"], type=pa.int32()),
+                "height": pa.array(out["height"], type=pa.int32()),
+                "y_mean": pa.array(out["y_mean"], type=pa.float64()),
+                "y_std": pa.array(out["y_std"], type=pa.float64()),
+                "frame": pa.array(out["frame"], type=pa.binary()),
+            }
+        )
+
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.codec == "y4m":
+            return self._call_y4m(t)
         ids = t.column(0).to_pylist()
         id_name = t.schema.names[0]
         out_id, out_frame, out_blob = [], [], []
@@ -274,10 +313,12 @@ class FrameSampleStage:
         )
 
 
-def frame_sample_pipeline(ds: rd.Dataset, stride: int = 4, max_frames: int = 8) -> rd.Dataset:
+def frame_sample_pipeline(ds: rd.Dataset, stride: int = 4,
+                          max_frames: int = 8,
+                          codec: str = "fake") -> rd.Dataset:
     return ds.map_batches(
         FrameSampleStage,
-        fn_constructor_args=(256, stride, max_frames),
+        fn_constructor_args=(256, stride, max_frames, codec),
         batch_format="pyarrow",
         batch_size=256,
         concurrency=_mm_pool(),
@@ -532,4 +573,155 @@ def attach_wav_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     """documents → (id, blob, n_bytes) with REAL WAV payloads."""
     return _attach(
         ds, text_col, id_col, lambda x: make_wav_blob(x, 1024 + (len(x) % 64) * 32), 512
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec: Y4M (YUV4MPEG2) — uncompressed video, demuxable with numpy
+# --------------------------------------------------------------------------
+def encode_y4m(y: np.ndarray, u: np.ndarray | None = None,
+               v: np.ndarray | None = None,
+               fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Planar frames → a YUV4MPEG2 stream (the standard uncompressed
+    video container ffmpeg/mjpegtools read — numpy + bytes only, like
+    :func:`encode_ppm`/:func:`encode_wav`). ``y`` is ``(n, h, w)``
+    uint8 luma; pass matching ``(n, h/2, w/2)`` chroma planes for
+    C420jpeg, or neither for Cmono (luma-only)."""
+    y = np.asarray(y)
+    if y.ndim != 3 or y.dtype != np.uint8:
+        raise ValueError(f"expected (n, h, w) uint8 luma, got {y.shape} {y.dtype}")
+    n, h, w = y.shape
+    if (u is None) != (v is None):
+        raise ValueError("pass both chroma planes or neither")
+    if u is not None:
+        u = np.asarray(u)
+        v = np.asarray(v)
+        if h % 2 or w % 2:
+            raise ValueError("C420 needs even luma dimensions")
+        if u.shape != (n, h // 2, w // 2) or v.shape != u.shape:
+            raise ValueError("chroma planes must be (n, h/2, w/2)")
+        if u.dtype != np.uint8 or v.dtype != np.uint8:
+            raise ValueError("chroma planes must be uint8")
+    cs = b"Cmono" if u is None else b"C420jpeg"
+    parts = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+             % (w, h, fps[0], fps[1], cs)]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(y[i].tobytes())
+        if u is not None:
+            parts.append(u[i].tobytes())
+            parts.append(v[i].tobytes())
+    return b"".join(parts)
+
+
+def _y4m_header(blob: bytes) -> tuple[dict, int]:
+    """Parse the YUV4MPEG2 stream header → (header dict incl. the fixed
+    per-frame payload size, offset of the first FRAME line)."""
+    if blob[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = blob.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated YUV4MPEG2 header")
+    w = h = None
+    cs = "C420jpeg"  # the spec default is 4:2:0
+    fps = (25, 1)
+    for tok in blob[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            cs = "C" + val.decode()  # the tag letter is part of the name
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 stream with odd dimensions")
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("C444"):
+        frame_size = 3 * w * h
+    elif cs.startswith("Cmono"):
+        frame_size = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+    return (
+        {"width": w, "height": h, "fps": fps, "colorspace": cs,
+         "frame_size": frame_size},
+        nl + 1,
+    )
+
+
+def scan_y4m(blob: bytes) -> tuple[dict, np.ndarray]:
+    """Real demux scan: stream header + every FRAME header → (header,
+    int64 array of per-frame DATA offsets). No pixel bytes are touched
+    — sampling stages use this to seek straight to the frames they
+    keep, the fixed-frame-size seek a real demuxer does."""
+    hdr, off = _y4m_header(blob)
+    fsize = hdr["frame_size"]
+    offsets = []
+    n = len(blob)
+    while off < n:
+        if blob[off:off + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME header at byte {off}")
+        nl = blob.find(b"\n", off)
+        if nl < 0:
+            raise ValueError("unterminated FRAME header")
+        data0 = nl + 1
+        if data0 + fsize > n:
+            raise ValueError("truncated Y4M frame payload")
+        offsets.append(data0)
+        off = data0 + fsize
+    hdr["n_frames"] = len(offsets)
+    return hdr, np.asarray(offsets, dtype=np.int64)
+
+
+def y4m_luma(blob: bytes, hdr: dict, data_off: int) -> np.ndarray:
+    """Zero-copy (h, w) uint8 view of one frame's luma plane."""
+    w, h = hdr["width"], hdr["height"]
+    return np.frombuffer(
+        blob, dtype=np.uint8, count=w * h, offset=int(data_off)
+    ).reshape(h, w)
+
+
+def demux_y4m(blob: bytes, frames: list[int] | None = None
+              ) -> tuple[dict, list[tuple[int, np.ndarray]]]:
+    """→ (header, [(frame_no, luma plane)]) for the requested frame
+    numbers (None = all) — the round-trip/test companion of
+    :func:`scan_y4m`."""
+    hdr, offs = scan_y4m(blob)
+    want = None if frames is None else {int(f) for f in frames}
+    return hdr, [
+        (i, y4m_luma(blob, hdr, o).copy())
+        for i, o in enumerate(offs)
+        if want is None or i in want
+    ]
+
+
+def make_y4m_blob(seed_text: str, width: int = 32, height: int = 24,
+                  n_frames: int = 12) -> bytes:
+    """Deterministic synthetic C420 'video': per-frame drifting gradient
+    + noise luma (features vary frame to frame) over flat chroma."""
+    rng = _seed_rng(seed_text)
+    xs = np.arange(width, dtype=np.float64)[None, :]
+    base = rng.integers(0, 128, size=(height, width), dtype=np.uint8)
+    y = np.empty((n_frames, height, width), dtype=np.uint8)
+    for f in range(n_frames):
+        drift = ((xs * (f + 1) * 255.0 / (width * n_frames))).astype(np.uint8)
+        y[f] = base // 2 + drift
+    u = np.full((n_frames, height // 2, width // 2), 128, dtype=np.uint8)
+    return encode_y4m(y, u, u)
+
+
+def attach_y4m_blobs(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """documents → (id, blob, n_bytes) with REAL Y4M payloads."""
+    return _attach(
+        ds, text_col, id_col,
+        lambda x: make_y4m_blob(x, 16 + 2 * (len(x) % 12),
+                                12 + 2 * (len(x) % 8),
+                                6 + len(x) % 20),
+        256,
     )

@@ -129,6 +129,11 @@ class TestRowsOnly:
         assert df["doc_id"].nunique() == 500  # every doc yields ≥1 frame
         assert (df["frame_no"] % 4 == 0).all()  # stride respected
         assert df.groupby("doc_id").size().max() <= 8
+        # r04 verdict #5: the path now demuxes REAL Y4M containers —
+        # per-frame luma features and dims come from actual planes
+        assert (df["width"] > 0).all() and (df["height"] > 0).all()
+        assert df["y_std"].gt(0).any()
+        assert (df["y_mean"] >= 0).all() and (df["y_mean"] <= 255).all()
 
     def test_multimodal_real_codec_stubbed(self):
         from ethereum_raw_data_crawler_ray.stages.multimodal import (
