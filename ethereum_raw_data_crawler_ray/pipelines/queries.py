@@ -56,6 +56,61 @@ def _dense_lookup(keys: pd.Series, values: pd.Series) -> np.ndarray:
     return arr
 
 
+# past this many dimension rows a "dimension" is fact-sized: the dense
+# broadcast array (O(max key) int64s per worker process) stops being the
+# cheap side and the bucketed hash_join takes over (r04 verdict #6 — the
+# same measured-count auto-fallback contract as tfidf/lm_score/near-dup)
+MAX_DIM_BROADCAST = 20_000_000
+
+
+def _attach_dim(fact, fact_key: str, dim, dim_key: str, val_col: str,
+                fact_fields: list, max_dim_broadcast: int | None = None):
+    """Attach ONE integer dimension column to a fact stream.
+
+    Below the guard: the J1 broadcast shape — the dim collapses to a
+    dense position-indexed int64 array, ``ray.put`` once, probed
+    zero-shuffle inside ``map_batches`` (q10/q19's original plan).
+    Above it: the dim is fact-sized, so stream both sides through the
+    bucketed :func:`..stages.joins.hash_join` (one exchange) instead of
+    allocating an O(max key) array in every worker."""
+    import ray
+
+    if max_dim_broadcast is None:
+        max_dim_broadcast = MAX_DIM_BROADCAST
+    dim = dim.materialize()
+    if dim.count() <= max_dim_broadcast:
+        ddf = dim.to_pandas()
+        lut_ref = ray.put(_dense_lookup(ddf[dim_key], ddf[val_col]))
+
+        def enrich(t: pa.Table) -> pa.Table:
+            from ..functions.broadcast import get_broadcast
+
+            lut = get_broadcast(lut_ref)
+            k = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(
+                val_col, pa.array(lut[k], type=pa.int64())
+            )
+
+        return fact.map_batches(enrich, batch_format="pyarrow")
+
+    from ..stages.joins import hash_join
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({fact_key: t[dim_key].cast(pa.int64()),
+                         val_col: t[val_col].cast(pa.int64())})
+
+    return hash_join(
+        fact,
+        dim.map_batches(rename, batch_format="pyarrow"),
+        on=fact_key,
+        right_cols=[val_col],
+        how="inner",
+        left_fields=fact_fields,
+        right_fields=[pa.field(fact_key, pa.int64()),
+                      pa.field(val_col, pa.int64())],
+    )
+
+
 # ==========================================================================
 # relational core (SURVEY.md §2.3, §2.5-2.7 mappings)
 # ==========================================================================
@@ -205,31 +260,37 @@ def q09_customer_filter(sf_dir: str):
 
 
 def q10_revenue_by_nation(sf_dir: str):
-    """J1-shaped broadcast join (small dims fetched once per actor via
-    ray.put, no shuffle of the fact table) + grouped aggregate."""
+    """J1-shaped dimension attach + grouped aggregate: the customer dim
+    broadcasts as a dense lookup while dimension-sized and auto-falls
+    back to the bucketed hash_join past MAX_DIM_BROADCAST rows (r04
+    verdict #6); the 25-row nation name map always broadcasts."""
     import ray
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    enriched = _attach_dim(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        "o_custkey",
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey",
+        fact_fields=[pa.field("o_custkey", pa.int64()),
+                     pa.field("o_totalprice", pa.float64())],
+    )
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    ck2nk = _dense_lookup(cust["c_custkey"], cust["c_nationkey"])
     nk2name = np.full(int(nation["n_nationkey"].max()) + 1, None, dtype=object)
     nk2name[nation["n_nationkey"].to_numpy(dtype=np.int64)] = nation["n_name"].to_numpy()
-    ref = ray.put((ck2nk, nk2name))
+    ref = ray.put(nk2name)
 
-    def enrich(t: pa.Table) -> pa.Table:
+    def name_of(t: pa.Table) -> pa.Table:
         from ..functions.broadcast import get_broadcast
 
-        ck2nk_, nk2name_ = get_broadcast(ref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        names = nk2name_[ck2nk_[ck]]
+        nk2name_ = get_broadcast(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"n_name": pa.array(names, type=pa.string()),
+            {"n_name": pa.array(nk2name_[nk], type=pa.string()),
              "o_totalprice": t["o_totalprice"]}
         )
 
     out = (
-        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(enrich, batch_format="pyarrow")
+        enriched.map_batches(name_of, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
         .to_pandas()
@@ -355,29 +416,37 @@ def q18_groupby_having(sf_dir: str):
 
 def q19_region_rollup(sf_dir: str):
     """Two-hop dimension join rollup (J1/J2 chain): suppliers per region
-    with balance sum — both dims broadcast, fact streamed."""
+    with balance sum — the nation hop goes through the guarded
+    dimension attach (broadcast below MAX_DIM_BROADCAST, hash_join
+    above, r04 verdict #6); the 5-row region name map always
+    broadcasts."""
     import ray
 
-    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    enriched = _attach_dim(
+        _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]),
+        "s_nationkey",
+        _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]),
+        "n_nationkey", "n_regionkey",
+        fact_fields=[pa.field("s_nationkey", pa.int64()),
+                     pa.field("s_acctbal", pa.float64())],
+    )
     region = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    n2r = _dense_lookup(nation["n_nationkey"], nation["n_regionkey"])
     r2name = np.full(int(region["r_regionkey"].max()) + 1, None, dtype=object)
     r2name[region["r_regionkey"].to_numpy(dtype=np.int64)] = region["r_name"].to_numpy()
-    ref = ray.put((n2r, r2name))
+    ref = ray.put(r2name)
 
-    def enrich(t: pa.Table) -> pa.Table:
+    def name_of(t: pa.Table) -> pa.Table:
         from ..functions.broadcast import get_broadcast
 
-        n2r_, r2name_ = get_broadcast(ref)
-        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        names = r2name_[n2r_[nk]]
+        r2name_ = get_broadcast(ref)
+        rk = t["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"r_name": pa.array(names, type=pa.string()), "s_acctbal": t["s_acctbal"]}
+            {"r_name": pa.array(r2name_[rk], type=pa.string()),
+             "s_acctbal": t["s_acctbal"]}
         )
 
     out = (
-        _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(enrich, batch_format="pyarrow")
+        enriched.map_batches(name_of, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
         .to_pandas()

@@ -248,3 +248,16 @@ class TestNewRowsOnlyRegistry:
         df = to_pandas(QUERIES["q73_audio_pipeline"](sf_dir))
         assert {"sample_rate", "duration_s", "features"} <= set(df.columns)
         assert len(df) == 500 and (df["duration_s"] > 0).all()
+
+
+def test_dim_attach_join_fallback_matches_oracle(sf_dir, ray_session,
+                                                 monkeypatch):
+    # r04 verdict #6: past MAX_DIM_BROADCAST rows the dimension attach
+    # must switch from the dense-array broadcast to the bucketed
+    # hash_join — same oracle answers, same dtypes, either plan
+    from ethereum_raw_data_crawler_ray.pipelines import queries as q
+
+    names = ["q10_revenue_by_nation", "q19_region_rollup"]
+    assert not any(check_all(sf_dir, only=names, strict_dtypes=True).values())
+    monkeypatch.setattr(q, "MAX_DIM_BROADCAST", 0)
+    assert not any(check_all(sf_dir, only=names, strict_dtypes=True).values())
