@@ -1499,6 +1499,59 @@ def q83_tdigest_grouped(sf_dir: str):
     )
 
 
+def q84_moving_window(sf_dir: str):
+    """Per-user MOVING window aggregate (stages/joins.keyed_moving_agg):
+    SUM/MIN/MAX/COUNT over the trailing 5 events — SQL ``ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW``, one bucket exchange, exact integer
+    cents (cumsum-difference sum, C rolling min/max)."""
+    from ..stages.joins import keyed_moving_agg
+
+    return keyed_moving_agg(
+        _t(sf_dir, "events", ["user_id", "ts", "value"]),
+        by="user_id", ts_col="ts", val_col="value", window=5,
+    )
+
+
+def q85_count_distinct(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) (stages/sketches.
+    grouped_count_distinct): distinct users per event type — per-batch
+    pair-dedup combiner, one thin pair exchange, partial counts merged;
+    the exact oracle-backed companion of the q48/q71 HLL sketches."""
+    from ..stages.sketches import grouped_count_distinct
+
+    return grouped_count_distinct(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+
+def q86_corr(sf_dir: str):
+    """Global Pearson correlation + sample covariance
+    (stages/sketches.corr_stats): one streaming pass of six-double
+    moment partials per block, driver merge — quantity vs extended
+    price over lineitem. Float association differs from DuckDB's
+    kernel, so parity is at ROUND(…, 6)."""
+    from ..stages.sketches import corr_stats
+
+    return corr_stats(
+        _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+        "l_quantity", "l_extendedprice",
+    )
+
+
+def q87_frame_stats(sf_dir: str):
+    """Full-partition frame functions per user (stages/joins.
+    keyed_frame_stats): FIRST_VALUE / LAST_VALUE (unbounded frame) /
+    PERCENT_RANK — one bucket exchange + index arithmetic, the exact
+    double division SQL performs for percent_rank."""
+    from ..stages.joins import keyed_frame_stats
+
+    return keyed_frame_stats(
+        _t(sf_dir, "events", ["user_id", "ts", "value"]),
+        by="user_id", ts_col="ts", val_col="value",
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1685,6 +1738,10 @@ QUERIES = {
     "q81_decontaminated_corpus": q81_decontaminated_corpus,
     "q82_pack_sequences": q82_pack_sequences,
     "q83_tdigest_grouped": q83_tdigest_grouped,
+    "q84_moving_window": q84_moving_window,
+    "q85_count_distinct": q85_count_distinct,
+    "q86_corr": q86_corr,
+    "q87_frame_stats": q87_frame_stats,
 }
 
 ORACLE_SQL = {
@@ -2128,6 +2185,42 @@ ORACLE_SQL = {
               FROM e)
         SELECT doc_id, STRING_AGG(para, ' scan ' ORDER BY para_idx) AS text_dedup
         FROM k WHERE rn = 1 GROUP BY doc_id
+    """,
+    "q84_moving_window": """
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS mov_sum_cents,
+               CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS mov_min_cents,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS mov_max_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS mov_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    "q85_count_distinct": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
+    "q86_corr": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar_samp
+        FROM lineitem
+    """,
+    "q87_frame_stats": """
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               FIRST_VALUE(CAST(ROUND(value * 100) AS BIGINT)) OVER w1
+                 AS first_cents,
+               LAST_VALUE(CAST(ROUND(value * 100) AS BIGINT)) OVER w2
+                 AS last_cents,
+               PERCENT_RANK() OVER w1 AS pct_rank
+        FROM events
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts),
+               w2 AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
     """,
 }
 

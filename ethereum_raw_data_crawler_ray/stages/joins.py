@@ -548,6 +548,152 @@ def keyed_running_sum(
     )
 
 
+def _keyed_cents_tag(by: str, ts_col: str, val_col: str, n_buckets: int):
+    """Shared map stage of the keyed-window family: (key, ts_us, exact
+    integer cents, key hash bucket) — the ONE exchange every
+    PARTITION-BY window needs. Cents use half-away-from-zero rounding
+    (DuckDB ROUND parity; pc.round is half-to-even)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t[by].to_numpy(zero_copy_only=False)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        v100 = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        cents = pa.array(
+            (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
+        )
+        return pa.table(
+            {
+                by: t[by],
+                "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__cents": cents,
+                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+            }
+        )
+
+    return tag
+
+
+def keyed_moving_agg(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    val_col: str,
+    window: int,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key MOVING window aggregate — ``SUM/MIN/MAX/COUNT(val) OVER
+    (PARTITION BY key ORDER BY ts ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)`` as ONE hash-bucket exchange + a vectorized pass per
+    bucket: the moving sum is a cumulative-sum difference with the
+    window floor clamped to each key's first row (exact integer cents,
+    no per-key apply); min/max run through pandas' C rolling kernel per
+    key.  Output: (by, ts_us, mov_sum_cents, mov_min_cents,
+    mov_max_cents, mov_n).  Ties on (key, ts) would make the frame
+    ambiguous — the events corpus has none (TESTDATA)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    n_buckets = n_buckets or _default_buckets()
+    _EMPTY = {c: [] for c in (by, "ts_us", "mov_sum_cents",
+                              "mov_min_cents", "mov_max_cents", "mov_n")}
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values([by, "ts_us"], kind="mergesort")
+        key = g[by].to_numpy()
+        cents = g["__cents"].to_numpy(np.int64)
+        n = len(g)
+        cum = np.cumsum(cents)
+        first = _first_mask(key)
+        starts = np.flatnonzero(first)
+        key_start = starts[np.cumsum(first) - 1]  # per-row first-row index
+        idx = np.arange(n)
+        lo = np.maximum(idx - window + 1, key_start)
+        # sum over [lo, idx] — valid across the whole bucket because
+        # lo >= key_start keeps the range inside the row's key
+        mov_sum = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        mov_n = idx - lo + 1
+        # min/max: pandas C rolling kernel per contiguous key run; int64
+        # cents survive the float64 round-trip exactly (|cents| < 2^53)
+        s = pd.Series(cents)
+        grp = s.groupby(pd.Series(np.cumsum(first)), sort=False)
+        mov_min = grp.rolling(window, min_periods=1).min().to_numpy()
+        mov_max = grp.rolling(window, min_periods=1).max().to_numpy()
+        return pd.DataFrame(
+            {
+                by: key,
+                "ts_us": g["ts_us"].to_numpy(np.int64),
+                "mov_sum_cents": mov_sum,
+                "mov_min_cents": mov_min.astype(np.int64),
+                "mov_max_cents": mov_max.astype(np.int64),
+                "mov_n": mov_n.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_keyed_cents_tag(by, ts_col, val_col, n_buckets),
+                       batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+def keyed_frame_stats(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key full-partition frame functions — ``FIRST_VALUE`` /
+    ``LAST_VALUE`` (RANGE UNBOUNDED both ways) / ``PERCENT_RANK`` —
+    as one bucket exchange + per-bucket index arithmetic (first/last by
+    key-run start/end indexing, percent_rank = pos/(n_rows−1), the
+    exact double division SQL performs, 0.0 for singleton keys).
+    Output: (by, ts_us, first_cents, last_cents, pct_rank)."""
+    n_buckets = n_buckets or _default_buckets()
+    _EMPTY = {c: [] for c in (by, "ts_us", "first_cents",
+                              "last_cents", "pct_rank")}
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values([by, "ts_us"], kind="mergesort")
+        key = g[by].to_numpy()
+        cents = g["__cents"].to_numpy(np.int64)
+        n = len(g)
+        first = _first_mask(key)
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        run = np.cumsum(first) - 1  # per-row key-run ordinal
+        key_start = starts[run]
+        key_len = counts[run]
+        pos = np.arange(n) - key_start
+        pct = np.where(key_len > 1, pos / np.maximum(key_len - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                by: key,
+                "ts_us": g["ts_us"].to_numpy(np.int64),
+                "first_cents": cents[key_start],
+                "last_cents": cents[key_start + key_len - 1],
+                "pct_rank": pct,
+            }
+        )
+
+    return (
+        ds.map_batches(_keyed_cents_tag(by, ts_col, val_col, n_buckets),
+                       batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # set operations (INTERSECT / EXCEPT, SQL DISTINCT semantics)
 # --------------------------------------------------------------------------

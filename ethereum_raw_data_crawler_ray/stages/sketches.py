@@ -748,3 +748,111 @@ def tdigest_quantiles_grouped(ds: rd.Dataset, group: str, col: str,
                          float(np.interp(q * n, ranks, m)), int(round(n))))
     out = pd.DataFrame(rows, columns=[group, "q", "value", "n"])
     return out.sort_values([group, "q"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# exact grouped COUNT(DISTINCT) — the exact companion of the HLL sketch
+# --------------------------------------------------------------------------
+def grouped_count_distinct(ds: rd.Dataset, group: str, val: str,
+                           n_buckets: int | None = None) -> pd.DataFrame:
+    """Exact ``COUNT(DISTINCT val) GROUP BY group`` without ever
+    shuffling raw rows twice: per-batch (group, val) pair dedup (the
+    combiner — web-scale inputs collapse hard here), ONE hash-bucket
+    exchange on the pair, per-bucket global dedup + per-group partial
+    counts (thin), then a tiny final merge over #groups × #buckets
+    partials.  SQL semantics: NULL ``val`` rows don't count; a NULL
+    ``group`` is its own group.  Exactness makes this the oracle-backed
+    complement of :func:`hll_distinct_grouped` (q48/q71)."""
+    from ..functions.hashing import hash_strings
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group: t[group].to_pandas(),
+                           "__v": t[val].to_pandas()})
+        df = df[df["__v"].notna()].drop_duplicates()
+        # deterministic pair bucket: string-render both sides (stable
+        # across processes, unlike Python hash)
+        pair = (df[group].astype(str) + "\x1f" + df["__v"].astype(str))
+        b = (hash_strings(pair.to_numpy(dtype=object))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                group: pa.Array.from_pandas(df[group]),
+                "__v": pa.Array.from_pandas(df["__v"]),
+                "__bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates([group, "__v"])
+        out = (
+            u.groupby(group, sort=False, dropna=False)
+            .size()
+            .rename("n_distinct")
+            .reset_index()
+        )
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out[[group, "n_distinct"]]
+
+    parts = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame({group: pd.Series(dtype=object),
+                             "n_distinct": pd.Series(dtype=np.int64)})
+    out = (
+        parts.groupby(group, sort=False, dropna=False)["n_distinct"]
+        .sum()
+        .astype(np.int64)
+        .reset_index()
+    )
+    return out.sort_values(group).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# global correlation / covariance via mergeable moment partials
+# --------------------------------------------------------------------------
+def corr_stats(ds: rd.Dataset, x: str, y: str) -> pd.DataFrame:
+    """Pearson correlation + sample covariance of two columns in ONE
+    streaming pass: per-batch moment partials (n, Σx, Σy, Σx², Σy²,
+    Σxy — six doubles per block, the canonical mergeable-statistic
+    shape), merged on the driver.  Float sums associate differently
+    than DuckDB's streaming kernel, so parity is to round-off — the
+    oracle compares at ROUND(…, 6).  Rows where either side is NULL
+    are skipped (SQL CORR/COVAR semantics).
+
+    Returns DataFrame (n, corr, covar_samp)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~(np.isnan(xv) | np.isnan(yv))
+        xv, yv = xv[m], yv[m]
+        return pa.table(
+            {
+                "n": pa.array([len(xv)], pa.int64()),
+                "sx": pa.array([float(xv.sum())], pa.float64()),
+                "sy": pa.array([float(yv.sum())], pa.float64()),
+                "sxx": pa.array([float((xv * xv).sum())], pa.float64()),
+                "syy": pa.array([float((yv * yv).sum())], pa.float64()),
+                "sxy": pa.array([float((xv * yv).sum())], pa.float64()),
+            }
+        )
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    if n < 2:
+        return pd.DataFrame({"n": [n], "corr": [np.nan],
+                             "covar_samp": [np.nan]})
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    sxx, syy, sxy = p["sxx"].sum(), p["syy"].sum(), p["sxy"].sum()
+    cov = (sxy - sx * sy / n) / (n - 1)
+    vx = (sxx - sx * sx / n) / (n - 1)
+    vy = (syy - sy * sy / n) / (n - 1)
+    corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({"n": [n], "corr": [round(float(corr), 6)],
+                         "covar_samp": [round(float(cov), 6)]})

@@ -529,3 +529,86 @@ def test_running_sum_null_keys_one_partition(ray_session):
     )
     # both null-key rows share one running partition: 100 then 300 cents
     assert out[out["u"].isna()]["running_cents"].tolist() == [100, 300]
+
+
+class TestKeyedMovingAgg:
+    def test_window_one_is_identity(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_moving_agg
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "b", "a", "b"],
+            "ts": pd.to_datetime([1, 2, 1, 3, 2], unit="s"),
+            "v": [1.5, -2.25, 3.0, 0.05, -0.005],
+        })
+        out = keyed_moving_agg(rd.from_pandas(df), by="k", ts_col="ts",
+                               val_col="v", window=1).to_pandas()
+        cents = {("a", 1): 150, ("a", 2): -225, ("a", 3): 5,
+                 ("b", 1): 300, ("b", 2): -1}  # -0.005 → round half away → -1
+        for _, r in out.iterrows():
+            c = cents[(r["k"], r["ts_us"] // 1_000_000)]
+            assert r["mov_sum_cents"] == r["mov_min_cents"] == r["mov_max_cents"] == c
+            assert r["mov_n"] == 1
+
+    def test_matches_pandas_rolling(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_moving_agg
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 50, n),
+            "ts": pd.to_datetime(rng.permutation(n), unit="s"),
+            "v": np.round(rng.normal(0, 100, n), 2),
+        })
+        w = 7
+        out = (keyed_moving_agg(rd.from_pandas(df).repartition(8), by="k",
+                                ts_col="ts", val_col="v", window=w)
+               .to_pandas().sort_values(["k", "ts_us"]).reset_index(drop=True))
+        ref = df.copy()
+        v100 = ref["v"].to_numpy() * 100.0
+        ref["c"] = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
+        ref = ref.sort_values(["k", "ts"]).reset_index(drop=True)
+        g = ref.groupby("k", sort=False)["c"]
+        assert (out["mov_sum_cents"].to_numpy()
+                == g.rolling(w, min_periods=1).sum().to_numpy().astype(np.int64)).all()
+        assert (out["mov_min_cents"].to_numpy()
+                == g.rolling(w, min_periods=1).min().to_numpy().astype(np.int64)).all()
+        assert (out["mov_max_cents"].to_numpy()
+                == g.rolling(w, min_periods=1).max().to_numpy().astype(np.int64)).all()
+
+    def test_bad_window_raises(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_moving_agg
+
+        with pytest.raises(ValueError, match="window"):
+            keyed_moving_agg(rd.from_pandas(pd.DataFrame({"k": [1]})),
+                             by="k", ts_col="k", val_col="k", window=0)
+
+
+class TestKeyedFrameStats:
+    def test_first_last_rank(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_frame_stats
+
+        df = pd.DataFrame({
+            "k": ["x", "x", "x", "y"],
+            "ts": pd.to_datetime([3, 1, 2, 5], unit="s"),
+            "v": [9.0, 1.0, 5.0, 7.0],
+        })
+        out = (keyed_frame_stats(rd.from_pandas(df), by="k", ts_col="ts",
+                                 val_col="v")
+               .to_pandas().sort_values(["k", "ts_us"]).reset_index(drop=True))
+        assert out["first_cents"].tolist() == [100, 100, 100, 700]
+        assert out["last_cents"].tolist() == [900, 900, 900, 700]
+        assert out["pct_rank"].tolist() == [0.0, 0.5, 1.0, 0.0]

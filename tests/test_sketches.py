@@ -370,3 +370,74 @@ class TestTDigestEmptyInput:
         ).filter(expr="value > 1000")
         out = tdigest_quantiles(filtered, "value", qs=(0.25, 0.75))
         assert list(out["n"]) == [0, 0] and np.isnan(out["value"]).all()
+
+
+class TestGroupedCountDistinct:
+    def test_nulls_and_exactness(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_count_distinct,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 400, n).astype("float64"),
+        })
+        df.loc[df.index[:100], "v"] = np.nan  # NULLs must not count
+        out = grouped_count_distinct(rd.from_pandas(df).repartition(8),
+                                     "g", "v")
+        ref = df.dropna(subset=["v"]).groupby("g")["v"].nunique()
+        assert dict(zip(out["g"], out["n_distinct"])) == ref.to_dict()
+
+    def test_empty(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_count_distinct,
+        )
+
+        ds = rd.from_arrow(pa.table({"g": pa.array([], pa.string()),
+                                     "v": pa.array([], pa.int64())}))
+        out = grouped_count_distinct(ds, "g", "v")
+        assert len(out) == 0 and list(out.columns) == ["g", "n_distinct"]
+
+
+class TestCorrStats:
+    def test_matches_numpy(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import corr_stats
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 3, 3000)
+        y = 2.0 * x + rng.normal(0, 1, 3000)
+        out = corr_stats(
+            rd.from_pandas(pd.DataFrame({"x": x, "y": y})).repartition(6),
+            "x", "y")
+        assert out["n"][0] == 3000
+        assert abs(out["corr"][0] - np.corrcoef(x, y)[0, 1]) < 1e-6
+        assert abs(out["covar_samp"][0] - np.cov(x, y, ddof=1)[0, 1]) < 1e-4
+
+    def test_degenerate(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import corr_stats
+
+        one = corr_stats(
+            rd.from_pandas(pd.DataFrame({"x": [1.0], "y": [2.0]})), "x", "y")
+        assert one["n"][0] == 1 and np.isnan(one["corr"][0])
+        const = corr_stats(
+            rd.from_pandas(pd.DataFrame({"x": [1.0] * 10,
+                                         "y": list(range(10))})), "x", "y")
+        assert np.isnan(const["corr"][0])  # zero variance side
