@@ -1552,6 +1552,46 @@ def q87_frame_stats(sf_dir: str):
     )
 
 
+def q88_cube(sf_dir: str):
+    """GROUP BY CUBE aggregate (stages/sketches.cube_agg): count + char
+    total at every subset of (lang, source) — 2^k grouping sets, only
+    the finest touching the data (q69 ROLLUP's lattice completion)."""
+    from ..stages.sketches import cube_agg
+
+    out = cube_agg(
+        _t(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"], "n_chars",
+    )
+    out["sum_val"] = out["sum_val"].astype("int64")
+    return out
+
+
+def q89_mode(sf_dir: str):
+    """Deterministic per-group MODE (stages/sketches.grouped_mode):
+    most frequent user per event type, ties to the smallest id —
+    per-batch count combiner, one group-hash exchange, per-bucket
+    argmax."""
+    from ..stages.sketches import grouped_mode
+
+    return grouped_mode(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+
+def q90_histogram(sf_dir: str):
+    """Fixed-width distributed histogram (stages/sketches.
+    histogram_fixed): 24 × 5000-wide price bins over lineitem —
+    per-batch bincount partials (n_bins ints per block), driver sum,
+    empty bins kept."""
+    from ..stages.sketches import histogram_fixed
+
+    return histogram_fixed(
+        _t(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice", 0.0, 120_000.0, 24,
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1742,6 +1782,9 @@ QUERIES = {
     "q85_count_distinct": q85_count_distinct,
     "q86_corr": q86_corr,
     "q87_frame_stats": q87_frame_stats,
+    "q88_cube": q88_cube,
+    "q89_mode": q89_mode,
+    "q90_histogram": q90_histogram,
 }
 
 ORACLE_SQL = {
@@ -2221,6 +2264,31 @@ ORACLE_SQL = {
                w2 AS (PARTITION BY user_id ORDER BY ts
                       ROWS BETWEEN UNBOUNDED PRECEDING
                       AND UNBOUNDED FOLLOWING)
+    """,
+    "q88_cube": """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_val
+        FROM documents GROUP BY CUBE(lang, source)
+    """,
+    "q89_mode": """
+        WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, user_id, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY cnt DESC, user_id) AS rn
+              FROM c)
+        SELECT event_type, CAST(user_id AS BIGINT) AS mode_val,
+               CAST(cnt AS BIGINT) AS n
+        FROM r WHERE rn = 1
+    """,
+    "q90_histogram": """
+        WITH b AS (SELECT LEAST(GREATEST(
+                     CAST(FLOOR((l_extendedprice - 0.0) / 5000.0) AS BIGINT),
+                     0), 23) AS bin FROM lineitem),
+        c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+        SELECT r.bin, ROUND(0.0 + 5000.0 * r.bin, 6) AS lo_edge,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM range(0, 24) AS r(bin) LEFT JOIN c USING (bin)
     """,
 }
 

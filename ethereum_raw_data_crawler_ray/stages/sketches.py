@@ -856,3 +856,131 @@ def corr_stats(ds: rd.Dataset, x: str, y: str) -> pd.DataFrame:
     corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
     return pd.DataFrame({"n": [n], "corr": [round(float(corr), 6)],
                          "covar_samp": [round(float(cov), 6)]})
+
+
+def cube_agg(ds: rd.Dataset, keys: list[str], val: str) -> pd.DataFrame:
+    """``GROUP BY CUBE(keys...)``: count + sum at EVERY subset of
+    ``keys`` (2^k grouping sets), omitted columns as NULL — SQL CUBE
+    semantics.  Same scale shape as :func:`rollup_agg`: only the finest
+    level runs over the data; every other grouping set re-aggregates
+    the finest, distinct-combination-sized result."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        ds.groupby(keys)
+        .aggregate(Count(alias_name="n"), Sum(val, alias_name="sum_val"))
+        .to_pandas()
+    )
+    levels = [finest[keys + ["n", "sum_val"]]]
+    subsets = [
+        list(c)
+        for r in range(len(keys) - 1, -1, -1)
+        for c in combinations(keys, r)
+    ]
+    for sub in subsets:
+        if sub:
+            g = finest.groupby(sub, as_index=False, dropna=False)[
+                ["n", "sum_val"]
+            ].sum()
+        else:
+            g = pd.DataFrame({"n": [finest["n"].sum()],
+                              "sum_val": [finest["sum_val"].sum()]})
+        for k in keys:
+            if k not in sub:
+                g[k] = None
+        levels.append(g[keys + ["n", "sum_val"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def grouped_mode(ds: rd.Dataset, group: str, val: str,
+                 n_buckets: int | None = None) -> pd.DataFrame:
+    """Deterministic per-group MODE: the most frequent ``val`` per
+    ``group``, ties broken by the smallest value (SQL-expressible as
+    ROW_NUMBER over (cnt DESC, val)).  Per-batch (group, val) count
+    combiner → one exchange bucketed by GROUP hash (all of a group's
+    value counts co-locate) → per-bucket merge + argmax.  NULL vals
+    don't compete (SQL aggregate semantics).
+
+    Returns (group, mode_val, n) sorted by group."""
+    from ..functions.hashing import hash_strings
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group: t[group].to_pandas(),
+                           "__v": t[val].to_pandas()})
+        df = df[df["__v"].notna()]
+        c = (df.groupby([group, "__v"], sort=False, dropna=False)
+             .size().rename("cnt").reset_index())
+        b = (hash_strings(c[group].astype(str).to_numpy(dtype=object))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                group: pa.Array.from_pandas(c[group]),
+                "__v": pa.Array.from_pandas(c["__v"]),
+                "cnt": pa.array(c["cnt"].to_numpy(np.int64)),
+                "__bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby([group, "__v"], sort=False)["cnt"].sum()
+             .reset_index())
+        # argmax with min-value tie-break: sort (cnt desc, val asc),
+        # keep each group's first row — one C-level pass
+        m = m.sort_values(["cnt", "__v"], ascending=[False, True],
+                          kind="mergesort")
+        m = m.drop_duplicates(subset=[group], keep="first")
+        return pd.DataFrame({group: m[group],
+                             "mode_val": m["__v"],
+                             "n": m["cnt"].astype(np.int64)})
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame({group: pd.Series(dtype=object),
+                             "mode_val": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    return out.sort_values(group).reset_index(drop=True)
+
+
+def histogram_fixed(ds: rd.Dataset, col: str, lo: float, hi: float,
+                    n_bins: int) -> pd.DataFrame:
+    """Fixed-width histogram over [lo, hi): per-batch ``np.bincount``
+    partials (n_bins ints per block — the cheapest possible combiner),
+    summed on the driver.  Out-of-range values clamp into the edge
+    bins, matching the oracle's LEAST/GREATEST clamp; the bin index is
+    the same IEEE double FLOOR((v−lo)/w) both sides compute.
+
+    Returns (bin, lo_edge, n) — one row per bin, empty bins included."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    w = (hi - lo) / n_bins
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, n_bins - 1)
+        return pa.table({"counts": pa.array([np.bincount(b, minlength=n_bins)
+                                             .astype(np.int64).tobytes()],
+                                            type=pa.binary())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    total = np.zeros(n_bins, dtype=np.int64)
+    for blob in parts["counts"]:
+        total += np.frombuffer(blob, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "lo_edge": np.round(lo + w * np.arange(n_bins), 6),
+            "n": total,
+        }
+    )

@@ -441,3 +441,57 @@ class TestCorrStats:
             rd.from_pandas(pd.DataFrame({"x": [1.0] * 10,
                                          "y": list(range(10))})), "x", "y")
         assert np.isnan(const["corr"][0])  # zero variance side
+
+
+class TestCubeModeHistogram:
+    def test_cube_grouping_sets(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import cube_agg
+
+        df = pd.DataFrame({
+            "a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4],
+        })
+        out = cube_agg(rd.from_pandas(df), ["a", "b"], "v")
+        # 2^2 grouping sets: finest(3) + by-a(2) + by-b(2) + total(1)
+        assert len(out) == 8
+        tot = out[out["a"].isna() & out["b"].isna()]
+        assert tot["n"].iloc[0] == 3 and tot["sum_val"].iloc[0] == 7
+        by_b = out[out["a"].isna() & (out["b"] == "p")]
+        assert by_b["sum_val"].iloc[0] == 5
+
+    def test_mode_tie_breaks_to_smallest(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import grouped_mode
+
+        df = pd.DataFrame({
+            "g": ["a"] * 4 + ["b"] * 3,
+            "v": [7, 7, 3, 3, 9, 1, 1],
+        })
+        out = grouped_mode(rd.from_pandas(df).repartition(3), "g", "v")
+        got = dict(zip(out["g"], zip(out["mode_val"], out["n"])))
+        assert got == {"a": (3, 2), "b": (1, 2)}  # tie a: min(3,7)=3
+
+    def test_histogram_clamps_and_keeps_empty_bins(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            histogram_fixed,
+        )
+
+        df = pd.DataFrame({"v": [-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 120.0]})
+        out = histogram_fixed(rd.from_pandas(df).repartition(2), "v",
+                              0.0, 100.0, 10)
+        assert len(out) == 10 and out["n"].sum() == 7
+        n = dict(zip(out["bin"], out["n"]))
+        assert n[0] == 3          # -5 clamps in, 0.0, 9.9
+        assert n[1] == 1 and n[2] == 1 and n[9] == 2  # 99 + clamped 120
+        assert n[3] == 0          # empty bins present
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            histogram_fixed(rd.from_pandas(df), "v", 5.0, 5.0, 10)
