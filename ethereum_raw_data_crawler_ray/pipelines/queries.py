@@ -609,6 +609,27 @@ def q28_knn_brute(sf_dir: str):
     return out[["vec_id", "rank"]].sort_values("rank").reset_index(drop=True)
 
 
+def q91_knn_multi(sf_dir: str):
+    """Batched exact ANN: cosine top-10 for FOUR query vectors at once
+    — ONE broadcast query matrix, one per-batch matmul emitting each
+    query's partial top-k, per-query merge (the realistic many-query
+    retrieval shape; the per-batch work is a single (B×d)·(d×Q) GEMM
+    regardless of Q)."""
+    t = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < pa.scalar(4)),
+    ).to_pandas().sort_values("vec_id")
+    q = np.asarray(list(t["embedding"]), dtype=np.float32)
+    out = ann.knn_bruteforce(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+    ).to_pandas()
+    out = out[["query_id", "vec_id", "rank"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    return out
+
+
 def q29_knn_ivf(sf_dir: str):
     """Approximate top-10 via IVF coarse quantization — the scale path
     (no oracle; recall vs brute force asserted in tests)."""
@@ -1785,6 +1806,7 @@ QUERIES = {
     "q88_cube": q88_cube,
     "q89_mode": q89_mode,
     "q90_histogram": q90_histogram,
+    "q91_knn_multi": q91_knn_multi,
 }
 
 ORACLE_SQL = {
@@ -2289,6 +2311,20 @@ ORACLE_SQL = {
         SELECT r.bin, ROUND(0.0 + 5000.0 * r.bin, 6) AS lo_edge,
                CAST(COALESCE(c.n, 0) AS BIGINT) AS n
         FROM range(0, 24) AS r(bin) LEFT JOIN c USING (bin)
+    """,
+    "q91_knn_multi": """
+        WITH s AS (
+          SELECT q.vec_id AS query_id, e.vec_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS sim
+          FROM embeddings q CROSS JOIN embeddings e
+          WHERE q.vec_id < 4),
+        r AS (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) - 1 AS rank
+              FROM s)
+        SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank < 10
     """,
 }
 
