@@ -636,10 +636,14 @@ class CrawlPipeline:
         tag = f"r{r:05d}b{batch_no}"
         for fi, path in enumerate(files):
             try:
-                t = _read_push(path, ("url", "warc_ts"))
+                # pages payloads feed the fetch index: the store shards
+                # read (url, warc_ts, html, lang) from every index file,
+                # so all four are required — a file missing one would
+                # poison every later store load, not just this batch
+                t = _read_push(path, ("url", "warc_ts", "html", "lang"))
                 # the frontier build casts warc_ts→int64: validate now so
                 # a bad file is quarantined instead of poisoning the
-                # whole-batch concat below
+                # per-file frontier build below
                 t["warc_ts"].combine_chunks().cast(pa.int64())
             except _PUSH_ERRORS as e:
                 _quarantine(path, e)
@@ -685,13 +689,17 @@ class CrawlPipeline:
             )
 
         fts = []
-        if tables:
-            # pages channel (newHeads analog): payload + frontier
-            allt = pa.concat_tables(tables)
+        # pages channel (newHeads analog): payload + frontier. Frontier
+        # rows build PER FILE — concatenating whole pushed tables would
+        # reintroduce the cross-file poison the quarantine just removed
+        # (two individually-valid files with divergent payload schemas
+        # crash a plain concat); _frontier_rows output is always the
+        # fixed FRONTIER schema, so the fts concat below is safe.
+        for t in tables:
             fts.append(_frontier_rows(
-                allt["url"].to_pylist(),
-                np.asarray(allt["warc_ts"].cast(pa.int64()).to_pandas(),
-                           dtype=np.int64),
+                t["url"].to_pylist(),
+                np.asarray(t["warc_ts"].combine_chunks().cast(pa.int64())
+                           .to_pandas(), dtype=np.int64),
                 None,
             ))
         for path in url_files:

@@ -175,7 +175,9 @@ def _keep_keys(t: pa.Table, *, key_col: str, keys_ref) -> pa.Table:
 
 def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
                        n_perm: int = 64, n_bands: int = 16,
-                       max_bucket: int = 64) -> rd.Dataset:
+                       max_bucket: int = 64,
+                       driver_merge_rows: int = 5_000_000,
+                       max_keys_broadcast: int = 5_000_000) -> rd.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     shingle → minhash → band → bucket groupby (the guide's canonical
     shape); pairs are emitted per bucket with estimated signature
@@ -218,14 +220,74 @@ def minhash_candidates(ds: rd.Dataset, text_col: str, id_col: str,
         batch_format="pyarrow",
         batch_size=512,
     ).materialize()
-    keys = multi_bucket_keys(sigs, "band_key", max_bucket)
-    if len(keys) == 0:
-        return rd.from_pandas(_EMPTY)
-    keys_ref = ray.put(keys)
-    cand = sigs.map_batches(
-        _keep_keys, fn_kwargs=dict(key_col="band_key", keys_ref=keys_ref),
-        batch_format="pyarrow",
-    )
+    n_sig_rows = sigs.count()
+    if n_sig_rows <= driver_merge_rows:
+        # few signature rows → the multi-bucket key list is even smaller
+        # (≤ half of them): driver count-merge + broadcast stream-filter
+        keys = multi_bucket_keys(sigs, "band_key", max_bucket,
+                                 driver_merge_rows=driver_merge_rows)
+        if len(keys) == 0:
+            return rd.from_pandas(_EMPTY)
+        keys_ref = ray.put(keys)
+        cand = sigs.map_batches(
+            _keep_keys, fn_kwargs=dict(key_col="band_key", keys_ref=keys_ref),
+            batch_format="pyarrow",
+        )
+    else:
+        # dup-heavy / corpus-scale regime (the r04-verdict failure mode
+        # of "candidates << corpus"): the multi-member key set can be
+        # O(corpus), so it must never collapse onto the driver.  Count
+        # the keys distributed, and either broadcast the (measured-
+        # small) key array or — past the guard — semi-join the
+        # signature rows against the key Dataset (one bucket exchange).
+        from .joins import _default_buckets, hash_join
+
+        nb = _default_buckets()
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            k = np.asarray(t["band_key"].to_pandas(), dtype=np.int64)
+            b = (k.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+            return pa.table({"band_key": pa.array(k, type=pa.int64()),
+                             "__b": pa.array(b, type=pa.int64())})
+
+        def count_keys(g: pd.DataFrame) -> pd.DataFrame:
+            # bucketed C-kernel count — Ray's sort-based per-key
+            # aggregate pays ~0.2-1 ms/key on this singleton-dominated
+            # key space (the q55 lesson)
+            vc = g["band_key"].value_counts()
+            keep = vc[(vc >= 2) & (vc <= max_bucket)]
+            return pd.DataFrame(
+                {"band_key": keep.index.to_numpy(np.int64)}
+            )
+
+        keys_ds = (
+            sigs.select_columns(["band_key"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(count_keys, batch_format="pandas")
+            .materialize()
+        )
+        n_keys = keys_ds.count()
+        if n_keys == 0:
+            return rd.from_pandas(_EMPTY)
+        if n_keys <= max_keys_broadcast:
+            keys = np.sort(
+                keys_ds.to_pandas()["band_key"].to_numpy(dtype=np.int64)
+            )
+            keys_ref = ray.put(keys)
+            cand = sigs.map_batches(
+                _keep_keys,
+                fn_kwargs=dict(key_col="band_key", keys_ref=keys_ref),
+                batch_format="pyarrow",
+            )
+        else:
+            cand = hash_join(
+                sigs, keys_ds, on="band_key", right_cols=[], how="semi",
+                left_fields=[pa.field(id_col, pa.int64()),
+                             pa.field("band_key", pa.int64()),
+                             pa.field("sig", pa.binary())],
+                right_fields=[pa.field("band_key", pa.int64())],
+            )
     # groupby/map_groups parallelism follows the input block count; the
     # filtered candidate rows collapse to few blocks — spread them
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

@@ -968,20 +968,55 @@ class TestWatchIngest:
         # one GOOD announcement in the same batch
         pq.write_table(pa.table({"url": pa.array(["http://good.test/ok"])}),
                        os.path.join(wd, "urls", "good.parquet"))
+        # two individually-VALID pages files with divergent schemas
+        # (warc_ts int64 vs timestamp; an extra column in one): frontier
+        # rows build per file, so the pair must ingest — a whole-batch
+        # concat would crash on the mismatch
+        def _page(url, ts, extra=False):
+            cols = {"url": pa.array([url]),
+                    "warc_ts": ts,
+                    "html": pa.array([b"<p>x</p>"], pa.binary()),
+                    "lang": pa.array(["en"])}
+            if extra:
+                cols["extra_col"] = pa.array(["meta"])
+            return pa.table(cols)
+
+        pq.write_table(
+            _page("http://good.test/p1", pa.array([7], pa.int64())),
+            os.path.join(wd, "pages", "good_a.parquet"),
+        )
+        pq.write_table(
+            _page("http://good.test/p2",
+                  pa.array([pd.Timestamp(8, unit="s")], pa.timestamp("us")),
+                  extra=True),
+            os.path.join(wd, "pages", "good_b.parquet"),
+        )
+        # pages file missing lang: the store shards read it from every
+        # index file, so this must quarantine too
+        pq.write_table(
+            pa.table({"url": pa.array(["http://good.test/p3"]),
+                      "warc_ts": pa.array([9], pa.int64()),
+                      "html": pa.array([b"<p>y</p>"], pa.binary())}),
+            os.path.join(wd, "pages", "no_lang.parquet"),
+        )
 
         pipe = CrawlPipeline(cfg)
         pipe.prepare()
         pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
         pipe._backfill_offers(0)
         n = pipe.ingest_new_pages(0)  # must NOT raise
-        assert n >= 1  # the good announcement made it to the frontier
+        # good announcement + the two schema-divergent good pages
+        assert n >= 3
 
         bad = {os.path.join("pages", "junk.parquet"),
                os.path.join("pages", "no_ts.parquet"),
                os.path.join("pages", "int_url.parquet"),
+               os.path.join("pages", "no_lang.parquet"),
                os.path.join("urls", "no_url.parquet")}
         processed = pipe._processed_watch_files()
-        assert bad | {os.path.join("urls", "good.parquet")} <= processed
+        assert bad | {os.path.join("urls", "good.parquet"),
+                      os.path.join("pages", "good_a.parquet"),
+                      os.path.join("pages", "good_b.parquet")} <= processed
         rej: dict = {}
         for p in _glob.glob(os.path.join(cfg.out_dir, "ingest", "*", "*",
                                          "_REJECTED.json")):

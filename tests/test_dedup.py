@@ -277,3 +277,24 @@ class TestParagraphDedup:
         )
         re = dedup_paragraphs(rd.from_pandas(docs)).to_pandas()
         assert re.set_index("doc_id")["text_dedup"].to_dict() == {1: "xx"}
+
+
+class TestMinhashCandidatePaths:
+    def test_three_key_paths_equivalent(self, ray_session):
+        # the multi-bucket key set must never be forced through the
+        # driver on dup-heavy corpora: driver count-merge + broadcast
+        # (default), distributed count + broadcast, and distributed
+        # count + semi-join must all emit the SAME candidate pairs
+        docs = _mk_docs(1_500, 12)
+        ds = rd.from_pandas(docs).repartition(6)
+
+        def pairs(**kw):
+            out = dedup.minhash_candidates(ds, "text", "doc_id", **kw)
+            df = out.to_pandas().drop_duplicates(["id_a", "id_b"])
+            return sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+        a = pairs()
+        b = pairs(driver_merge_rows=0)                      # distributed count
+        c = pairs(driver_merge_rows=0, max_keys_broadcast=0)  # semi-join keys
+        assert a == b == c
+        assert len(a) >= 12  # the planted near-dup pairs are all there
