@@ -97,21 +97,27 @@ class EventsConsumer:
             except (FileNotFoundError, OSError, pa.ArrowInvalid):
                 # republish window — normally visible again next pull.
                 # But a round that stays unreadable PERMANENTLY (corrupt
-                # payload, or vanished under retention cleanup) while
-                # NEWER rounds exist would re-probe forever: probes burn
-                # no delivery and the round can never be acked.  Count
-                # failed probes only when a higher round is published (a
-                # replayed resume rewrites the NEWEST rounds, so those
-                # stay in the grace window) and dead-letter after
-                # max_deliver of them (ADVICE r04).
+                # payload, or vanished under retention cleanup) would
+                # re-probe forever: probes burn no delivery and the
+                # round can never be acked.  A probe counts only when a
+                # higher round is published AND the publish high-water
+                # mark ADVANCED since this round's previous probe — a
+                # transient rmtree+rename race during a resume replay
+                # can thus burn at most ONE probe per publish epoch,
+                # while a round still unreadable after max_deliver NEW
+                # rounds were published is dead-lettered (ADVICE r04).
                 published = self._published_rounds()
-                if published and r < max(published):
+                hwm = max(published) if published else -1
+                if hwm > r:
                     probes = self._state.setdefault("probes", {})
-                    probes[key] = probes.get(key, 0) + 1
-                    if probes[key] >= self.max_deliver:
-                        self._state["dead"].append(r)
-                        probes.pop(key, None)
-                    self._persist()
+                    count_hwm = probes.get(key, [0, -1])
+                    if hwm > count_hwm[1]:
+                        count_hwm = [count_hwm[0] + 1, hwm]
+                        probes[key] = count_hwm
+                        if count_hwm[0] >= self.max_deliver:
+                            self._state["dead"].append(r)
+                            probes.pop(key, None)
+                        self._persist()
                 continue
             self._state["deliveries"][key] = count
             self._state.setdefault("probes", {}).pop(key, None)

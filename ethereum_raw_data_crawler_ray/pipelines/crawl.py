@@ -696,10 +696,18 @@ class CrawlPipeline:
         # crash a plain concat); _frontier_rows output is always the
         # fixed FRONTIER schema, so the fts concat below is safe.
         for t in tables:
+            # fill nulls BEFORE the numpy cast (same rule as the urls
+            # channel's priority): a null warc_ts would silently become
+            # INT64_MIN and jump the row to an extreme of the frontier
+            # ordering (warc_ts is the comparator's third key)
             fts.append(_frontier_rows(
                 t["url"].to_pylist(),
-                np.asarray(t["warc_ts"].combine_chunks().cast(pa.int64())
-                           .to_pandas(), dtype=np.int64),
+                np.asarray(
+                    pc.fill_null(
+                        t["warc_ts"].combine_chunks().cast(pa.int64()), 0
+                    ).to_pandas(),
+                    dtype=np.int64,
+                ),
                 None,
             ))
         for path in url_files:

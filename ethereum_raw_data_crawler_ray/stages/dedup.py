@@ -318,7 +318,7 @@ def near_dup_groups(
     ds: rd.Dataset, text_col: str, id_col: str, threshold: float = 0.8,
     n_perm: int = 64, n_bands: int = 16, max_bucket: int = 64,
     distribute: str = "auto", max_driver_pairs: int = 2_000_000,
-    n_buckets: int | None = None,
+    n_buckets: int | None = None, max_posting: int | None = None,
 ) -> rd.Dataset:
     """Near-dup grouping (the flagship LLM-data operator): LSH
     candidates → word-3-gram-Jaccard verification of candidate pairs →
@@ -347,6 +347,15 @@ def near_dup_groups(
       counts them, and picks broadcast at ≤ ``max_driver_pairs``,
       shuffle above — the same guard pattern as tfidf/lm_score.
 
+    ``max_posting`` (shuffle plan only; same knob as
+    :func:`..corpus.jaccard_ngram_pairs`): a stop-gram shared by k
+    candidate docs emits k(k−1)/2 co-occurrence rows into ONE bucket
+    before the candidate restriction applies — on true web corpora set
+    this (e.g. 10⁴) to drop such posting lists; a capped gram only
+    lowers the measured intersection of pairs that share it, and pairs
+    sharing ONLY stop-grams are overwhelmingly non-dups.  The default
+    ``None`` keeps exact parity with the broadcast plan.
+
     Output: one row per document, (id_col, group_id); group_id is the
     minimum doc id of the group (singletons map to themselves)."""
     if distribute not in ("auto", "broadcast", "shuffle"):
@@ -368,7 +377,8 @@ def near_dup_groups(
         distribute == "auto" and n_pairs > max_driver_pairs
     ):
         return _near_dup_groups_shuffle(
-            ds, ids_only, pairs_ds, text_col, id_col, threshold, n_buckets
+            ds, ids_only, pairs_ds, text_col, id_col, threshold, n_buckets,
+            max_posting,
         )
     return _near_dup_groups_broadcast(
         ds, ids_only, pairs_ds, text_col, id_col, threshold
@@ -467,7 +477,7 @@ _EMPTY_DOC_GRAM = np.int64(-0x61C8864680B583EB)
 def _near_dup_groups_shuffle(
     ds: rd.Dataset, ids_only: rd.Dataset, pairs_ds: rd.Dataset,
     text_col: str, id_col: str, threshold: float,
-    n_buckets: int | None,
+    n_buckets: int | None, max_posting: int | None = None,
 ) -> rd.Dataset:
     """Fully-distributed plan — see :func:`near_dup_groups`. Exchanges:
     candidate-id dedup (thin ids), doc semi-join (one bucket exchange),
@@ -559,7 +569,8 @@ def _near_dup_groups_shuffle(
         cand_docs.map_batches(gram_rows, batch_format="pyarrow")
         .map_batches(gram_bucket, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(lambda g: _posting_pairs(g, None), batch_format="pandas")
+        .map_groups(lambda g: _posting_pairs(g, max_posting),
+                    batch_format="pandas")
     )
 
     # -- tagged union: shared-gram co-occurrence rows (side 0) + the LSH

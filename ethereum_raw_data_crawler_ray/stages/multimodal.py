@@ -193,7 +193,9 @@ class ResizeStage:
                     return out.getvalue(), True
             except Exception:
                 return blob, False
-        if blob[:8] != _MAGIC:
+        if blob[:8] != _MAGIC or len(blob) < 16:
+            # bad magic OR a truncated header (magic present but fewer
+            # than 16 bytes would crash struct.unpack): flag, don't kill
             return blob, False
         w, h = struct.unpack("<II", blob[8:16])
         body = np.frombuffer(blob[16:], dtype=np.uint8)

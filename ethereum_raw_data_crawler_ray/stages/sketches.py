@@ -770,7 +770,11 @@ def grouped_count_distinct(ds: rd.Dataset, group: str, val: str,
     def part(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({group: t[group].to_pandas(),
                            "__v": t[val].to_pandas()})
-        df = df[df["__v"].notna()].drop_duplicates()
+        # NULL vals are kept as ONE pair per group: they don't count
+        # toward the distinct total (pandas count() skips them below),
+        # but they keep an all-NULL group ALIVE so it reports
+        # n_distinct=0 like SQL, instead of vanishing from the output
+        df = df.drop_duplicates()
         # deterministic pair bucket: string-render both sides (stable
         # across processes, unlike Python hash)
         pair = (df[group].astype(str) + "\x1f" + df["__v"].astype(str))
@@ -787,8 +791,8 @@ def grouped_count_distinct(ds: rd.Dataset, group: str, val: str,
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         u = g.drop_duplicates([group, "__v"])
         out = (
-            u.groupby(group, sort=False, dropna=False)
-            .size()
+            u.groupby(group, sort=False, dropna=False)["__v"]
+            .count()  # count() excludes NULL values (SQL COUNT DISTINCT)
             .rename("n_distinct")
             .reset_index()
         )
@@ -902,8 +906,10 @@ def grouped_mode(ds: rd.Dataset, group: str, val: str,
     ``group``, ties broken by the smallest value (SQL-expressible as
     ROW_NUMBER over (cnt DESC, val)).  Per-batch (group, val) count
     combiner → one exchange bucketed by GROUP hash (all of a group's
-    value counts co-locate) → per-bucket merge + argmax.  NULL vals
-    don't compete (SQL aggregate semantics).
+    value counts co-locate) → per-bucket merge + argmax.  NULL is a
+    value candidate exactly as in the SQL oracle's GROUP BY: it loses
+    every tie (NULLS LAST — pandas' na_position='last' matches DuckDB's
+    ASC default) but wins when strictly most frequent.
 
     Returns (group, mode_val, n) sorted by group."""
     from ..functions.hashing import hash_strings
@@ -913,7 +919,6 @@ def grouped_mode(ds: rd.Dataset, group: str, val: str,
     def part(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({group: t[group].to_pandas(),
                            "__v": t[val].to_pandas()})
-        df = df[df["__v"].notna()]
         c = (df.groupby([group, "__v"], sort=False, dropna=False)
              .size().rename("cnt").reset_index())
         b = (hash_strings(c[group].astype(str).to_numpy(dtype=object))
@@ -928,7 +933,9 @@ def grouped_mode(ds: rd.Dataset, group: str, val: str,
         )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        m = (g.groupby([group, "__v"], sort=False)["cnt"].sum()
+        # dropna=False: NULL value candidates must survive the merge
+        # (pandas' default silently drops NaN keys — the r03 lesson)
+        m = (g.groupby([group, "__v"], sort=False, dropna=False)["cnt"].sum()
              .reset_index())
         # argmax with min-value tie-break: sort (cnt desc, val asc),
         # keep each group's first row — one C-level pass

@@ -824,18 +824,10 @@ class CutoffPool:
 
         return ray.get([h.health.remote() for h in self.handles])
 
-    def collect(self, round_no: int) -> tuple[dict, dict]:
-        """→ (cutoffs, per-host raw candidate counts) for the round."""
-        import ray
-
-        out: dict = {}
-        counts: dict = {}
-        for d, hc in ray.get(
-            [h.collect_and_drop.remote(round_no) for h in self.handles]
-        ):
-            out.update(d)
-            counts.update(hc)  # hosts are owned by exactly one shard
-        return out, counts
+    # NOTE: the old collect() (merge every shard's cutoff dict onto the
+    # driver) was deleted with r04 verdict #3 — it reintroduced the
+    # O(active hosts) driver payload and bypassed the shard-resident
+    # `ready` lifecycle.  Use finalize() + fetch_ready()/pull_cutoffs.
 
     def finalize(self, round_no: int, hot_threshold: int,
                  base_salt: int) -> tuple[int, dict]:

@@ -96,9 +96,10 @@ def test_vanished_round_burns_no_delivery(tmp_path):
 
 def test_permanently_unreadable_round_dead_letters(tmp_path):
     # ADVICE r04: a round that stays unreadable forever (corrupt payload
-    # under retention churn) must not be re-probed indefinitely — once
-    # NEWER rounds exist (so it cannot be a republish window), failed
-    # probes count and the round dead-letters after max_deliver of them
+    # under retention churn) must not be re-probed indefinitely — a
+    # probe counts only when the publish high-water mark ADVANCED since
+    # the last one (so a transient republish race burns at most one
+    # probe per epoch), and max_deliver counted probes dead-letter
     out = str(tmp_path)
     _publish(out, [0, 1])
     bad = os.path.join(out, "events", "round_00000", "part-0.parquet")
@@ -108,10 +109,17 @@ def test_permanently_unreadable_round_dead_letters(tmp_path):
     got = [r for r, _ in c.fetch(batch=5)]
     assert got == [1]  # probe 1 of round 0 fails, round 1 delivers
     assert c.dead_letters() == []
-    got = [r for r, _ in c.fetch(batch=5)]  # round 1 redelivers (unacked)
-    assert got == [1]
-    assert c.dead_letters() == [0]  # probe 2 hit the limit
     c.ack(1)
+    # same publish epoch: repeated pulls burn NO additional probes
+    for _ in range(4):
+        assert list(c.fetch(batch=5)) == []
+    assert c.dead_letters() == []
+    # the crawl moves on (new round published) while 0 stays unreadable
+    _publish(out, [2])
+    got = [r for r, _ in c.fetch(batch=5)]
+    assert got == [2]
+    assert c.dead_letters() == [0]  # probe 2 (hwm advanced) hit the limit
+    c.ack(2)
     assert c.pending() == []
     # the dead-letter is durable across restart
     c2 = EventsConsumer(out, name="c1", max_deliver=2)

@@ -999,14 +999,30 @@ class TestWatchIngest:
                       "html": pa.array([b"<p>y</p>"], pa.binary())}),
             os.path.join(wd, "pages", "no_lang.parquet"),
         )
+        # valid pages file with a NULL warc_ts: must ingest with epoch 0,
+        # not INT64_MIN (frontier-ordering extreme — review r05)
+        pq.write_table(
+            _page("http://good.test/p4",
+                  pa.array([None], pa.timestamp("us"))),
+            os.path.join(wd, "pages", "null_ts.parquet"),
+        )
 
         pipe = CrawlPipeline(cfg)
         pipe.prepare()
         pipe.bootstrap(pq.read_table(corpus_dir + "/seeds.parquet"))
         pipe._backfill_offers(0)
         n = pipe.ingest_new_pages(0)  # must NOT raise
-        # good announcement + the two schema-divergent good pages
-        assert n >= 3
+        # good announcement + two schema-divergent pages + the null-ts one
+        assert n >= 4
+        import pyarrow.dataset as pads
+
+        ing = pads.dataset(
+            os.path.join(cfg.out_dir, "ingest"), format="parquet"
+        ).to_table().to_pandas()
+        p4 = ing[ing["url"] == "http://good.test/p4"]
+        assert len(p4) == 1
+        # null warc_ts fills to epoch 0, never INT64_MIN
+        assert p4["warc_ts"].iloc[0] == pd.Timestamp(0)
 
         bad = {os.path.join("pages", "junk.parquet"),
                os.path.join("pages", "no_ts.parquet"),

@@ -497,3 +497,20 @@ class TestY4MCodec:
 
         with _pytest.raises(NotImplementedError):
             FrameSampleStage(codec="ffmpeg")
+
+
+def test_resize_truncated_magic_blob_flagged():
+    # a blob with valid magic but a truncated header must flag, not
+    # crash struct.unpack (review r05)
+    import pyarrow as pa
+
+    from ethereum_raw_data_crawler_ray.stages.multimodal import (
+        _MAGIC,
+        ResizeStage,
+    )
+
+    t = pa.table({"blob": pa.array([_MAGIC + b"\x01\x02", _MAGIC],
+                                   pa.binary())})
+    out = ResizeStage(4, 4)(t).to_pandas()
+    assert list(out["resize_ok"]) == [False, False]
+    assert bytes(out["blob"][0]) == _MAGIC + b"\x01\x02"

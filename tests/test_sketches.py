@@ -495,3 +495,42 @@ class TestCubeModeHistogram:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             histogram_fixed(rd.from_pandas(df), "v", 5.0, 5.0, 10)
+
+
+class TestNullSemanticsSQL:
+    def test_count_distinct_all_null_group_reports_zero(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_count_distinct,
+        )
+
+        df = pd.DataFrame({
+            "g": ["a", "a", "b", "b", "b"],
+            "v": [1.0, np.nan, np.nan, np.nan, np.nan],
+        })
+        out = grouped_count_distinct(rd.from_pandas(df).repartition(2),
+                                     "g", "v")
+        got = dict(zip(out["g"], out["n_distinct"]))
+        # SQL: COUNT(DISTINCT v) skips NULLs but keeps the group
+        assert got == {"a": 1, "b": 0}
+
+    def test_mode_null_competes_and_loses_ties(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import grouped_mode
+
+        df = pd.DataFrame({
+            # group a: null strictly most frequent → mode is NULL;
+            # group b: null TIES with 5 → non-null wins (NULLS LAST)
+            "g": ["a"] * 3 + ["b"] * 4,
+            "v": [np.nan, np.nan, 9.0, np.nan, np.nan, 5.0, 5.0],
+        })
+        out = grouped_mode(rd.from_pandas(df).repartition(2), "g", "v")
+        got = {r["g"]: (r["mode_val"], r["n"]) for _, r in out.iterrows()}
+        assert np.isnan(got["a"][0]) and got["a"][1] == 2
+        assert got["b"] == (5.0, 2)
