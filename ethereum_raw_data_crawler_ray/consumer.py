@@ -111,6 +111,10 @@ class EventsConsumer:
                 if hwm > r:
                     probes = self._state.setdefault("probes", {})
                     count_hwm = probes.get(key, [0, -1])
+                    if isinstance(count_hwm, int):
+                        # cursor written by the int-count format: treat
+                        # the old count as one pre-migration epoch
+                        count_hwm = [count_hwm, -1]
                     if hwm > count_hwm[1]:
                         count_hwm = [count_hwm[0] + 1, hwm]
                         probes[key] = count_hwm

@@ -565,12 +565,28 @@ def _near_dup_groups_shuffle(
              .view(np.uint64) % np.uint64(nb)).astype(np.int64)
         return t.append_column("__b", pa.array(b, type=pa.int64()))
 
+    def posting_pairs_capped(g: pd.DataFrame) -> pd.DataFrame:
+        if max_posting is None:
+            return _posting_pairs(g, None)
+        # the reserved empty-doc gram is EXEMPT from the stop-gram cap:
+        # its posting list holds every empty candidate doc, and capping
+        # it would silently stop both-empty TRUE duplicates from
+        # verifying (jaccard 0/0 = 1.0) — not the stop-gram-non-dup
+        # case the cap is for
+        sent = g["gram"].to_numpy() == int(_EMPTY_DOC_GRAM)
+        if not sent.any():
+            return _posting_pairs(g, max_posting)
+        return pd.concat(
+            [_posting_pairs(g[~sent], max_posting),
+             _posting_pairs(g[sent], None)],
+            ignore_index=True,
+        )
+
     shared = (
         cand_docs.map_batches(gram_rows, batch_format="pyarrow")
         .map_batches(gram_bucket, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(lambda g: _posting_pairs(g, max_posting),
-                    batch_format="pandas")
+        .map_groups(posting_pairs_capped, batch_format="pandas")
     )
 
     # -- tagged union: shared-gram co-occurrence rows (side 0) + the LSH

@@ -127,7 +127,9 @@ class DecodeStage:
                     return int(img.width), int(img.height), (img.format or "unknown").lower()
             except Exception:
                 return -1, -1, "unknown"
-        if blob[:8] != _MAGIC:
+        if blob[:8] != _MAGIC or len(blob) < 16:
+            # bad magic OR a truncated header (struct.unpack would
+            # raise and kill the actor pool — same guard as ResizeStage)
             return -1, -1, "unknown"
         w, h = struct.unpack("<II", blob[8:16])
         return int(w), int(h), "fakeimg"

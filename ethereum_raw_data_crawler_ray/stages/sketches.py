@@ -753,6 +753,39 @@ def tdigest_quantiles_grouped(ds: rd.Dataset, group: str, col: str,
 # --------------------------------------------------------------------------
 # exact grouped COUNT(DISTINCT) — the exact companion of the HLL sketch
 # --------------------------------------------------------------------------
+def _pinned_types(ds: rd.Dataset, group: str, val: str):
+    """(group type, val type) from the dataset's UNIFIED schema — the
+    per-block pin for operators that must keep NULL values flowing
+    (a block whose values are all NULL infers arrow type 'null' and
+    would break the groupby exchange's block schema).  A still-null
+    unified type (every row null) falls back to string — any concrete
+    type serializes an all-null column; pandas OBJECT columns transport
+    as string too (their values are strings in this engine's tables).
+    NOTE: ``ds.schema()`` on a transformed dataset triggers a small
+    sample execution; these operators normally take a straight table
+    read."""
+    s = ds.schema()
+    base = s.base_schema
+    f: dict = {}
+    if isinstance(base, pa.Schema):
+        f = {fl.name: fl.type for fl in base}
+    else:  # PandasBlockSchema: numpy dtypes (object for strings/None)
+        for name, typ in zip(s.names, s.types):
+            if isinstance(typ, pa.DataType):
+                f[name] = typ
+            else:
+                try:
+                    f[name] = pa.from_numpy_dtype(typ)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    f[name] = pa.string()
+    gt, vt = f[group], f[val]
+    if pa.types.is_null(gt):
+        gt = pa.string()
+    if pa.types.is_null(vt):
+        vt = pa.string()
+    return gt, vt
+
+
 def grouped_count_distinct(ds: rd.Dataset, group: str, val: str,
                            n_buckets: int | None = None) -> pd.DataFrame:
     """Exact ``COUNT(DISTINCT val) GROUP BY group`` without ever
@@ -764,8 +797,10 @@ def grouped_count_distinct(ds: rd.Dataset, group: str, val: str,
     ``group`` is its own group.  Exactness makes this the oracle-backed
     complement of :func:`hll_distinct_grouped` (q48/q71)."""
     from ..functions.hashing import hash_strings
+    from .joins import _arrow_fields
 
     n_buckets = n_buckets or _default_buckets()
+    gtype, vtype = _pinned_types(ds, group, val)
 
     def part(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({group: t[group].to_pandas(),
@@ -780,10 +815,13 @@ def grouped_count_distinct(ds: rd.Dataset, group: str, val: str,
         pair = (df[group].astype(str) + "\x1f" + df["__v"].astype(str))
         b = (hash_strings(pair.to_numpy(dtype=object))
              % np.uint64(n_buckets)).astype(np.int64)
+        # pin the arrow types from the DATASET's unified schema: an
+        # all-NULL partition would otherwise infer type 'null' and
+        # conflict with other blocks' schema in the groupby exchange
         return pa.table(
             {
-                group: pa.Array.from_pandas(df[group]),
-                "__v": pa.Array.from_pandas(df["__v"]),
+                group: pa.Array.from_pandas(df[group], type=gtype),
+                "__v": pa.Array.from_pandas(df["__v"], type=vtype),
                 "__bucket": pa.array(b, type=pa.int64()),
             }
         )
@@ -915,6 +953,7 @@ def grouped_mode(ds: rd.Dataset, group: str, val: str,
     from ..functions.hashing import hash_strings
 
     n_buckets = n_buckets or _default_buckets()
+    gtype, vtype = _pinned_types(ds, group, val)
 
     def part(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({group: t[group].to_pandas(),
@@ -923,10 +962,13 @@ def grouped_mode(ds: rd.Dataset, group: str, val: str,
              .size().rename("cnt").reset_index())
         b = (hash_strings(c[group].astype(str).to_numpy(dtype=object))
              % np.uint64(n_buckets)).astype(np.int64)
+        # pin the arrow types from the DATASET's unified schema
+        # (all-NULL partition would infer 'null' and break the
+        # groupby's block schema)
         return pa.table(
             {
-                group: pa.Array.from_pandas(c[group]),
-                "__v": pa.Array.from_pandas(c["__v"]),
+                group: pa.Array.from_pandas(c[group], type=gtype),
+                "__v": pa.Array.from_pandas(c["__v"], type=vtype),
                 "cnt": pa.array(c["cnt"].to_numpy(np.int64)),
                 "__bucket": pa.array(b, type=pa.int64()),
             }

@@ -141,3 +141,24 @@ def test_newest_round_unreadable_stays_in_grace_window(tmp_path):
     assert c.dead_letters() == []
     _publish(out, [0])  # republished with a readable payload
     assert [r for r, _ in c.fetch()] == [0]
+
+
+def test_probe_state_migrates_from_int_format(tmp_path):
+    # a durable cursor written by the int-count probe format must not
+    # crash a consumer running the [count, hwm] format (review r05)
+    import json
+
+    out = str(tmp_path)
+    _publish(out, [0, 1])
+    bad = os.path.join(out, "events", "round_00000", "part-0.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    state_dir = os.path.join(out, "consumers", "c1")
+    os.makedirs(state_dir, exist_ok=True)
+    with open(os.path.join(state_dir, "cursor.json"), "w") as f:
+        json.dump({"acked": [], "deliveries": {}, "dead": [],
+                   "probes": {"0": 1}}, f)
+    c = EventsConsumer(out, name="c1", max_deliver=2)
+    got = [r for r, _ in c.fetch(batch=5)]  # must not raise
+    assert got == [1]
+    assert c.dead_letters() == [0]  # migrated probe 1 + this epoch's = 2

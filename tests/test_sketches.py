@@ -534,3 +534,30 @@ class TestNullSemanticsSQL:
         got = {r["g"]: (r["mode_val"], r["n"]) for _, r in out.iterrows()}
         assert np.isnan(got["a"][0]) and got["a"][1] == 2
         assert got["b"] == (5.0, 2)
+
+
+class TestAllNullStringPartition:
+    def test_mode_and_count_distinct_survive_null_typed_blocks(
+            self, ray_session):
+        # an input BLOCK whose string values are all NULL must not emit
+        # a null-typed arrow block into the groupby exchange (review r05)
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_count_distinct,
+            grouped_mode,
+        )
+
+        a = pd.DataFrame({"g": ["a", "a"], "v": pd.array([None, None],
+                                                         dtype=object)})
+        b = pd.DataFrame({"g": ["b", "b"], "v": ["x", "x"]})
+        ds = rd.from_pandas(a).union(rd.from_pandas(b))
+        out = grouped_mode(ds, "g", "v")
+        got = {r["g"]: r["mode_val"] for _, r in out.iterrows()}
+        assert got["a"] is None or (isinstance(got["a"], float)
+                                    and np.isnan(got["a"]))
+        assert got["b"] == "x"
+        cd = grouped_count_distinct(ds, "g", "v")
+        assert dict(zip(cd["g"], cd["n_distinct"])) == {"a": 0, "b": 1}
