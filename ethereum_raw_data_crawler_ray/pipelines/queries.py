@@ -1613,6 +1613,21 @@ def q90_histogram(sf_dir: str):
     )
 
 
+def q92_percentiles_cont(sf_dir: str):
+    """Exact CONTINUOUS (interpolated) quantiles (stages/sketches.
+    exact_quantiles_cont) — completes the quantile matrix: q46/q50
+    discrete exact, q80/q83 sketch, q92 continuous exact.  Two-pass
+    sparse histogram, pass 2 fetches only the buckets holding the two
+    neighbor ranks of each quantile; interpolation is the same IEEE
+    double expression DuckDB's quantile_cont evaluates."""
+    from ..stages.sketches import exact_quantiles_cont
+
+    return exact_quantiles_cont(
+        _t(sf_dir, "orders", ["o_totalprice"]), "o_totalprice",
+        [0.1, 0.5, 0.9, 0.99],
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1807,6 +1822,7 @@ QUERIES = {
     "q89_mode": q89_mode,
     "q90_histogram": q90_histogram,
     "q91_knn_multi": q91_knn_multi,
+    "q92_percentiles_cont": q92_percentiles_cont,
 }
 
 ORACLE_SQL = {
@@ -2325,6 +2341,15 @@ ORACLE_SQL = {
         SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank < 10
+    """,
+    "q92_percentiles_cont": """
+        SELECT 0.1 AS q, ROUND(quantile_cont(o_totalprice, 0.1), 6) AS value FROM orders
+        UNION ALL
+        SELECT 0.5, ROUND(quantile_cont(o_totalprice, 0.5), 6) FROM orders
+        UNION ALL
+        SELECT 0.9, ROUND(quantile_cont(o_totalprice, 0.9), 6) FROM orders
+        UNION ALL
+        SELECT 0.99, ROUND(quantile_cont(o_totalprice, 0.99), 6) FROM orders
     """,
 }
 

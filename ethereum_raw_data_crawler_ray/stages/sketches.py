@@ -159,6 +159,127 @@ def exact_quantiles(
     return pd.DataFrame(out, columns=["q", "value"])
 
 
+def exact_quantiles_cont(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    scale: int = 100,
+    n_hist: int = 1 << 16,
+    max_fetch: int = 50_000_000,
+) -> pd.DataFrame:
+    """Exact CONTINUOUS (interpolated) quantiles — DuckDB's
+    ``quantile_cont`` rule: position p = q·(n−1); interpolate
+    lower + (upper − lower)·(p − ⌊p⌋) between the order statistics at
+    ranks ⌊p⌋ and ⌈p⌉.  Same two-pass sparse-histogram shape as
+    :func:`exact_quantiles` (shuffle O(n_hist), never O(n)): pass 1
+    counts fixed-point buckets, pass 2 fetches ONLY the buckets holding
+    a needed rank and reads both neighbors exactly.  The interpolation
+    is the same IEEE double expression SQL evaluates; the oracle
+    compares at ROUND(…, 6)."""
+    lohi = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t[col]).as_py()], type=pa.float64()),
+                "hi": pa.array([pc.max(t[col]).as_py()], type=pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo_c = int(np.floor(lohi["lo"].min() * scale))
+    hi_c = int(np.ceil(lohi["hi"].max() * scale))
+    width = max(1, (hi_c - lo_c + n_hist) // n_hist)
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t[col].to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        b = (cents - lo_c) // width
+        ids, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ids), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    # same two-path partial-histogram merge as exact_quantiles: driver
+    # sum below the guard (partials are ≤ n_hist rows per batch; the
+    # sort exchange alone would cost more), bucketed combine above it
+    partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if partials.count() <= 5_000_000:
+        hp = partials.to_pandas()
+    else:
+        nb = _default_buckets()
+
+        def reb(t: pa.Table) -> pa.Table:
+            b = np.asarray(t["bucket"].to_pandas(), dtype=np.int64)
+            return t.append_column(
+                "g", pa.array((b % nb).astype(np.int64), type=pa.int64())
+            )
+
+        hp = (
+            partials.map_batches(reb, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(
+                lambda g: g.groupby("bucket", sort=False)["n"].sum().reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+    h = (
+        hp.groupby("bucket", sort=True)["n"].sum().reset_index()
+        .sort_values("bucket")
+    )
+    cum = h["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    buckets = h["bucket"].to_numpy()
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "value": np.nan})
+
+    # each q needs ranks floor(p) and ceil(p); locate their buckets
+    need: dict[int, tuple[int, int]] = {}  # rank → (bucket, rows before)
+    plan = []  # (q, rank_lo, rank_hi, frac)
+    for q in qs:
+        p = q * (n - 1)
+        r_lo, r_hi = int(np.floor(p)), int(np.ceil(p))
+        plan.append((q, r_lo, r_hi, p - np.floor(p)))
+        for k in (r_lo, r_hi):
+            if k not in need:
+                bi = int(np.searchsorted(cum, k + 1))
+                need[k] = (int(buckets[bi]),
+                           int(cum[bi - 1]) if bi > 0 else 0)
+
+    targets = np.array(sorted({b for b, _ in need.values()}), dtype=np.int64)
+    fetch = int(h.set_index("bucket")["n"].loc[targets].sum())
+    if fetch > max_fetch:
+        raise ValueError(
+            f"quantile refinement would pull {fetch} rows to the driver; "
+            "raise n_hist or scale"
+        )
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        cents = np.round(v * scale).astype(np.int64)
+        b = (cents - lo_c) // width
+        m = np.isin(b, targets)
+        return pa.table({col: pa.array(v[m]), "bucket": pa.array(b[m])})
+
+    rows = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    by_bucket = {
+        int(b): np.sort(g[col].to_numpy())
+        for b, g in rows.groupby("bucket")
+    }
+
+    def value_at(rank: int) -> float:
+        b, before = need[rank]
+        return float(by_bucket[b][rank - before])
+
+    out = []
+    for q, r_lo, r_hi, frac in plan:
+        v_lo = value_at(r_lo)
+        v_hi = value_at(r_hi) if r_hi != r_lo else v_lo
+        out.append((q, round(v_lo + (v_hi - v_lo) * frac, 6)))
+    return pd.DataFrame(out, columns=["q", "value"])
+
+
 def grouped_quantiles(
     ds: rd.Dataset,
     group_col: str,

@@ -561,3 +561,41 @@ class TestAllNullStringPartition:
         assert got["b"] == "x"
         cd = grouped_count_distinct(ds, "g", "v")
         assert dict(zip(cd["g"], cd["n_distinct"])) == {"a": 0, "b": 1}
+
+
+class TestQuantilesCont:
+    def test_matches_numpy_linear_interpolation(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            exact_quantiles_cont,
+        )
+
+        rng = np.random.default_rng(9)
+        v = np.round(rng.normal(500, 123, 7001), 2)
+        ds = rd.from_pandas(pd.DataFrame({"v": v})).repartition(8)
+        qs = [0.0, 0.1, 0.5, 0.77, 1.0]
+        out = exact_quantiles_cont(ds, "v", qs)
+        # numpy 'linear' is the same q*(n-1) interpolation rule
+        ref = np.quantile(v, qs, method="linear")
+        assert np.allclose(out["value"].to_numpy(), np.round(ref, 6),
+                           atol=1e-6)
+
+    def test_single_row_and_exact_rank_hit(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            exact_quantiles_cont,
+        )
+
+        one = rd.from_pandas(pd.DataFrame({"v": [42.5]}))
+        out = exact_quantiles_cont(one, "v", [0.0, 0.5, 1.0])
+        assert (out["value"] == 42.5).all()
+        # p integral (no interpolation): 5 rows, q=0.25 → p=1 exactly
+        five = rd.from_pandas(pd.DataFrame({"v": [10.0, 20.0, 30.0,
+                                                  40.0, 50.0]}))
+        out = exact_quantiles_cont(five, "v", [0.25, 0.75])
+        assert out["value"].tolist() == [20.0, 40.0]
