@@ -2342,14 +2342,36 @@ ORACLE_SQL = {
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank < 10
     """,
+    # quantile_cont semantics, but interpolated EXPLICITLY from
+    # ROW_NUMBER order statistics: DuckDB's quantile_cont kernel uses a
+    # different interpolation expression (1-ulp divergence measured in
+    # ~25% of interpolations, which can cross a ROUND(...,6) boundary —
+    # a latent hash flake); lo + (hi - lo) * frac below is the SAME
+    # double expression the engine evaluates, so both sides round
+    # bit-equal inputs.
     "q92_percentiles_cont": """
-        SELECT 0.1 AS q, ROUND(quantile_cont(o_totalprice, 0.1), 6) AS value FROM orders
-        UNION ALL
-        SELECT 0.5, ROUND(quantile_cont(o_totalprice, 0.5), 6) FROM orders
-        UNION ALL
-        SELECT 0.9, ROUND(quantile_cont(o_totalprice, 0.9), 6) FROM orders
-        UNION ALL
-        SELECT 0.99, ROUND(quantile_cont(o_totalprice, 0.99), 6) FROM orders
+        WITH par AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+        pos AS (
+            SELECT q, q * (c - 1) AS p,
+                   CAST(FLOOR(q * (c - 1)) AS BIGINT) AS klo,
+                   CAST(CEIL(q * (c - 1)) AS BIGINT) AS khi
+            FROM par, n
+        ),
+        ranked AS (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice) - 1 AS r
+            FROM orders
+        )
+        SELECT pos.q,
+               ROUND(lo.v + (hi.v - lo.v) * (pos.p - FLOOR(pos.p)), 6)
+                 AS value
+        FROM pos
+        JOIN ranked lo ON lo.r = pos.klo
+        JOIN ranked hi ON hi.r = pos.khi
     """,
 }
 

@@ -39,25 +39,15 @@ from .joins import _default_buckets  # shared ~2×CPU (floor 16) policy
 # ==========================================================================
 # exact distributed quantiles (two-pass histogram refinement)
 # ==========================================================================
-def exact_quantiles(
-    ds: rd.Dataset,
-    col: str,
-    qs: list[float],
-    *,
-    scale: int = 100,
-    n_hist: int = 1 << 16,
-    max_fetch: int = 50_000_000,
-    driver_merge_rows: int = 5_000_000,
-) -> pd.DataFrame:
-    """Exact ``quantile_disc`` values of ``ds[col]`` for each q in
-    ``qs`` (the element at 0-based index max(0, ceil(q·n)−1) of the
-    sorted column — DuckDB's quantile_disc definition).
-
-    ``scale`` fixes the decimal precision (100 = cents); values are
-    histogrammed in fixed-point so bucket membership is exact.  Two
-    linear passes, no global sort: the only wide op is a groupby over at
-    most ``n_hist`` distinct bucket ids.
-    """
+def _sparse_histogram(ds: rd.Dataset, col: str, scale: int, n_hist: int,
+                      driver_merge_rows: int):
+    """Shared pass 1 of the exact-quantile family: fixed-point sparse
+    histogram of the NON-NULL values of ``ds[col]`` (SQL quantiles
+    ignore NULLs).  → (h: DataFrame(bucket, n) sorted, cum, n_rows,
+    lo_c, width); n_rows == 0 signals an empty/all-null column.
+    Partial histograms (≤ n_hist rows per batch) merge on the driver
+    below ``driver_merge_rows`` — the sort exchange alone would cost
+    more — and through a hash-bucketed combine above it."""
     lohi = ds.map_batches(
         lambda t: pa.table(
             {
@@ -67,27 +57,22 @@ def exact_quantiles(
         ),
         batch_format="pyarrow",
     ).to_pandas()
+    if not len(lohi) or lohi["lo"].isna().all():
+        return None, None, 0, 0, 1
     lo_c = int(np.floor(lohi["lo"].min() * scale))
     hi_c = int(np.ceil(lohi["hi"].max() * scale))
     width = max(1, (hi_c - lo_c + n_hist) // n_hist)  # cents per bucket
 
     def hist(t: pa.Table) -> pa.Table:
-        cents = np.round(
-            t[col].to_numpy(zero_copy_only=False) * scale
-        ).astype(np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        cents = np.round(v * scale).astype(np.int64)
         b = (cents - lo_c) // width
         ids, counts = np.unique(b, return_counts=True)
         return pa.table(
             {"bucket": pa.array(ids), "n": pa.array(counts.astype(np.int64))}
         )
 
-    # merge the per-batch sparse histograms. Two paths (the
-    # multi_bucket_keys pattern): partial histograms are ≤ n_hist rows
-    # per BATCH, so below the guard the driver merges them directly —
-    # no all-to-all at all (the sort exchange alone costs ~1.5 s at 32
-    # CPUs, dwarfing this driver sum). Above it (corpus-scale batch
-    # counts), a hash-bucketed distributed combine runs first and the
-    # driver still receives ≤ n_hist rows.
     partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
     if partials.count() <= driver_merge_rows:
         hp = partials.to_pandas()
@@ -109,12 +94,51 @@ def exact_quantiles(
             )
             .to_pandas()
         )
-    h = (
-        hp.groupby("bucket", sort=True)["n"].sum().reset_index()
-        .sort_values("bucket")
-    )
+    h = hp.groupby("bucket", sort=True)["n"].sum().reset_index()
     cum = h["n"].cumsum().to_numpy()
-    n = int(cum[-1])
+    return h, cum, int(cum[-1]) if len(cum) else 0, lo_c, width
+
+
+def _fetch_buckets(ds: rd.Dataset, col: str, scale: int, lo_c: int,
+                   width: int, targets: np.ndarray) -> pd.DataFrame:
+    """Shared pass 2: one filtered scan fetching only the target
+    buckets' (non-null) raw values."""
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        cents = np.round(v * scale).astype(np.int64)
+        b = (cents - lo_c) // width
+        m = np.isin(b, targets)
+        return pa.table({col: pa.array(v[m]), "bucket": pa.array(b[m])})
+
+    return ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    scale: int = 100,
+    n_hist: int = 1 << 16,
+    max_fetch: int = 50_000_000,
+    driver_merge_rows: int = 5_000_000,
+) -> pd.DataFrame:
+    """Exact ``quantile_disc`` values of ``ds[col]`` for each q in
+    ``qs`` (the element at 0-based index max(0, ceil(q·n)−1) of the
+    sorted column — DuckDB's quantile_disc definition).
+
+    ``scale`` fixes the decimal precision (100 = cents); values are
+    histogrammed in fixed-point so bucket membership is exact.  Two
+    linear passes, no global sort: the only wide op is a groupby over at
+    most ``n_hist`` distinct bucket ids.
+    """
+    h, cum, n, lo_c, width = _sparse_histogram(
+        ds, col, scale, n_hist, driver_merge_rows
+    )
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "value": np.nan})
     buckets = h["bucket"].to_numpy()
 
     # locate each quantile's target bucket from the tiny cumulative hist
@@ -144,14 +168,7 @@ def exact_quantiles(
         )
 
     # pass 2: ONE filtered scan fetching only the target buckets' rows
-    def in_buckets(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False)
-        cents = np.round(v * scale).astype(np.int64)
-        b = (cents - lo_c) // width
-        m = np.isin(b, targets)
-        return pa.table({col: pa.array(v[m]), "bucket": pa.array(b[m])})
-
-    rows = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    rows = _fetch_buckets(ds, col, scale, lo_c, width, targets)
     out = []
     for q, k, target, before in wants:
         vals = np.sort(rows.loc[rows["bucket"] == target, col].to_numpy())
@@ -167,72 +184,28 @@ def exact_quantiles_cont(
     scale: int = 100,
     n_hist: int = 1 << 16,
     max_fetch: int = 50_000_000,
+    driver_merge_rows: int = 5_000_000,
 ) -> pd.DataFrame:
-    """Exact CONTINUOUS (interpolated) quantiles — DuckDB's
-    ``quantile_cont`` rule: position p = q·(n−1); interpolate
-    lower + (upper − lower)·(p − ⌊p⌋) between the order statistics at
-    ranks ⌊p⌋ and ⌈p⌉.  Same two-pass sparse-histogram shape as
-    :func:`exact_quantiles` (shuffle O(n_hist), never O(n)): pass 1
-    counts fixed-point buckets, pass 2 fetches ONLY the buckets holding
-    a needed rank and reads both neighbors exactly.  The interpolation
-    is the same IEEE double expression SQL evaluates; the oracle
-    compares at ROUND(…, 6)."""
-    lohi = ds.map_batches(
-        lambda t: pa.table(
-            {
-                "lo": pa.array([pc.min(t[col]).as_py()], type=pa.float64()),
-                "hi": pa.array([pc.max(t[col]).as_py()], type=pa.float64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    lo_c = int(np.floor(lohi["lo"].min() * scale))
-    hi_c = int(np.ceil(lohi["hi"].max() * scale))
-    width = max(1, (hi_c - lo_c + n_hist) // n_hist)
+    """Exact CONTINUOUS (interpolated) quantiles — the quantile_cont
+    rule: position p = q·(n−1); interpolate lower + (upper − lower)·
+    (p − ⌊p⌋) between the order statistics at ranks ⌊p⌋ and ⌈p⌉.
+    Shares :func:`_sparse_histogram` / :func:`_fetch_buckets` with
+    :func:`exact_quantiles` (shuffle O(n_hist), never O(n)); NULLs are
+    ignored (SQL semantics) and an empty/all-null column returns NaN.
 
-    def hist(t: pa.Table) -> pa.Table:
-        cents = np.round(
-            t[col].to_numpy(zero_copy_only=False) * scale
-        ).astype(np.int64)
-        b = (cents - lo_c) // width
-        ids, counts = np.unique(b, return_counts=True)
-        return pa.table(
-            {"bucket": pa.array(ids), "n": pa.array(counts.astype(np.int64))}
-        )
-
-    # same two-path partial-histogram merge as exact_quantiles: driver
-    # sum below the guard (partials are ≤ n_hist rows per batch; the
-    # sort exchange alone would cost more), bucketed combine above it
-    partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
-    if partials.count() <= 5_000_000:
-        hp = partials.to_pandas()
-    else:
-        nb = _default_buckets()
-
-        def reb(t: pa.Table) -> pa.Table:
-            b = np.asarray(t["bucket"].to_pandas(), dtype=np.int64)
-            return t.append_column(
-                "g", pa.array((b % nb).astype(np.int64), type=pa.int64())
-            )
-
-        hp = (
-            partials.map_batches(reb, batch_format="pyarrow")
-            .groupby("g")
-            .map_groups(
-                lambda g: g.groupby("bucket", sort=False)["n"].sum().reset_index(),
-                batch_format="pandas",
-            )
-            .to_pandas()
-        )
-    h = (
-        hp.groupby("bucket", sort=True)["n"].sum().reset_index()
-        .sort_values("bucket")
+    NOTE on oracle parity: DuckDB's quantile_cont KERNEL interpolates
+    with a different expression (1-ulp divergence in ~a quarter of
+    interpolations — measured), so the q92 oracle computes the SAME
+    explicit ``lo + (hi − lo) * frac`` from ROW_NUMBER order stats
+    instead of calling quantile_cont; identical double ops in the same
+    order are bit-equal, and ROUND(…, 6) is applied to bit-equal
+    inputs on both sides."""
+    h, cum, n, lo_c, width = _sparse_histogram(
+        ds, col, scale, n_hist, driver_merge_rows
     )
-    cum = h["n"].cumsum().to_numpy()
-    n = int(cum[-1])
-    buckets = h["bucket"].to_numpy()
     if n == 0:
         return pd.DataFrame({"q": list(qs), "value": np.nan})
+    buckets = h["bucket"].to_numpy()
 
     # each q needs ranks floor(p) and ceil(p); locate their buckets
     need: dict[int, tuple[int, int]] = {}  # rank → (bucket, rows before)
@@ -255,14 +228,7 @@ def exact_quantiles_cont(
             "raise n_hist or scale"
         )
 
-    def in_buckets(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False)
-        cents = np.round(v * scale).astype(np.int64)
-        b = (cents - lo_c) // width
-        m = np.isin(b, targets)
-        return pa.table({col: pa.array(v[m]), "bucket": pa.array(b[m])})
-
-    rows = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    rows = _fetch_buckets(ds, col, scale, lo_c, width, targets)
     by_bucket = {
         int(b): np.sort(g[col].to_numpy())
         for b, g in rows.groupby("bucket")
@@ -278,7 +244,6 @@ def exact_quantiles_cont(
         v_hi = value_at(r_hi) if r_hi != r_lo else v_lo
         out.append((q, round(v_lo + (v_hi - v_lo) * frac, 6)))
     return pd.DataFrame(out, columns=["q", "value"])
-
 
 def grouped_quantiles(
     ds: rd.Dataset,

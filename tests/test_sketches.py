@@ -599,3 +599,33 @@ class TestQuantilesCont:
                                                   40.0, 50.0]}))
         out = exact_quantiles_cont(five, "v", [0.25, 0.75])
         assert out["value"].tolist() == [20.0, 40.0]
+
+
+class TestQuantilesContEdges:
+    def test_nulls_ignored_and_empty_returns_nan(self, ray_session):
+        # review r05 pass 3: NULLs previously corrupted ranks; empty
+        # input crashed before the n==0 guard
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            exact_quantiles,
+            exact_quantiles_cont,
+        )
+
+        df = pd.DataFrame({"v": [10.0, 20.0, 30.0, 40.0, 50.0,
+                                 np.nan, np.nan]})
+        ds = rd.from_pandas(df).repartition(3)
+        out = exact_quantiles_cont(ds, "v", [0.5])
+        assert out["value"].tolist() == [30.0]  # NULLs ignored (SQL)
+        outd = exact_quantiles(ds, "v", [0.5])
+        assert outd["value"].tolist() == [30.0]
+
+        empty = rd.from_pandas(pd.DataFrame({"v": []}))
+        for fn in (exact_quantiles_cont, exact_quantiles):
+            out = fn(empty, "v", [0.25, 0.75])
+            assert np.isnan(out["value"]).all() and len(out) == 2
+        allnull = rd.from_pandas(pd.DataFrame({"v": [np.nan, np.nan]}))
+        out = exact_quantiles_cont(allnull, "v", [0.5])
+        assert np.isnan(out["value"]).all()
