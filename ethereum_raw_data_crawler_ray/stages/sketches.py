@@ -271,18 +271,21 @@ def grouped_quantiles(
         ),
         batch_format="pyarrow",
     ).to_pandas()
+    if not len(lohi) or lohi["lo"].isna().all():
+        # empty / all-null column: no groups have any quantile rows
+        return pd.DataFrame({group_col: [], "q": [], "value": []})
     lo_c = int(np.floor(lohi["lo"].min() * scale))
     hi_c = int(np.ceil(lohi["hi"].max() * scale))
     width = max(1, (hi_c - lo_c + n_hist) // n_hist)
 
     def hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v)  # SQL quantiles ignore NULL values
         df = pd.DataFrame(
             {
-                "g": t[group_col].to_numpy(zero_copy_only=False),
-                "bucket": (
-                    np.round(t[col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
-                    - lo_c
-                )
+                "g": g[m],
+                "bucket": (np.round(v[m] * scale).astype(np.int64) - lo_c)
                 // width,
             }
         )
@@ -346,10 +349,13 @@ def grouped_quantiles(
     )
 
     def in_buckets(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v)
+        v = v[m]
         df = pd.DataFrame(
             {
-                "g": t[group_col].to_numpy(zero_copy_only=False),
+                "g": g[m],
                 "bucket": (np.round(v * scale).astype(np.int64) - lo_c) // width,
                 col: v,
             }

@@ -629,3 +629,27 @@ class TestQuantilesContEdges:
         allnull = rd.from_pandas(pd.DataFrame({"v": [np.nan, np.nan]}))
         out = exact_quantiles_cont(allnull, "v", [0.5])
         assert np.isnan(out["value"]).all()
+
+
+def test_grouped_quantiles_nulls_ignored(ray_session):
+    # same defect class as the r05 pass-3 finding on the global
+    # functions: NULL values must not corrupt per-group ranks
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import grouped_quantiles
+
+    df = pd.DataFrame({
+        "g": ["a"] * 7 + ["b"] * 3,
+        "v": [10.0, 20.0, 30.0, 40.0, 50.0, np.nan, np.nan,
+              7.0, np.nan, 9.0],
+    })
+    out = grouped_quantiles(rd.from_pandas(df).repartition(3), "g", "v",
+                            [0.5])
+    got = {(r["g"], r["q"]): r["value"] for _, r in out.iterrows()}
+    assert got[("a", 0.5)] == 30.0  # not 40.0 (nulls shifted ranks)
+    assert got[("b", 0.5)] == 7.0
+
+    empty = rd.from_pandas(pd.DataFrame({"g": [], "v": []}))
+    assert len(grouped_quantiles(empty, "g", "v", [0.5])) == 0
