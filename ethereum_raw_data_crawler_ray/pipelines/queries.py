@@ -1628,6 +1628,22 @@ def q92_percentiles_cont(sf_dir: str):
     )
 
 
+def q93_grouped_percentiles_cont(sf_dir: str):
+    """Per-group CONTINUOUS quantiles (stages/sketches.
+    grouped_quantiles_cont) — completes the quantile matrix: disc/cont
+    × global/grouped × exact/sketch.  Same (group, bucket) sparse-
+    histogram shape as q50; the oracle interpolates explicitly from
+    per-partition ROW_NUMBER order stats (the quantile_cont kernel
+    diverges by 1 ulp — see q92)."""
+    from ..stages.sketches import grouped_quantiles_cont
+
+    out = grouped_quantiles_cont(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", [0.25, 0.75],
+    )
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1823,6 +1839,7 @@ QUERIES = {
     "q90_histogram": q90_histogram,
     "q91_knn_multi": q91_knn_multi,
     "q92_percentiles_cont": q92_percentiles_cont,
+    "q93_grouped_percentiles_cont": q93_grouped_percentiles_cont,
 }
 
 ORACLE_SQL = {
@@ -2372,6 +2389,36 @@ ORACLE_SQL = {
         FROM pos
         JOIN ranked lo ON lo.r = pos.klo
         JOIN ranked hi ON hi.r = pos.khi
+    """,
+    "q93_grouped_percentiles_cont": """
+        WITH par AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.25), (0.75)) t(q)
+        ),
+        counts AS (
+            SELECT event_type, CAST(COUNT(value) AS BIGINT) AS c
+            FROM events GROUP BY event_type
+        ),
+        pos AS (
+            SELECT event_type, q, q * (c - 1) AS p,
+                   CAST(FLOOR(q * (c - 1)) AS BIGINT) AS klo,
+                   CAST(CEIL(q * (c - 1)) AS BIGINT) AS khi
+            FROM counts, par
+        ),
+        ranked AS (
+            SELECT event_type, value AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) - 1 AS r
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT pos.event_type, pos.q,
+               ROUND(lo.v + (hi.v - lo.v) * (pos.p - FLOOR(pos.p)), 6)
+                 AS value
+        FROM pos
+        JOIN ranked lo ON lo.event_type = pos.event_type
+                      AND lo.r = pos.klo
+        JOIN ranked hi ON hi.event_type = pos.event_type
+                      AND hi.r = pos.khi
     """,
 }
 

@@ -374,6 +374,138 @@ def grouped_quantiles(
     return pd.DataFrame(out, columns=[group_col, "q", "value"])
 
 
+def grouped_quantiles_cont(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    scale: int = 100,
+    n_hist: int = 1 << 16,
+    driver_merge_rows: int = 5_000_000,
+) -> pd.DataFrame:
+    """Per-group CONTINUOUS (interpolated) quantiles — quantile_cont's
+    p = q·(n_g−1) rule per group, interpolating lower + (upper −
+    lower)·frac between each group's two neighbor order statistics.
+    Completes the quantile matrix (disc/cont × global/grouped × exact/
+    sketch).  Same (group, bucket) sparse-histogram shape as
+    :func:`grouped_quantiles`; NULL values are ignored; the oracle
+    interpolates explicitly from per-partition ROW_NUMBER order stats
+    (never the quantile_cont kernel — see exact_quantiles_cont's
+    1-ulp parity note)."""
+    lohi = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t[col]).as_py()], type=pa.float64()),
+                "hi": pa.array([pc.max(t[col]).as_py()], type=pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(lohi) or lohi["lo"].isna().all():
+        return pd.DataFrame({group_col: [], "q": [], "value": []})
+    lo_c = int(np.floor(lohi["lo"].min() * scale))
+    hi_c = int(np.ceil(lohi["hi"].max() * scale))
+    width = max(1, (hi_c - lo_c + n_hist) // n_hist)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v)
+        df = pd.DataFrame(
+            {
+                "g": g[m],
+                "bucket": (np.round(v[m] * scale).astype(np.int64) - lo_c)
+                // width,
+            }
+        )
+        out = df.groupby(["g", "bucket"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_rows:
+        hp = partials.to_pandas()
+    else:
+        nb = _default_buckets()
+
+        def reb(t: pa.Table) -> pa.Table:
+            df = t.select(["g", "bucket"]).to_pandas()
+            hv = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            return t.append_column(
+                "gg", pa.array((hv % np.uint64(nb)).astype(np.int64))
+            )
+
+        hp = (
+            partials.map_batches(reb, batch_format="pyarrow")
+            .groupby("gg")
+            .map_groups(
+                lambda f: f.groupby(["g", "bucket"], sort=False)["n"]
+                .sum().reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+    h = (
+        hp.groupby(["g", "bucket"], sort=True)["n"].sum().reset_index()
+        .sort_values(["g", "bucket"])
+    )
+
+    # per group: the two neighbor ranks of each quantile + their buckets
+    plan = []  # (g, q, r_lo, r_hi, frac)
+    need: dict[tuple[object, int], tuple[int, int]] = {}
+    for g, hg in h.groupby("g", sort=False):
+        cum = hg["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        buckets = hg["bucket"].to_numpy()
+        for q in qs:
+            p = q * (n - 1)
+            r_lo, r_hi = int(np.floor(p)), int(np.ceil(p))
+            plan.append((g, q, r_lo, r_hi, p - np.floor(p)))
+            for k in (r_lo, r_hi):
+                if (g, k) not in need:
+                    bi = int(np.searchsorted(cum, k + 1))
+                    need[(g, k)] = (int(buckets[bi]),
+                                    int(cum[bi - 1]) if bi > 0 else 0)
+
+    targets = pd.DataFrame(
+        sorted({(g, b) for (g, _k), (b, _) in need.items()}),
+        columns=["g", "bucket"],
+    )
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v)
+        v = v[m]
+        df = pd.DataFrame(
+            {
+                "g": g[m],
+                "bucket": (np.round(v * scale).astype(np.int64) - lo_c) // width,
+                col: v,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.merge(targets, on=["g", "bucket"]), preserve_index=False
+        )
+
+    rows = ds.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    by_gb = {
+        (g, int(b)): np.sort(sub[col].to_numpy())
+        for (g, b), sub in rows.groupby(["g", "bucket"])
+    }
+
+    def value_at(g, rank: int) -> float:
+        b, before = need[(g, rank)]
+        return float(by_gb[(g, b)][rank - before])
+
+    out = []
+    for g, q, r_lo, r_hi, frac in plan:
+        v_lo = value_at(g, r_lo)
+        v_hi = value_at(g, r_hi) if r_hi != r_lo else v_lo
+        out.append((g, q, round(v_lo + (v_hi - v_lo) * frac, 6)))
+    return pd.DataFrame(out, columns=[group_col, "q", "value"])
+
+
 def topk_per_group(
     ds: rd.Dataset,
     group_col: str,

@@ -653,3 +653,27 @@ def test_grouped_quantiles_nulls_ignored(ray_session):
 
     empty = rd.from_pandas(pd.DataFrame({"g": [], "v": []}))
     assert len(grouped_quantiles(empty, "g", "v", [0.5])) == 0
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import (
+        grouped_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 6000),
+        "v": np.round(rng.normal(100, 37, 6000), 2),
+    })
+    df.loc[df.index[:50], "v"] = np.nan  # NULLs ignored per group
+    qs = [0.1, 0.5, 0.9]
+    out = grouped_quantiles_cont(rd.from_pandas(df).repartition(6),
+                                 "g", "v", qs)
+    for g, sub in df.dropna(subset=["v"]).groupby("g"):
+        ref = np.quantile(sub["v"].to_numpy(), qs, method="linear")
+        got = out[out["g"] == g].sort_values("q")["value"].to_numpy()
+        assert np.allclose(got, np.round(ref, 6), atol=1e-6), g
