@@ -1182,3 +1182,33 @@ class TestCutoffPullTransport:
             assert pulled == full and len(full) == n_hosts
         finally:
             pool.kill()
+
+
+class TestWatchWithPullTransport:
+    def test_watch_crawl_pull_equals_broadcast(self, corpus_dir,
+                                               ray_session):
+        # interaction gap: pushed pages offer candidates to the cutoff
+        # shards mid-run; the shard-resident pull transport must yield
+        # the SAME crawl as the broadcast transport in watch mode too
+        import pyarrow.dataset as pads
+
+        outs = {}
+        for transport in ("broadcast", "pull"):
+            cfg = TestWatchIngest()._watch_cfg(
+                corpus_dir, f"watch_{transport}")
+            cfg = CrawlConfig(
+                **{**cfg.__dict__,
+                   "extra": {**cfg.extra,
+                             "cutoff_transport": transport}}
+            )
+            shutil.rmtree(cfg.out_dir, ignore_errors=True)
+            TestWatchIngest()._drive(cfg, corpus_dir, push_at=2)
+            outs[transport] = (
+                _rounds_df(cfg.out_dir).sort_values("url")
+                .reset_index(drop=True)
+            )
+        cols = ["url", "text", "lang", "round", "depth", "n_bytes"]
+        pd.testing.assert_frame_equal(
+            outs["broadcast"][cols], outs["pull"][cols]
+        )
+        assert len(outs["pull"]) > 1400  # pushed pages included
