@@ -1644,6 +1644,24 @@ def q93_grouped_percentiles_cont(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q94_countmin_frequencies(sf_dir: str):
+    """Count-Min sketch frequencies (stages/sketches.countmin_build/
+    countmin_query): the mergeable LINEAR-sketch counterpart of exact
+    heavy hitters q47 — per-batch depth×width counter blobs tree-merged
+    (partition-invariant bit-for-bit), point queries never undercount.
+    Rows-only by design (approximate); the ≥-exact and error-bound
+    properties are pinned by tests."""
+    from ..stages.sketches import countmin_build, countmin_query, heavy_hitters
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    top = heavy_hitters(ds, "user_id", 10)
+    sk = countmin_build(ds, "user_id")
+    out = countmin_query(sk, top["key"].tolist())
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values(["est_count", "value"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1840,6 +1858,7 @@ QUERIES = {
     "q91_knn_multi": q91_knn_multi,
     "q92_percentiles_cont": q92_percentiles_cont,
     "q93_grouped_percentiles_cont": q93_grouped_percentiles_cont,
+    "q94_countmin_frequencies": q94_countmin_frequencies,
 }
 
 ORACLE_SQL = {

@@ -1257,3 +1257,69 @@ def histogram_fixed(ds: rd.Dataset, col: str, lo: float, hi: float,
             "n": total,
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate frequencies
+# --------------------------------------------------------------------------
+def countmin_build(ds: rd.Dataset, col: str, *, width: int = 2048,
+                   depth: int = 4) -> np.ndarray:
+    """Build a Count-Min sketch of ``ds[col]`` (Cormode & Muthukrishnan
+    2005 — public): a depth×width int64 counter matrix where each value
+    increments one counter per row (row-seeded splitmix64 hashes).  The
+    sketch is LINEAR — element-wise SUM merges partials exactly, so the
+    result is partition-invariant bit-for-bit.  Per-batch partials are
+    one depth×width blob (~64 KB at defaults), tree-merged like the HLL
+    registers; point queries take the MIN over rows: estimates are
+    NEVER under the true count and overshoot by ≤ e·N/width with
+    probability 1−e^−depth per query.  NULLs don't count (SQL
+    aggregate semantics)."""
+    from ..functions.hashing import hash_strings, mix64
+
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+
+    def blob(t: pa.Table) -> pa.Table:
+        s = t[col].to_pandas()
+        s = s[s.notna()]
+        m = np.zeros((depth, width), dtype=np.int64)
+        if len(s):
+            h = hash_strings(s.astype(str).to_numpy(dtype=object))
+            for r in range(depth):
+                cell = (mix64(h, 1000 + r) % np.uint64(width)).astype(np.int64)
+                m[r] += np.bincount(cell, minlength=width)
+        return pa.table({"m": pa.array([m.tobytes()], type=pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = np.zeros(depth * width, dtype=np.int64)
+        for b in t["m"].to_pylist():
+            tot += np.frombuffer(b, dtype=np.int64)
+        return pa.table({"m": pa.array([tot.tobytes()], type=pa.binary())})
+
+    blobs = (
+        ds.map_batches(blob, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    tot = np.zeros(depth * width, dtype=np.int64)
+    for b in blobs["m"]:
+        tot += np.frombuffer(b, dtype=np.int64)
+    return tot.reshape(depth, width)
+
+
+def countmin_query(sketch: np.ndarray, items: list) -> pd.DataFrame:
+    """Point-query the sketch: → (value, est_count), est = min over
+    rows.  Items are string-rendered exactly as at build time."""
+    from ..functions.hashing import hash_strings, mix64
+
+    depth, width = sketch.shape
+    vals = np.asarray([str(x) for x in items], dtype=object)
+    if not len(vals):
+        return pd.DataFrame({"value": pd.Series(dtype=object),
+                             "est_count": pd.Series(dtype=np.int64)})
+    h = hash_strings(vals)
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        cell = (mix64(h, 1000 + r) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[r, cell])
+    return pd.DataFrame({"value": list(items), "est_count": est})

@@ -677,3 +677,69 @@ def test_grouped_quantiles_cont_matches_numpy(ray_session):
         ref = np.quantile(sub["v"].to_numpy(), qs, method="linear")
         got = out[out["g"] == g].sort_values("q")["value"].to_numpy()
         assert np.allclose(got, np.round(ref, 6), atol=1e-6), g
+
+
+class TestCountMin:
+    def test_never_undercounts_and_error_bound(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            countmin_build,
+            countmin_query,
+        )
+
+        rng = np.random.default_rng(13)
+        # zipf-ish: few heavy keys + long tail
+        vals = np.concatenate([
+            np.repeat(np.arange(5), 400),
+            rng.integers(100, 5000, 3000),
+        ])
+        df = pd.DataFrame({"v": vals})
+        ds = rd.from_pandas(df).repartition(5)
+        sk = countmin_build(ds, "v", width=1024, depth=4)
+        exact = df["v"].value_counts()
+        items = exact.index[:50].tolist()
+        est = countmin_query(sk, items).set_index("value")["est_count"]
+        for it in items:
+            assert est[it] >= exact[it]  # CM never undercounts
+        # ε = e/width bound, N = total rows (generous ×3 slack)
+        n = len(df)
+        eps = np.e / 1024
+        over = np.array([est[it] - exact[it] for it in items])
+        assert (over <= 3 * eps * n).mean() > 0.95
+
+    def test_linear_merge_partition_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            countmin_build,
+        )
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"v": rng.integers(0, 300, 4000)})
+        a = countmin_build(rd.from_pandas(df).repartition(2), "v")
+        b = countmin_build(rd.from_pandas(df).repartition(13), "v")
+        assert (a == b).all()  # the sketch is linear — bit-identical
+        assert a.sum() == 4 * 4000  # every row hits one cell per region
+
+    def test_nulls_skipped_and_bad_params(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            countmin_build,
+            countmin_query,
+        )
+
+        df = pd.DataFrame({"v": [1.0, 1.0, np.nan]})
+        sk = countmin_build(rd.from_pandas(df), "v")
+        assert sk.sum() == 4 * 2  # the NULL row never counted
+        assert countmin_query(sk, []).empty
+        with _pytest.raises(ValueError):
+            countmin_build(rd.from_pandas(df), "v", width=1)
