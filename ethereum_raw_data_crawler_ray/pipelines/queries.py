@@ -1662,6 +1662,91 @@ def q94_countmin_frequencies(sf_dir: str):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def q95_lag_lead(sf_dir: str):
+    """Per-user LAG/LEAD navigation + row-over-row delta
+    (stages/joins.keyed_lag_lead): one bucket exchange, vectorized
+    shift per bucket; defaults 0 (not NULL) so every column is non-null
+    int64 — the NULL-dtype drift class q65 exposed never arises."""
+    from ..stages.joins import keyed_lag_lead
+
+    return keyed_lag_lead(
+        _t(sf_dir, "events", ["user_id", "ts", "value"]),
+        by="user_id", ts_col="ts", val_col="value",
+    )
+
+
+def q96_rank(sf_dir: str):
+    """Tie-aware RANK / DENSE_RANK per event type ordering by value
+    DESC (stages/joins.keyed_rank): both ranks are pure functions of
+    the ORDER BY value, so genuine cents ties rank deterministically
+    without a tiebreaker."""
+    from ..stages.joins import keyed_rank
+
+    return keyed_rank(
+        _t(sf_dir, "events", ["event_type", "event_id", "ts", "value"]),
+        by="event_type", id_col="event_id", ts_col="ts", val_col="value",
+    )
+
+
+def q97_gap_fill(sf_dir: str):
+    """Dense hourly event counts with gap fill (stages/sketches.
+    time_bucket_fill): per-block (bucket, n) combiner partials, driver
+    range fill bounded by calendar span — empty hours emit 0 like the
+    oracle's generate_series LEFT JOIN."""
+    from ..stages.sketches import time_bucket_fill
+
+    return time_bucket_fill(_t(sf_dir, "events", ["ts"]),
+                            "ts", 3_600_000_000)
+
+
+def q98_weighted_avg(sf_dir: str):
+    """Grouped weighted mean (stages/sketches.grouped_weighted_stats):
+    quantity-weighted average price per return flag — exact int64
+    cents×weight partials, one IEEE division at the end (bit-equal to
+    the oracle's explicit CAST arithmetic, no ROUND tolerance)."""
+    from ..stages.sketches import grouped_weighted_stats
+
+    return grouped_weighted_stats(
+        _t(sf_dir, "lineitem",
+           ["l_returnflag", "l_extendedprice", "l_quantity"]),
+        "l_returnflag", "l_extendedprice", "l_quantity",
+    )
+
+
+def q99_semi_join(sf_dir: str):
+    """Distributed SEMI join (stages/joins.hash_join how="semi" with
+    the Bloom prefilter scale path ON): customers holding at least one
+    'F'-status order — the EXISTS complement of q58's anti join; the
+    Bloom pass drops definite-non-matching customers before the
+    exchange and the exact per-bucket isin keeps the result identical."""
+    from ..stages.joins import hash_join
+
+    left = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def only_f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["o_orderstatus"], "F"))
+
+    right = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(only_f, batch_format="pyarrow")
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    return hash_join(
+        left, right, on="c_custkey", right_cols=[], how="semi",
+        bloom_prefilter=True,
+        left_fields=[
+            pa.field("c_custkey", pa.int64()),
+            pa.field("c_name", pa.string()),
+        ],
+        right_fields=[
+            pa.field("c_custkey", pa.int64()),
+            pa.field("o_orderstatus", pa.string()),
+        ],
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1859,6 +1944,11 @@ QUERIES = {
     "q92_percentiles_cont": q92_percentiles_cont,
     "q93_grouped_percentiles_cont": q93_grouped_percentiles_cont,
     "q94_countmin_frequencies": q94_countmin_frequencies,
+    "q95_lag_lead": q95_lag_lead,
+    "q96_rank": q96_rank,
+    "q97_gap_fill": q97_gap_fill,
+    "q98_weighted_avg": q98_weighted_avg,
+    "q99_semi_join": q99_semi_join,
 }
 
 ORACLE_SQL = {
@@ -2438,6 +2528,69 @@ ORACLE_SQL = {
                       AND lo.r = pos.klo
         JOIN ranked hi ON hi.event_type = pos.event_type
                       AND hi.r = pos.khi
+    """,
+    "q95_lag_lead": """
+        WITH c AS (
+            SELECT user_id, ts, epoch_us(ts) AS ts_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, ts_us, cents,
+               LAG(cents, 1, CAST(0 AS BIGINT)) OVER w AS lag_cents,
+               LEAD(cents, 1, CAST(0 AS BIGINT)) OVER w AS lead_cents,
+               cents - LAG(cents, 1, CAST(0 AS BIGINT)) OVER w
+                 AS delta_cents
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    "q96_rank": """
+        WITH c AS (
+            SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type, event_id, ts_us, cents,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC)
+    """,
+    "q97_gap_fill": """
+        WITH c AS (
+            SELECT epoch_us(ts) // 3600000000 AS bucket,
+                   COUNT(*) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        r AS (
+            SELECT unnest(generate_series((SELECT MIN(bucket) FROM c),
+                                          (SELECT MAX(bucket) FROM c)))
+                   AS bucket
+        )
+        SELECT CAST(r.bucket AS BIGINT) AS bucket,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM r LEFT JOIN c USING (bucket)
+    """,
+    "q98_weighted_avg": """
+        WITH p AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND(l_quantity) AS BIGINT) AS wx,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        )
+        SELECT l_returnflag,
+               CAST(SUM(wx) AS BIGINT) AS sum_wx_cents,
+               CAST(SUM(w) AS BIGINT) AS sum_w,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(wx) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS wavg
+        FROM p GROUP BY l_returnflag
+    """,
+    "q99_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
 }
 

@@ -926,3 +926,141 @@ def keyed_ntile(
         .groupby("__bucket")
         .map_groups(tile_bucket, batch_format="pandas")
     )
+
+
+def keyed_lag_lead(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """``LAG`` / ``LEAD`` (offset 1, default 0) per key plus the
+    row-over-row delta — the navigation-function member of the keyed-
+    window family (reference analog: consecutive-block delta checks in
+    the crawler's sequential validators).  One hash-bucket exchange on
+    the key via the shared :func:`_keyed_cents_tag` map stage, then a
+    single vectorized shift per bucket: after the stable (key, ts)
+    sort, lag is the array shifted right with each key's FIRST row
+    forced to the default, lead the array shifted left with each key's
+    LAST row forced — no per-key apply.
+
+    Defaults are 0 (``LAG(x, 1, 0)``) rather than SQL's NULL so every
+    output column is non-null int64 — NULL-vs-NaN dtype drift across
+    engines is exactly the q65 hash-flake class.  ``delta_cents`` is
+    ``cents - lag_cents`` (first row of a key: the value itself).
+    Output: (by, ts_us, cents, lag_cents, lead_cents, delta_cents).
+    Ties on (key, ts) would make neighbors ambiguous — the events
+    corpus has none (TESTDATA).
+    """
+    n_buckets = n_buckets or _default_buckets()
+    _OUT = (by, "ts_us", "cents", "lag_cents", "lead_cents", "delta_cents")
+
+    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: [] for c in _OUT})
+        g = g.sort_values([by, "ts_us"], kind="mergesort")
+        key = g[by].to_numpy()
+        cents = g["__cents"].to_numpy(np.int64)
+        first = _first_mask(key)
+        last = np.append(first[1:], True)
+        lag = np.empty_like(cents)
+        lag[0], lag[1:] = 0, cents[:-1]
+        lag[first] = 0
+        lead = np.empty_like(cents)
+        lead[-1], lead[:-1] = 0, cents[1:]
+        lead[last] = 0
+        return pd.DataFrame(
+            {
+                by: key,
+                "ts_us": g["ts_us"].to_numpy(np.int64),
+                "cents": cents,
+                "lag_cents": lag,
+                "lead_cents": lead,
+                "delta_cents": cents - lag,
+            }
+        )
+
+    return (
+        ds.map_batches(_keyed_cents_tag(by, ts_col, val_col, n_buckets),
+                       batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(shift_bucket, batch_format="pandas")
+    )
+
+
+def keyed_rank(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    id_col: str,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """``RANK()`` / ``DENSE_RANK()`` per key ordering by value DESC —
+    the tie-aware ranking member of the keyed-window family (NTILE and
+    PERCENT_RANK's sibling).  Unlike ROW_NUMBER, both functions are a
+    pure function of the ORDER BY *value*: every row in a tie group
+    gets the same rank (1 + count strictly greater / 1 + distinct
+    greater), so the output is deterministic even though the corpus has
+    genuine cents-level ties — no tiebreaker column needed.
+
+    One hash-bucket exchange on the key, then per bucket a stable
+    (key, value) sort and pandas' C ``groupby(...).rank(method='min' /
+    'dense')`` over key-run ordinals (run ids, not raw keys, so a null
+    key forms ONE partition like SQL).  ``id_col`` / ``ts_us`` ride
+    along only to identify rows in the output.
+    Output: (by, id_col, ts_us, cents, rnk, drnk), all-int64 ranks.
+    """
+    n_buckets = n_buckets or _default_buckets()
+    _OUT = (by, id_col, "ts_us", "cents", "rnk", "drnk")
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t[by].to_numpy(zero_copy_only=False)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        v100 = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        cents = pa.array(
+            (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
+        )
+        return pa.table(
+            {
+                by: t[by],
+                id_col: t[id_col],
+                "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__cents": cents,
+                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: [] for c in _OUT})
+        g = g.sort_values(by, kind="mergesort")
+        key = g[by].to_numpy()
+        cents = pd.Series(g["__cents"].to_numpy(np.int64))
+        grp = np.cumsum(_first_mask(key)) - 1
+        by_run = cents.groupby(pd.Series(grp), sort=False)
+        return pd.DataFrame(
+            {
+                by: key,
+                id_col: g[id_col].to_numpy(),
+                "ts_us": g["ts_us"].to_numpy(np.int64),
+                "cents": cents.to_numpy(),
+                "rnk": by_run.rank(method="min", ascending=False)
+                .to_numpy(np.int64),
+                "drnk": by_run.rank(method="dense", ascending=False)
+                .to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

@@ -1323,3 +1323,119 @@ def countmin_query(sketch: np.ndarray, items: list) -> pd.DataFrame:
         cell = (mix64(h, 1000 + r) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, sketch[r, cell])
     return pd.DataFrame({"value": list(items), "est_count": est})
+
+
+# --------------------------------------------------------------------------
+# dense time-series gap fill (generate_series LEFT JOIN counts)
+# --------------------------------------------------------------------------
+def time_bucket_fill(ds: rd.Dataset, ts_col: str,
+                     bucket_us: int) -> pd.DataFrame:
+    """Dense per-bucket event counts with GAP FILL: every bucket between
+    the global min and max gets a row, empty buckets emit 0 — the shape
+    monitoring/rate dashboards need (the reference's metrics reader
+    plots per-interval fetch counts the same way; q42's lineage is the
+    crawl-side analog).
+
+    Per-batch combiner: one (bucket, n) partial per distinct bucket in
+    the block — KILOBYTES per block regardless of block size, because a
+    time bucket is coarse by construction.  Partials merge on the
+    driver; the dense range is O(time-span / bucket), bounded by
+    calendar time, not data size (a decade of hours is 87k rows), so
+    the driver-side fill is scale-safe at 100 TB.  NULL timestamps
+    don't count (SQL COUNT semantics).
+
+    Returns (bucket:int64 = ts_us // bucket_us, n:int64), bucket-sorted
+    and gap-free.  Empty input → empty frame (no range to fill).
+    """
+    if bucket_us < 1:
+        raise ValueError("bucket_us must be >= 1")
+
+    def part(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        v = ts.to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)].astype(np.int64)
+        # floor division matches SQL's // on the non-negative epoch
+        b, n = np.unique(v // bucket_us, return_counts=True)
+        return pa.table({"bucket": pa.array(b, type=pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    got = parts.groupby("bucket")["n"].sum()
+    dense = np.arange(got.index.min(), got.index.max() + 1, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "bucket": dense,
+            "n": got.reindex(dense, fill_value=0).to_numpy(np.int64),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped weighted mean via exact integer partials
+# --------------------------------------------------------------------------
+def grouped_weighted_stats(ds: rd.Dataset, group: str, val: str,
+                           weight: str) -> pd.DataFrame:
+    """Weighted mean per group — ``SUM(val*w)/SUM(w) GROUP BY group`` —
+    with EXACT integer partials: value→cents and weight→int64 in the
+    map stage, so ``sum_wx_cents``/``sum_w`` accumulate in int64 (no
+    float association drift; the q65/q86 lesson), and the final mean is
+    ONE IEEE double division of two exact integers — bit-equal to the
+    oracle's explicit ``CAST(.. AS DOUBLE)/CAST(.. AS DOUBLE)`` with no
+    ROUND() tolerance needed.  Rows with a NULL value or weight are
+    skipped (SQL aggregate semantics).
+
+    Per-batch combiner: one (group, sum_wx, sum_w, n) row per distinct
+    group in the block; partials merge on the driver (same #groups ×
+    #blocks contract as grouped_count_distinct's final merge).
+    Returns (group, sum_wx_cents, sum_w, n, wavg) group-sorted; groups
+    whose weights sum to 0 emit NaN (SQL NULL division).
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t[group].to_pandas()
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(v) | np.isnan(w))
+        cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)  # half-away
+        wi = np.sign(w) * np.floor(np.abs(w) + 0.5)
+        df = pd.DataFrame(
+            {
+                group: g[ok],
+                "__wx": (cents[ok] * wi[ok]).astype(np.int64),
+                "__w": wi[ok].astype(np.int64),
+            }
+        )
+        p = df.groupby(group, sort=False, dropna=False).agg(
+            sum_wx_cents=("__wx", "sum"), sum_w=("__w", "sum"),
+            n=("__w", "size"),
+        ).reset_index()
+        for c in ("sum_wx_cents", "sum_w", "n"):
+            p[c] = p[c].astype(np.int64)
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({group: pd.Series(dtype=object),
+                             **{c: pd.Series(dtype=np.int64)
+                                for c in ("sum_wx_cents", "sum_w", "n")},
+                             "wavg": pd.Series(dtype=np.float64)})
+    out = (
+        parts.groupby(group, sort=False, dropna=False)[
+            ["sum_wx_cents", "sum_w", "n"]]
+        .sum()
+        .astype(np.int64)
+        .reset_index()
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["wavg"] = np.where(
+            out["sum_w"] != 0,
+            out["sum_wx_cents"].to_numpy(np.float64)
+            / out["sum_w"].to_numpy(np.float64),
+            np.nan,
+        )
+    return out.sort_values(group).reset_index(drop=True)

@@ -612,3 +612,116 @@ class TestKeyedFrameStats:
         assert out["first_cents"].tolist() == [100, 100, 100, 700]
         assert out["last_cents"].tolist() == [900, 900, 900, 700]
         assert out["pct_rank"].tolist() == [0.0, 0.5, 1.0, 0.0]
+
+
+class TestKeyedLagLead:
+    def test_matches_pandas_shift(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_lag_lead
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.permutation(n), unit="s"),
+            "v": np.round(rng.normal(0, 100, n), 2),
+        })
+        out = (keyed_lag_lead(rd.from_pandas(df).repartition(7), by="k",
+                              ts_col="ts", val_col="v")
+               .to_pandas().sort_values(["k", "ts_us"]).reset_index(drop=True))
+        ref = df.copy()
+        v100 = ref["v"].to_numpy() * 100.0
+        ref["c"] = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
+        ref = ref.sort_values(["k", "ts"]).reset_index(drop=True)
+        g = ref.groupby("k", sort=False)["c"]
+        lag = g.shift(1).fillna(0).astype(np.int64).to_numpy()
+        lead = g.shift(-1).fillna(0).astype(np.int64).to_numpy()
+        assert (out["cents"].to_numpy() == ref["c"].to_numpy()).all()
+        assert (out["lag_cents"].to_numpy() == lag).all()
+        assert (out["lead_cents"].to_numpy() == lead).all()
+        assert (out["delta_cents"].to_numpy()
+                == ref["c"].to_numpy() - lag).all()
+
+    def test_singleton_and_null_keys(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_lag_lead
+
+        df = pd.DataFrame({
+            "k": [np.nan, 7.0, np.nan],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "v": [1.0, 2.0, 3.0],
+        })
+        out = (keyed_lag_lead(rd.from_pandas(df), by="k", ts_col="ts",
+                              val_col="v")
+               .to_pandas().sort_values("ts_us").reset_index(drop=True))
+        # singleton key: both neighbors default to 0, delta = value
+        row7 = out[out["k"] == 7.0].iloc[0]
+        assert (row7["lag_cents"], row7["lead_cents"], row7["delta_cents"]) \
+            == (0, 0, 200)
+        # both null-key rows form ONE partition (SQL PARTITION BY)
+        nulls = out[out["k"].isna()].sort_values("ts_us")
+        assert nulls["lag_cents"].tolist() == [0, 100]
+        assert nulls["lead_cents"].tolist() == [300, 0]
+
+
+class TestKeyedRank:
+    def test_ties_and_dense_gaps(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_rank
+
+        df = pd.DataFrame({
+            "k": ["x"] * 4 + ["y"],
+            "id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime([1, 2, 3, 4, 5], unit="s"),
+            "v": [5.0, 5.0, 3.0, 9.0, 1.0],
+        })
+        out = (keyed_rank(rd.from_pandas(df), by="k", id_col="id",
+                          ts_col="ts", val_col="v")
+               .to_pandas().set_index("id"))
+        # x: 900 → rank 1; the 500-tie → rank 2 both; 300 → rank 4 (gap)
+        assert out.loc[4, "rnk"] == 1 and out.loc[4, "drnk"] == 1
+        assert out.loc[1, "rnk"] == out.loc[2, "rnk"] == 2
+        assert out.loc[1, "drnk"] == out.loc[2, "drnk"] == 2
+        assert out.loc[3, "rnk"] == 4          # RANK leaves a gap
+        assert out.loc[3, "drnk"] == 3         # DENSE_RANK doesn't
+        assert out.loc[5, "rnk"] == out.loc[5, "drnk"] == 1  # own partition
+
+    def test_matches_pandas_rank_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_rank
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], n),
+            "id": np.arange(n),
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            # coarse grid → plenty of genuine ties
+            "v": rng.integers(0, 40, n) / 4.0,
+        })
+        outs = []
+        for parts in (3, 17):
+            out = (keyed_rank(rd.from_pandas(df).repartition(parts), by="k",
+                              id_col="id", ts_col="ts", val_col="v")
+                   .to_pandas().sort_values("id").reset_index(drop=True))
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        ref = df.copy()
+        ref["c"] = (ref["v"] * 100).round().astype(np.int64)
+        g = ref.groupby("k", sort=False)["c"]
+        got = outs[0].sort_values("id")
+        assert (got["rnk"].to_numpy()
+                == g.rank(method="min", ascending=False).to_numpy()).all()
+        assert (got["drnk"].to_numpy()
+                == g.rank(method="dense", ascending=False).to_numpy()).all()

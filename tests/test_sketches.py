@@ -743,3 +743,114 @@ class TestCountMin:
         assert countmin_query(sk, []).empty
         with _pytest.raises(ValueError):
             countmin_build(rd.from_pandas(df), "v", width=1)
+
+
+class TestTimeBucketFill:
+    def test_gaps_filled_and_nulls_skipped(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import time_bucket_fill
+
+        # hours 10, 10, 13 (+ one NULL): hours 11 and 12 must appear as 0
+        ts = pd.to_datetime([10 * 3600 + 5, 10 * 3600 + 7, 13 * 3600 + 1],
+                            unit="s").tolist() + [pd.NaT]
+        df = pd.DataFrame({"ts": ts})
+        out = time_bucket_fill(rd.from_pandas(df).repartition(2), "ts",
+                               3_600_000_000)
+        assert out["bucket"].tolist() == [10, 11, 12, 13]
+        assert out["n"].tolist() == [2, 0, 0, 1]
+        assert out["n"].dtype == np.int64
+
+    def test_empty_input_and_bad_bucket(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import time_bucket_fill
+
+        empty = pd.DataFrame({"ts": pd.to_datetime(pd.Series([], dtype="int64"),
+                                                   unit="s")})
+        out = time_bucket_fill(rd.from_pandas(empty), "ts", 3_600_000_000)
+        assert out.empty and list(out.columns) == ["bucket", "n"]
+        with _pytest.raises(ValueError):
+            time_bucket_fill(rd.from_pandas(empty), "ts", 0)
+
+    def test_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import time_bucket_fill
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({"ts": pd.to_datetime(
+            rng.integers(0, 50 * 3600, 5000), unit="s")})
+        a = time_bucket_fill(rd.from_pandas(df).repartition(2), "ts",
+                             3_600_000_000)
+        b = time_bucket_fill(rd.from_pandas(df).repartition(11), "ts",
+                             3_600_000_000)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n"].sum() == len(df)
+
+
+class TestGroupedWeightedStats:
+    def test_matches_direct_computation(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_weighted_stats,
+        )
+
+        rng = np.random.default_rng(21)
+        n = 4000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": np.round(rng.uniform(1, 100, n), 2),
+            "w": rng.integers(1, 50, n).astype(float),
+        })
+        out = grouped_weighted_stats(rd.from_pandas(df).repartition(6),
+                                     "g", "v", "w")
+        ref = df.copy()
+        ref["c"] = (ref["v"] * 100).round().astype(np.int64)
+        ref["wi"] = ref["w"].round().astype(np.int64)
+        ref["wx"] = ref["c"] * ref["wi"]
+        exp = ref.groupby("g").agg(sum_wx_cents=("wx", "sum"),
+                                   sum_w=("wi", "sum"), n=("wx", "size"))
+        for g in ("a", "b", "c"):
+            row = out[out["g"] == g].iloc[0]
+            assert row["sum_wx_cents"] == exp.loc[g, "sum_wx_cents"]
+            assert row["sum_w"] == exp.loc[g, "sum_w"]
+            assert row["n"] == exp.loc[g, "n"]
+            # the mean is ONE division of the exact integer partials
+            assert row["wavg"] == exp.loc[g, "sum_wx_cents"] / exp.loc[g, "sum_w"]
+
+    def test_null_skip_zero_weight_and_empty(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_weighted_stats,
+        )
+
+        df = pd.DataFrame({
+            "g": ["a", "a", "b", "b"],
+            "v": [10.0, np.nan, 5.0, 7.0],
+            "w": [2.0, 3.0, 0.0, np.nan],
+        })
+        out = grouped_weighted_stats(rd.from_pandas(df), "g", "v", "w")
+        a = out[out["g"] == "a"].iloc[0]
+        assert (a["sum_wx_cents"], a["sum_w"], a["n"]) == (2000, 2, 1)
+        b = out[out["g"] == "b"].iloc[0]  # only the 0-weight row survives
+        assert (b["sum_w"], b["n"]) == (0, 1)
+        assert np.isnan(b["wavg"])  # SQL NULL division
+        empty = grouped_weighted_stats(
+            rd.from_pandas(pd.DataFrame({"g": pd.Series(dtype=object),
+                                         "v": pd.Series(dtype=float),
+                                         "w": pd.Series(dtype=float)})),
+            "g", "v", "w")
+        assert empty.empty
