@@ -1747,6 +1747,20 @@ def q99_semi_join(sf_dir: str):
     )
 
 
+def q100_latest_per_key(sf_dir: str):
+    """Latest-snapshot compaction (stages/joins.latest_per_key): each
+    user's newest full event row — the CDC change-log→current-state
+    primitive; batch-local newest-per-key combiner, one bucket
+    exchange, vectorized last-of-key pick."""
+    from ..stages.joins import latest_per_key
+
+    return latest_per_key(
+        _t(sf_dir, "events",
+           ["event_id", "ts", "user_id", "event_type", "value"]),
+        by="user_id", ts_col="ts",
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1949,6 +1963,7 @@ QUERIES = {
     "q97_gap_fill": q97_gap_fill,
     "q98_weighted_avg": q98_weighted_avg,
     "q99_semi_join": q99_semi_join,
+    "q100_latest_per_key": q100_latest_per_key,
 }
 
 ORACLE_SQL = {
@@ -2556,8 +2571,14 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC)
     """,
     "q97_gap_fill": """
+        -- FLOOR division (engine parity): SQL // truncates toward zero,
+        -- so pre-1970 epochs need the explicit negative branch
         WITH c AS (
-            SELECT epoch_us(ts) // 3600000000 AS bucket,
+            SELECT CASE WHEN epoch_us(ts) >= 0
+                        THEN epoch_us(ts) // 3600000000
+                        ELSE -((-epoch_us(ts) + 3600000000 - 1)
+                               // 3600000000)
+                   END AS bucket,
                    COUNT(*) AS n
             FROM events WHERE ts IS NOT NULL GROUP BY 1
         ),
@@ -2591,6 +2612,13 @@ ORACLE_SQL = {
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey IN
               (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "q100_latest_per_key": """
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(ts) AS ts_us
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC) = 1
     """,
 }
 

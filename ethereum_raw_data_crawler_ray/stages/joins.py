@@ -55,7 +55,13 @@ def _arrow_fields(ds: rd.Dataset) -> list[pa.Field]:
     out = []
     for name, typ in zip(s.names, s.types):
         if not isinstance(typ, pa.DataType):
-            typ = pa.from_numpy_dtype(typ)
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                # numpy object dtype (pandas strings / None) has no
+                # arrow mapping — same string fallback as sketches'
+                # _pinned_types: these columns hold strings here
+                typ = pa.string()
         out.append(pa.field(name, typ))
     return out
 
@@ -109,6 +115,33 @@ def _bucket_of(arr: np.ndarray, n_buckets: int) -> np.ndarray:
     return (x % np.uint64(n_buckets)).astype(np.int64)
 
 
+# routing-only stand-in for null int keys; a real key colliding with it
+# merely shares a bucket (harmless — partitioning inside the bucket uses
+# the data column, which keeps its true nulls)
+_NULL_KEY = -0x61C8864680B583EB
+
+
+def _key_for_hash(col) -> np.ndarray:
+    """Arrow key column → numpy with a dtype that does NOT depend on the
+    batch's null count — the hash-input contract every bucket/Bloom
+    computation needs.  A nullable int column converts to float64 (NaN)
+    only in batches that happen to contain a null, so the same key would
+    hash down the float path in one batch and the int path in another,
+    splitting one key across buckets (or Bloom-dropping a matching row —
+    a false NEGATIVE).  Dispatch on the ARROW type, which is stable
+    across batches: integer types cast to int64 with nulls replaced by
+    the ``_NULL_KEY`` sentinel; everything else takes the plain numpy
+    conversion (its dtype is already batch-invariant)."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type):
+        filled = pc.fill_null(pc.cast(col, pa.int64()), _NULL_KEY)
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        return filled.to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False)
+
+
 def _tagged_union(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -139,8 +172,7 @@ def _tagged_union(
                 else:
                     cols[f.name] = pa.nulls(n, type=f.type)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            key = t[by].to_numpy(zero_copy_only=False)
-            cols["__bucket"] = pa.array(_bucket_of(key, n_buckets))
+            cols["__bucket"] = pa.array(_bucket_of(_key_for_hash(t[by]), n_buckets))
             return pa.table(cols)
 
         return tag
@@ -339,7 +371,6 @@ def keyed_gaps(
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        key = t[by].to_numpy(zero_copy_only=False)  # any dtype _bucket_of takes
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
@@ -347,7 +378,7 @@ def keyed_gaps(
             {
                 by: t[by],
                 "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
-                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+                "__bucket": pa.array(_bucket_of(_key_for_hash(t[by]), n_buckets)),
             }
         )
 
@@ -434,6 +465,10 @@ def hash_join(
     ``bloom_bits`` ≈ 10× the distinct right-key count for a ~1 % FP
     rate (2 probes).  Invalid for left/anti, where unmatched left rows
     must be kept.
+
+    NULL join keys never match (SQL semantics — pandas' NaN==NaN
+    pairing is suppressed) and are excluded from every mode's output,
+    including left/anti.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -457,6 +492,14 @@ def hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == 0]
         rf = g[g["__side"] == 1]
+        # SQL equi-joins never match NULL keys, but pandas merge/isin DO
+        # pair NaN with NaN — drop null-key rows from both sides before
+        # joining.  (Contract: null-key rows appear in NO mode's output,
+        # including left/anti — documented deviation from NOT EXISTS,
+        # which would keep them; it also keeps int key columns castable
+        # below, since a kept NaN would float-promote the output.)
+        lf = lf[lf[on].notna()]
+        rf = rf[rf[on].notna()]
         lf = lf[lcols].astype({c: np.int64 for c in l_ints})
         rf = rf[rkeep].astype({c: np.int64 for c in r_ints})
         if out_is_left_only:
@@ -498,28 +541,6 @@ def keyed_running_sum(
     """
     n_buckets = n_buckets or _default_buckets()
 
-    def tag(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        key = t[by].to_numpy(zero_copy_only=False)
-        ts = t[ts_col]
-        if pa.types.is_timestamp(ts.type):
-            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-        # DuckDB ROUND is half-away-from-zero; pc.round defaults to
-        # half-to-even — divergent on exact .5 cents values
-        v100 = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
-        cents = pa.array(
-            (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
-        )
-        return pa.table(
-            {
-                by: t[by],
-                "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
-                "__cents": cents,
-                "__bucket": pa.array(_bucket_of(key, n_buckets)),
-            }
-        )
-
     def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame({by: [], "ts_us": [], "running_cents": []})
@@ -542,35 +563,47 @@ def keyed_running_sum(
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(_keyed_cents_tag(by, ts_col, val_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(run_bucket, batch_format="pandas")
     )
 
 
-def _keyed_cents_tag(by: str, ts_col: str, val_col: str, n_buckets: int):
-    """Shared map stage of the keyed-window family: (key, ts_us, exact
-    integer cents, key hash bucket) — the ONE exchange every
-    PARTITION-BY window needs. Cents use half-away-from-zero rounding
-    (DuckDB ROUND parity; pc.round is half-to-even)."""
+def _keyed_cents_tag(by: str, ts_col: str, val_col: str, n_buckets: int,
+                     extra_cols: tuple[str, ...] = ()):
+    """Shared map stage of the keyed-window family: (key, [extras],
+    ts_us, exact integer cents, key hash bucket) — the ONE exchange
+    every PARTITION-BY window needs. Cents use half-away-from-zero
+    rounding (DuckDB ROUND parity; pc.round is half-to-even).
+
+    A NULL value cannot be represented in the non-null int64 cents
+    contract (NaN.astype(int64) is undefined garbage that would
+    silently corrupt every window in the partition) — it fails LOUD
+    instead; the events corpus has none (TESTDATA)."""
 
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        key = t[by].to_numpy(zero_copy_only=False)
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         v100 = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        if np.isnan(v100).any():
+            raise ValueError(
+                f"NULL {val_col!r} values are not representable in the "
+                "int64-cents window family; filter them upstream"
+            )
         cents = pa.array(
             (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
         )
         return pa.table(
             {
                 by: t[by],
+                **{c: t[c] for c in extra_cols},
                 "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
                 "__cents": cents,
-                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+                "__bucket": pa.array(_bucket_of(_key_for_hash(t[by]), n_buckets)),
             }
         )
 
@@ -725,9 +758,9 @@ def set_op(
 
     def make_tag(side: int):
         def tag(t: pa.Table) -> pa.Table:
-            key = t[on].to_numpy(zero_copy_only=False)
+            key = _key_for_hash(t[on])
             bucket = _bucket_of(key, n_buckets)
-            null_mask = np.asarray(pd.isna(key))
+            null_mask = np.asarray(pd.isna(t[on].to_numpy(zero_copy_only=False)))
             bucket[null_mask] = 0  # co-locate NULLs so bucket 0 decides them
             return pa.table(
                 {
@@ -785,7 +818,8 @@ def _bloom_filter_left(
 
     def partial(t: pa.Table) -> pa.Table:
         arr = np.zeros(words, dtype=np.uint64)
-        k = t[on].to_numpy(zero_copy_only=False)
+        k = _key_for_hash(t[on])  # null-count-invariant dtype: a dtype
+        # flip between build and probe batches would Bloom-DROP matches
         for pos in _bloom_hashes(k, bits):
             np.bitwise_or.at(arr, (pos // 64).astype(np.int64), np.uint64(1) << (pos % np.uint64(64)))
         return pa.table({"bloom": pa.array([arr.tobytes()], pa.binary())})
@@ -798,7 +832,7 @@ def _bloom_filter_left(
 
     def keep(t: pa.Table) -> pa.Table:
         bloom = ray.get(ref)
-        k = t[on].to_numpy(zero_copy_only=False)
+        k = _key_for_hash(t[on])
         p1, p2 = _bloom_hashes(k, bits)
         hit = (
             (bloom[(p1 // 64).astype(np.int64)] >> (p1 % np.uint64(64))) & np.uint64(1)
@@ -834,7 +868,6 @@ def keyed_string_agg(
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        key = t[by].to_numpy(zero_copy_only=False)
         oc = t[order_col]
         if pa.types.is_timestamp(oc.type):
             oc = pc.cast(pc.cast(oc, pa.timestamp("us")), pa.int64())
@@ -843,7 +876,7 @@ def keyed_string_agg(
                 by: t[by],
                 "__ord": pc.cast(oc, pa.int64()).combine_chunks(),
                 "__val": t[val_col],
-                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+                "__bucket": pa.array(_bucket_of(_key_for_hash(t[by]), n_buckets)),
             }
         )
 
@@ -884,7 +917,6 @@ def keyed_ntile(
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        key = t[by].to_numpy(zero_copy_only=False)
         oc = t[order_col]
         if pa.types.is_timestamp(oc.type):
             oc = pc.cast(pc.cast(oc, pa.timestamp("us")), pa.int64())
@@ -892,7 +924,7 @@ def keyed_ntile(
             {
                 by: t[by],
                 "ord_us": pc.cast(oc, pa.int64()).combine_chunks(),
-                "__bucket": pa.array(_bucket_of(key, n_buckets)),
+                "__bucket": pa.array(_bucket_of(_key_for_hash(t[by]), n_buckets)),
             }
         )
 
@@ -1017,27 +1049,6 @@ def keyed_rank(
     n_buckets = n_buckets or _default_buckets()
     _OUT = (by, id_col, "ts_us", "cents", "rnk", "drnk")
 
-    def tag(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        key = t[by].to_numpy(zero_copy_only=False)
-        ts = t[ts_col]
-        if pa.types.is_timestamp(ts.type):
-            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-        v100 = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
-        cents = pa.array(
-            (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype(np.int64)
-        )
-        return pa.table(
-            {
-                by: t[by],
-                id_col: t[id_col],
-                "ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
-                "__cents": cents,
-                "__bucket": pa.array(_bucket_of(key, n_buckets)),
-            }
-        )
-
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame({c: [] for c in _OUT})
@@ -1060,7 +1071,63 @@ def keyed_rank(
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(_keyed_cents_tag(by, ts_col, val_col, n_buckets,
+                                        extra_cols=(id_col,)),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def latest_per_key(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Latest-snapshot compaction — keep each key's newest FULL row
+    (``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC) = 1``),
+    the change-log→current-state primitive of CDC/upsert pipelines and
+    the batch analog of the crawl's seen-claim "newest wins" overwrite
+    (reference upsert: SURVEY §2.1 S9).  A combiner halves the exchange
+    first: each BATCH forwards only its own per-key newest row (≤ one
+    row per distinct key per batch — change-log batches collapse hard),
+    then one hash-bucket exchange and a per-bucket vectorized last-of-
+    key pick.  All columns ride along; ``ts_col`` is emitted as
+    ``{ts_col}_us`` int64.  Ties on (key, ts) would make "latest"
+    ambiguous — the events corpus has none (TESTDATA).
+    """
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        cols = {c: t[c] for c in t.column_names if c != ts_col}
+        cols[f"{ts_col}_us"] = pc.cast(ts, pa.int64()).combine_chunks()
+        cols["__bucket"] = pa.array(_bucket_of(_key_for_hash(t[by]), n_buckets))
+        out = pa.table(cols)
+        # batch-local compaction: newest row per key in this batch
+        df = out.to_pandas()
+        keep = (
+            df.sort_values([by, f"{ts_col}_us"], kind="mergesort")
+            .groupby(by, sort=False, dropna=False)
+            .tail(1)
+        )
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    def last_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.drop(columns=["__bucket"])
+        g = g.sort_values([by, f"{ts_col}_us"], kind="mergesort")
+        last = np.append(_first_mask(g[by].to_numpy())[1:], True)
+        return g[last].drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(last_bucket, batch_format="pandas")
     )

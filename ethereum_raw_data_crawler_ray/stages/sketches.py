@@ -1328,8 +1328,8 @@ def countmin_query(sketch: np.ndarray, items: list) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # dense time-series gap fill (generate_series LEFT JOIN counts)
 # --------------------------------------------------------------------------
-def time_bucket_fill(ds: rd.Dataset, ts_col: str,
-                     bucket_us: int) -> pd.DataFrame:
+def time_bucket_fill(ds: rd.Dataset, ts_col: str, bucket_us: int,
+                     max_buckets: int = 5_000_000) -> pd.DataFrame:
     """Dense per-bucket event counts with GAP FILL: every bucket between
     the global min and max gets a row, empty buckets emit 0 — the shape
     monitoring/rate dashboards need (the reference's metrics reader
@@ -1346,6 +1346,12 @@ def time_bucket_fill(ds: rd.Dataset, ts_col: str,
 
     Returns (bucket:int64 = ts_us // bucket_us, n:int64), bucket-sorted
     and gap-free.  Empty input → empty frame (no range to fill).
+    Bucket ids use FLOOR division (calendar-aligned buckets for
+    pre-1970 timestamps too — numpy ``//``; the oracle mirrors it with
+    explicit integer arithmetic because SQL ``//`` truncates toward
+    zero).  ``max_buckets`` bounds the dense driver frame: ONE corrupt
+    far-future timestamp would otherwise stretch min..max to a
+    multi-GB range — fail loud instead of OOMing the driver.
     """
     if bucket_us < 1:
         raise ValueError("bucket_us must be >= 1")
@@ -1356,7 +1362,8 @@ def time_bucket_fill(ds: rd.Dataset, ts_col: str,
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         v = ts.to_numpy(zero_copy_only=False)
         v = v[~pd.isna(v)].astype(np.int64)
-        # floor division matches SQL's // on the non-negative epoch
+        # numpy // FLOORS (negative epochs bucket calendar-aligned);
+        # the oracle replicates floor with explicit int arithmetic
         b, n = np.unique(v // bucket_us, return_counts=True)
         return pa.table({"bucket": pa.array(b, type=pa.int64()),
                          "n": pa.array(n.astype(np.int64))})
@@ -1366,6 +1373,13 @@ def time_bucket_fill(ds: rd.Dataset, ts_col: str,
         return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
                              "n": pd.Series(dtype=np.int64)})
     got = parts.groupby("bucket")["n"].sum()
+    span = int(got.index.max()) - int(got.index.min()) + 1
+    if span > max_buckets:
+        raise ValueError(
+            f"dense range of {span} buckets exceeds max_buckets="
+            f"{max_buckets} — likely a corrupt timestamp outlier; "
+            "filter the input or raise the limit"
+        )
     dense = np.arange(got.index.min(), got.index.max() + 1, dtype=np.int64)
     return pd.DataFrame(
         {
@@ -1401,13 +1415,17 @@ def grouped_weighted_stats(ds: rd.Dataset, group: str, val: str,
         v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
         w = t[weight].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~(np.isnan(v) | np.isnan(w))
-        cents = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)  # half-away
-        wi = np.sign(w) * np.floor(np.abs(w) + 0.5)
+        # cast each factor to int64 BEFORE multiplying: a float64
+        # product loses exactness past 2^53, silently breaking the
+        # exact-integer contract on huge value×weight combinations
+        cents = (np.sign(v[ok]) * np.floor(np.abs(v[ok]) * 100.0 + 0.5)
+                 ).astype(np.int64)  # half-away (DuckDB ROUND parity)
+        wi = (np.sign(w[ok]) * np.floor(np.abs(w[ok]) + 0.5)).astype(np.int64)
         df = pd.DataFrame(
             {
                 group: g[ok],
-                "__wx": (cents[ok] * wi[ok]).astype(np.int64),
-                "__w": wi[ok].astype(np.int64),
+                "__wx": cents * wi,
+                "__w": wi,
             }
         )
         p = df.groupby(group, sort=False, dropna=False).agg(

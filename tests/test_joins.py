@@ -725,3 +725,139 @@ class TestKeyedRank:
                 == g.rank(method="min", ascending=False).to_numpy()).all()
         assert (got["drnk"].to_numpy()
                 == g.rank(method="dense", ascending=False).to_numpy()).all()
+
+
+class TestNullCountInvariantRouting:
+    """An int key column converts to float64 only in batches that
+    contain a null — before _key_for_hash, the same key hashed down
+    different paths in different batches, splitting one key across
+    buckets (windows) or Bloom-dropping true matches (joins)."""
+
+    @staticmethod
+    def _two_block_ds(keys_a, keys_b, vals_a, vals_b):
+        import pyarrow as _pa
+        import ray.data as rd
+
+        ta = _pa.table({"k": _pa.array(keys_a, type=_pa.int64()),
+                        "ts": _pa.array(range(len(keys_a)), type=_pa.int64()),
+                        "v": _pa.array(vals_a, type=_pa.float64())})
+        tb = _pa.table({"k": _pa.array(keys_b, type=_pa.int64()),
+                        "ts": _pa.array(range(100, 100 + len(keys_b)),
+                                        type=_pa.int64()),
+                        "v": _pa.array(vals_b, type=_pa.float64())})
+        return rd.from_arrow([ta, tb])
+
+    def test_window_key_not_split_by_null_batch(self, ray_session):
+        import pandas as pd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_lag_lead
+
+        # key 7 appears in a null-free batch AND in a batch with a null:
+        # both rows must land in ONE bucket so lag chains across them
+        ds = self._two_block_ds([5, 6, 7], [7, None, 5],
+                                [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])
+        out = (keyed_lag_lead(ds, by="k", ts_col="ts", val_col="v")
+               .to_pandas())
+        k7 = out[out["k"] == 7].sort_values("ts_us")
+        assert k7["lag_cents"].tolist() == [0, 300]   # second row SEES the first
+        assert k7["lead_cents"].tolist() == [400, 0]
+        k5 = out[out["k"] == 5].sort_values("ts_us")
+        assert k5["lag_cents"].tolist() == [0, 100]
+
+    def test_bloom_join_no_false_negative_on_null_batch(self, ray_session):
+        import pandas as pd
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+        # left: one null-free block + one block with a null key; right
+        # null-free — bloom build and probe must hash identically
+        la = _pa.table({"k": _pa.array([3, 4], type=_pa.int64())})
+        lb = _pa.table({"k": _pa.array([5, None], type=_pa.int64())})
+        left = rd.from_arrow([la, lb])
+        right = rd.from_pandas(pd.DataFrame({"k": [3, 5, 9], "y": [1, 2, 3]}))
+        got = hash_join(left, right, on="k", right_cols=["y"], how="inner",
+                        bloom_prefilter=True).to_pandas()
+        assert sorted(got["k"].tolist()) == [3, 5]  # 5 must survive the bloom
+
+    def test_hash_join_null_keys_never_match(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+        left = rd.from_pandas(pd.DataFrame(
+            {"k": ["a", None, "b"], "x": [1, 2, 3]}))
+        right = rd.from_pandas(pd.DataFrame(
+            {"k": ["a", None], "y": [10, 20]}))
+        inner = hash_join(left, right, on="k", right_cols=["y"],
+                          how="inner").to_pandas()
+        assert sorted(inner["k"].tolist()) == ["a"]  # NULL≠NULL (SQL)
+        semi = hash_join(left, right, on="k", right_cols=[],
+                         how="semi").to_pandas()
+        assert sorted(semi["k"].tolist()) == ["a"]
+        anti = hash_join(left, right, on="k", right_cols=[],
+                         how="anti").to_pandas()
+        # documented contract: null-key rows appear in NO mode's output
+        assert sorted(anti["k"].tolist()) == ["b"]
+
+    def test_cents_tag_rejects_null_values_loudly(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import keyed_lag_lead
+
+        df = pd.DataFrame({"k": [1, 1], "ts": [1, 2], "v": [1.0, np.nan]})
+        with _pytest.raises(Exception, match="not representable"):
+            keyed_lag_lead(rd.from_pandas(df), by="k", ts_col="ts",
+                           val_col="v").to_pandas()
+
+
+class TestLatestPerKey:
+    def test_matches_pandas_and_partition_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import latest_per_key
+
+        rng = np.random.default_rng(17)
+        n = 3000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 80, n),
+            "ts": pd.to_datetime(rng.permutation(n), unit="s"),
+            "payload": rng.normal(size=n),
+            "tag": rng.choice(["p", "q"], n),
+        })
+        ref = (df.sort_values(["k", "ts"]).groupby("k").tail(1)
+               .sort_values("k").reset_index(drop=True))
+        for parts in (2, 13):
+            out = (latest_per_key(rd.from_pandas(df).repartition(parts),
+                                  by="k", ts_col="ts")
+                   .to_pandas().sort_values("k").reset_index(drop=True))
+            assert len(out) == df["k"].nunique()
+            assert (out["k"].to_numpy() == ref["k"].to_numpy()).all()
+            assert (out["payload"].to_numpy() == ref["payload"].to_numpy()).all()
+            assert (out["tag"].to_numpy() == ref["tag"].to_numpy()).all()
+            assert (out["ts_us"].to_numpy()
+                    == ref["ts"].astype("int64").to_numpy() // 1000).all()
+
+    def test_null_key_forms_one_partition(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import latest_per_key
+
+        df = pd.DataFrame({
+            "k": [np.nan, 1.0, np.nan],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "x": [10, 20, 30],
+        })
+        out = latest_per_key(rd.from_pandas(df), by="k", ts_col="ts").to_pandas()
+        assert len(out) == 2  # one null-key row (the newest) + key 1
+        assert out[out["k"].isna()]["x"].tolist() == [30]

@@ -854,3 +854,49 @@ class TestGroupedWeightedStats:
                                          "w": pd.Series(dtype=float)})),
             "g", "v", "w")
         assert empty.empty
+
+
+class TestReviewFixesRound5:
+    def test_weighted_stats_exact_past_2pow53(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            grouped_weighted_stats,
+        )
+
+        # cents×weight = 1e13 * 1e5 = 1e18 > 2^53: a float64 product
+        # would round; the int64 path must be exact
+        df = pd.DataFrame({"g": ["a", "a"],
+                           "v": [1e11, 1e11],
+                           "w": [1e5, 1e5]})
+        out = grouped_weighted_stats(rd.from_pandas(df), "g", "v", "w")
+        row = out.iloc[0]
+        assert int(row["sum_wx_cents"]) == 2 * (10**13) * (10**5)
+        assert int(row["sum_w"]) == 2 * 10**5
+
+    def test_gap_fill_negative_epochs_floor(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import time_bucket_fill
+
+        # -30 min before epoch floors to bucket -1, not trunc's 0
+        ts = pd.to_datetime([-1800, 1800], unit="s")
+        out = time_bucket_fill(rd.from_pandas(pd.DataFrame({"ts": ts})),
+                               "ts", 3_600_000_000)
+        assert out["bucket"].tolist() == [-1, 0]
+        assert out["n"].tolist() == [1, 1]
+
+    def test_gap_fill_span_guard(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import time_bucket_fill
+
+        # one corrupt far-future row must fail loud, not OOM the driver
+        ts = pd.to_datetime([0, 2000 * 3600], unit="s")
+        with _pytest.raises(ValueError, match="max_buckets"):
+            time_bucket_fill(rd.from_pandas(pd.DataFrame({"ts": ts})),
+                             "ts", 3_600_000_000, max_buckets=1000)
