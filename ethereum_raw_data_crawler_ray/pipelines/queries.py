@@ -1761,6 +1761,21 @@ def q100_latest_per_key(sf_dir: str):
     )
 
 
+def q101_unpivot(sf_dir: str):
+    """Wide→long UNPIVOT (stages/sketches.unpivot): lineitem's four
+    numeric measures to (id, measure, value) rows — the inverse reshape
+    of q59's pivot; a pure map stage, shuffle-free."""
+    from ..stages.sketches import unpivot
+
+    return unpivot(
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax"]),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1964,6 +1979,7 @@ QUERIES = {
     "q98_weighted_avg": q98_weighted_avg,
     "q99_semi_join": q99_semi_join,
     "q100_latest_per_key": q100_latest_per_key,
+    "q101_unpivot": q101_unpivot,
 }
 
 ORACLE_SQL = {
@@ -2619,6 +2635,19 @@ ORACLE_SQL = {
         FROM events
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC) = 1
+    """,
+    "q101_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM lineitem
     """,
 }
 

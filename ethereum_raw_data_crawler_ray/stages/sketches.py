@@ -1326,6 +1326,37 @@ def countmin_query(sketch: np.ndarray, items: list) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# unpivot (wide→long, the inverse reshape of pivot_counts)
+# --------------------------------------------------------------------------
+def unpivot(ds: rd.Dataset, id_cols: list[str],
+            value_cols: list[str], *, name_col: str = "measure",
+            value_col: str = "value") -> rd.Dataset:
+    """Wide→long reshape — SQL ``UNPIVOT`` / ``UNION ALL`` of one
+    SELECT per measure column — as a pure MAP stage: each batch emits
+    its rows repeated once per measure with (name, value) columns
+    appended.  No shuffle, no state; k measure columns multiply rows
+    ×k but each output block stays a cheap arrow concat of column
+    takes.  Measures are cast to float64 (the SQL UNION's common
+    supertype for mixed numeric measures); NULL measures keep their
+    row, with a NULL value (SQL UNPIVOT ``INCLUDE NULLS`` /
+    UNION-ALL semantics — dropping them would be EXCLUDE NULLS).
+    """
+    if not value_cols:
+        raise ValueError("need at least one value column")
+
+    def widen(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {ic: t[ic] for ic in id_cols}
+            cols[name_col] = pa.array([c] * len(t), type=pa.string())
+            cols[value_col] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(widen, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # dense time-series gap fill (generate_series LEFT JOIN counts)
 # --------------------------------------------------------------------------
 def time_bucket_fill(ds: rd.Dataset, ts_col: str, bucket_us: int,

@@ -900,3 +900,41 @@ class TestReviewFixesRound5:
         with _pytest.raises(ValueError, match="max_buckets"):
             time_bucket_fill(rd.from_pandas(pd.DataFrame({"ts": ts})),
                              "ts", 3_600_000_000, max_buckets=1000)
+
+
+class TestUnpivot:
+    def test_matches_pandas_melt(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import unpivot
+
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame({
+            "id": np.arange(50),
+            "a": rng.normal(size=50),
+            "b": rng.integers(0, 9, 50),
+        })
+        out = (unpivot(rd.from_pandas(df).repartition(4), ["id"], ["a", "b"])
+               .to_pandas().sort_values(["id", "measure"])
+               .reset_index(drop=True))
+        ref = (df.melt(id_vars=["id"], value_vars=["a", "b"],
+                       var_name="measure", value_name="value")
+               .sort_values(["id", "measure"]).reset_index(drop=True))
+        assert (out["measure"] == ref["measure"]).all()
+        assert np.allclose(out["value"], ref["value"].astype(float))
+
+    def test_nulls_kept_and_validation(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import unpivot
+
+        df = pd.DataFrame({"id": [1], "a": [np.nan]})
+        out = unpivot(rd.from_pandas(df), ["id"], ["a"]).to_pandas()
+        assert len(out) == 1 and np.isnan(out["value"].iloc[0])  # INCLUDE NULLS
+        with _pytest.raises(ValueError):
+            unpivot(rd.from_pandas(df), ["id"], [])
