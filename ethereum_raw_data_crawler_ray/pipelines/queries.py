@@ -1776,6 +1776,36 @@ def q101_unpivot(sf_dir: str):
     )
 
 
+def q102_grouped_centroids(sf_dir: str):
+    """Per-label embedding centroids (stages/ann.grouped_centroids):
+    the class-prototype primitive — exact int64 fixed-point coordinate
+    partials (×1e9, half-away), reduceat scatter per batch, one IEEE
+    division per (label, pos); bit-equal to the oracle's explicit CAST
+    arithmetic."""
+    from ..stages.ann import grouped_centroids
+
+    out = grouped_centroids(
+        _t(sf_dir, "embeddings", ["label", "embedding"]), group="label"
+    )
+    out["label"] = out["label"].astype(np.int64)
+    out["pos"] = out["pos"].astype(np.int64)
+    return out
+
+
+def q103_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation / sample covariance
+    (stages/sketches.corr_stats_grouped): q86's six-double moment
+    partials with a group axis — quantity vs extended price per return
+    flag; parity at ROUND(,6) like q86."""
+    from ..stages.sketches import corr_stats_grouped
+
+    return corr_stats_grouped(
+        _t(sf_dir, "lineitem",
+           ["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice",
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -1980,6 +2010,8 @@ QUERIES = {
     "q99_semi_join": q99_semi_join,
     "q100_latest_per_key": q100_latest_per_key,
     "q101_unpivot": q101_unpivot,
+    "q102_grouped_centroids": q102_grouped_centroids,
+    "q103_grouped_corr": q103_grouped_corr,
 }
 
 ORACLE_SQL = {
@@ -2648,6 +2680,31 @@ ORACLE_SQL = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+    "q102_grouped_centroids": """
+        -- exact fixed-point coordinate sums (engine parity): scale to
+        -- int64 BEFORE summing, divide once at the end
+        WITH e AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings WHERE embedding IS NOT NULL
+        )
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000000)
+                             AS BIGINT)) AS BIGINT) AS sum_sc,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000000)
+                                  AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS centroid_sc
+        FROM e GROUP BY label, pos
+    """,
+    "q103_grouped_corr": """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6)
+                 AS covar_samp
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
 

@@ -480,6 +480,81 @@ def _vec_matrix(t: pa.Table, vec_col: str, dim: int | None = None) -> np.ndarray
     return np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.float32)
 
 
+def grouped_centroids(
+    ds: "rd.Dataset",
+    *,
+    group: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000_000,
+) -> "pd.DataFrame":
+    """Per-group element-wise vector mean — the class-centroid
+    primitive (label prototypes, cluster summaries, per-source
+    embedding drift).  EXACT despite being a float reduction: each
+    coordinate is scaled to int64 fixed-point (×``scale``, half-away
+    rounding — DuckDB ROUND parity) in the map stage, so the per-batch
+    (group → dim int64 sums + count) partials merge exactly in any
+    order, and the mean is ONE IEEE division of exact integers —
+    bit-equal to the oracle's explicit CAST arithmetic (the q92/q98
+    lesson: never oracle a float kernel whose association you can't
+    replicate).
+
+    Per-batch partial: n_groups_in_batch × dim rows of
+    (group, pos, sum_sc, n) via a stable-sort + ``np.add.reduceat``
+    scatter — KB per block; driver merge is O(#groups × dim).  Rows
+    with a NULL vector are skipped; NULL group keys form one group.
+    Returns (group, pos 1-based, sum_sc, n, centroid_sc =
+    sum_sc/n, i.e. the mean in fixed-point units), (group, pos)-sorted.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        # pin the group's arrow type from the BLOCK schema so an empty
+        # (or all-null-vector) block emits the same schema as the rest
+        gt = t.schema.field(group).type
+        t = t.filter(pc.is_valid(t[vec_col]))
+        if len(t) == 0:
+            return pa.table({group: pa.array([], gt),
+                             "pos": pa.array([], pa.int64()),
+                             "sum_sc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        m = _vec_matrix(t, vec_col).astype(np.float64) * scale
+        sc = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        codes, uniq = pd.factorize(t[group].to_pandas(), use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(np.diff(codes[order], prepend=-1))
+        sums = np.add.reduceat(sc[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(codes)))
+        k, dim = sums.shape
+        groups_per_run = pd.Series(uniq[codes[order][starts]])
+        return pa.table(
+            {
+                group: pa.Array.from_pandas(
+                    groups_per_run.repeat(dim).reset_index(drop=True),
+                    type=gt),
+                "pos": pa.array(np.tile(np.arange(1, dim + 1), k)),
+                "sum_sc": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({group: pd.Series(dtype=object),
+                             **{c: pd.Series(dtype=np.int64)
+                                for c in ("pos", "sum_sc", "n")},
+                             "centroid_sc": pd.Series(dtype=np.float64)})
+    out = (
+        parts.groupby([group, "pos"], sort=True, dropna=False)[["sum_sc", "n"]]
+        .sum()
+        .astype(np.int64)
+        .reset_index()
+    )
+    out["centroid_sc"] = (out["sum_sc"].to_numpy(np.float64)
+                          / out["n"].to_numpy(np.float64))
+    return out.reset_index(drop=True)
+
+
 def kmeans_fit(
     ds: rd.Dataset,
     *,

@@ -1124,6 +1124,59 @@ def corr_stats(ds: rd.Dataset, x: str, y: str) -> pd.DataFrame:
                          "covar_samp": [round(float(cov), 6)]})
 
 
+def corr_stats_grouped(ds: rd.Dataset, group: str, x: str,
+                       y: str) -> pd.DataFrame:
+    """Per-group Pearson correlation + sample covariance — q86's moment
+    partials with a group axis: each batch emits one (group, n, Σx, Σy,
+    Σx², Σy², Σxy) row per distinct group it contains (a pandas groupby
+    over the batch — six doubles per group per block), merged on the
+    driver like corr_stats.  Parity at ROUND(…, 6); groups with n < 2
+    (or zero variance) emit NULL corr/covar like SQL.
+
+    Returns (group, n, corr, covar_samp) group-sorted."""
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t[group].to_pandas()
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~(np.isnan(xv) | np.isnan(yv))
+        df = pd.DataFrame({group: g[m], "sx": xv[m], "sy": yv[m]})
+        df["sxx"] = df["sx"] * df["sx"]
+        df["syy"] = df["sy"] * df["sy"]
+        df["sxy"] = df["sx"] * df["sy"]
+        p = df.groupby(group, sort=False, dropna=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"),
+        ).reset_index()
+        p["n"] = p["n"].astype(np.int64)
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({group: pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "corr": pd.Series(dtype=np.float64),
+                             "covar_samp": pd.Series(dtype=np.float64)})
+    agg = parts.groupby(group, sort=True, dropna=False).sum()
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxx, syy, sxy = (agg["sxx"].to_numpy(), agg["syy"].to_numpy(),
+                     agg["sxy"].to_numpy())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov = np.where(n > 1, (sxy - sx * sy / n) / (n - 1), np.nan)
+        vx = np.where(n > 1, (sxx - sx * sx / n) / (n - 1), np.nan)
+        vy = np.where(n > 1, (syy - sy * sy / n) / (n - 1), np.nan)
+        corr = np.where((vx > 0) & (vy > 0), cov / np.sqrt(vx * vy), np.nan)
+    return pd.DataFrame(
+        {
+            group: agg.index.to_numpy(),
+            "n": agg["n"].to_numpy(np.int64),
+            "corr": np.round(corr, 6),
+            "covar_samp": np.round(cov, 6),
+        }
+    ).reset_index(drop=True)
+
+
 def cube_agg(ds: rd.Dataset, keys: list[str], val: str) -> pd.DataFrame:
     """``GROUP BY CUBE(keys...)``: count + sum at EVERY subset of
     ``keys`` (2^k grouping sets), omitted columns as NULL — SQL CUBE

@@ -73,3 +73,54 @@ def test_k_exceeds_rows(ray_session):
     assert cent.shape[0] <= 5
     out = kmeans_assign(tiny, cent).to_pandas()
     assert len(out) == 5 and out["cell"].between(0, cent.shape[0] - 1).all()
+
+
+class TestGroupedCentroids:
+    def test_exact_and_partition_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.ann import grouped_centroids
+
+        rng = np.random.default_rng(7)
+        n, dim = 2000, 8
+        df = pd.DataFrame({
+            "label": rng.integers(0, 5, n),
+            "embedding": list(rng.normal(size=(n, dim)).astype(np.float32)),
+        })
+        outs = []
+        for parts in (3, 11):
+            out = grouped_centroids(rd.from_pandas(df).repartition(parts),
+                                    group="label")
+            outs.append(out)
+        # exact int partials → bit-identical under any partitioning
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        out = outs[0]
+        for lab, sub in df.groupby("label"):
+            m = np.stack(sub["embedding"].to_numpy()).astype(np.float64) * 1e9
+            sc = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+            want = sc.sum(axis=0)
+            got = out[out["label"] == lab].sort_values("pos")
+            assert (got["sum_sc"].to_numpy() == want).all()
+            assert (got["n"] == len(sub)).all()
+            assert np.allclose(got["centroid_sc"],
+                               want / float(len(sub)), rtol=0, atol=0)
+
+    def test_null_vectors_skipped(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.ann import grouped_centroids
+
+        t = _pa.table({
+            "label": _pa.array([1, 1, 2], type=_pa.int64()),
+            "embedding": _pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                                   type=_pa.list_(_pa.float32())),
+        })
+        out = grouped_centroids(rd.from_arrow(t), group="label")
+        assert out[out["label"] == 1]["n"].tolist() == [1, 1]  # null skipped
+        assert out[out["label"] == 2]["sum_sc"].tolist() == [3_000_000_000,
+                                                             4_000_000_000]

@@ -938,3 +938,52 @@ class TestUnpivot:
         assert len(out) == 1 and np.isnan(out["value"].iloc[0])  # INCLUDE NULLS
         with _pytest.raises(ValueError):
             unpivot(rd.from_pandas(df), ["id"], [])
+
+
+class TestGroupedCorr:
+    def test_matches_pandas_per_group(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            corr_stats_grouped,
+        )
+
+        rng = np.random.default_rng(41)
+        n = 5000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], n),
+            "x": rng.normal(10, 3, n),
+        })
+        df["y"] = 2.0 * df["x"] + rng.normal(0, 1, n)
+        out = corr_stats_grouped(rd.from_pandas(df).repartition(7),
+                                 "g", "x", "y").set_index("g")
+        for g, sub in df.groupby("g"):
+            assert out.loc[g, "n"] == len(sub)
+            assert abs(out.loc[g, "corr"] - sub["x"].corr(sub["y"])) < 1e-6
+            assert abs(out.loc[g, "covar_samp"] - sub["x"].cov(sub["y"])) < 1e-5
+
+    def test_degenerate_groups(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            corr_stats_grouped,
+        )
+
+        df = pd.DataFrame({
+            "g": ["one", "zerovar", "zerovar"],
+            "x": [1.0, 5.0, 5.0],   # singleton group + zero-variance group
+            "y": [2.0, 1.0, 2.0],
+        })
+        out = corr_stats_grouped(rd.from_pandas(df), "g", "x", "y").set_index("g")
+        assert np.isnan(out.loc["one", "corr"])       # n < 2 → NULL
+        assert np.isnan(out.loc["zerovar", "corr"])   # var(x)=0 → NULL
+        empty = corr_stats_grouped(
+            rd.from_pandas(pd.DataFrame({"g": pd.Series(dtype=object),
+                                         "x": pd.Series(dtype=float),
+                                         "y": pd.Series(dtype=float)})),
+            "g", "x", "y")
+        assert empty.empty
