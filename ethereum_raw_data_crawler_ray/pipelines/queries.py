@@ -1806,6 +1806,37 @@ def q103_grouped_corr(sf_dir: str):
     )
 
 
+def q104_full_outer_join(sf_dir: str):
+    """Distributed FULL OUTER join (stages/joins.hash_join
+    how="outer"): per-customer open ('O') vs filled ('F') order counts
+    — each side misses customers the other has, so unmatched rows
+    survive from BOTH sides with 0 fills (the reconciliation-report
+    shape).  Same one-exchange bucket recipe as inner/left; unmatched
+    rows of a key appear exactly once because buckets partition keys."""
+    from ..stages.joins import hash_join
+
+    def counts(status: str, out_col: str):
+        def only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderstatus"], status))
+
+        return (
+            _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+            .map_batches(only, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Count(alias_name=out_col))
+        )
+
+    return hash_join(
+        counts("O", "n_open"), counts("F", "n_filled"),
+        on="o_custkey", right_cols=["n_filled"], how="outer",
+        fill_value={"n_open": 0, "n_filled": 0},
+        left_fields=[pa.field("o_custkey", pa.int64()),
+                     pa.field("n_open", pa.int64())],
+        right_fields=[pa.field("o_custkey", pa.int64()),
+                      pa.field("n_filled", pa.int64())],
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2012,6 +2043,7 @@ QUERIES = {
     "q101_unpivot": q101_unpivot,
     "q102_grouped_centroids": q102_grouped_centroids,
     "q103_grouped_corr": q103_grouped_corr,
+    "q104_full_outer_join": q104_full_outer_join,
 }
 
 ORACLE_SQL = {
@@ -2705,6 +2737,18 @@ ORACLE_SQL = {
                ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6)
                  AS covar_samp
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q104_full_outer_join": """
+        WITH o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_open
+                   FROM orders WHERE o_orderstatus = 'O'
+                   GROUP BY o_custkey),
+             f AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_filled
+                   FROM orders WHERE o_orderstatus = 'F'
+                   GROUP BY o_custkey)
+        SELECT COALESCE(o.o_custkey, f.o_custkey) AS o_custkey,
+               COALESCE(n_open, 0) AS n_open,
+               COALESCE(n_filled, 0) AS n_filled
+        FROM o FULL OUTER JOIN f ON o.o_custkey = f.o_custkey
     """,
 }
 

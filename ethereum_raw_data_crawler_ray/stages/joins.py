@@ -470,7 +470,7 @@ def hash_join(
     pairing is suppressed) and are excluded from every mode's output,
     including left/anti.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if bloom_prefilter and how not in ("inner", "semi"):
         raise ValueError("bloom_prefilter only valid for inner/semi joins")
@@ -508,7 +508,10 @@ def hash_join(
         merged = pd.merge(lf, rf.rename(columns=rename), on=on, how=how)
         for col, v in fill.items():
             src = {v: k for k, v in rename.items()}.get(col, col)
-            merged[col] = merged[col].fillna(v).astype(rf[src].dtype)
+            # outer joins leave NaN on BOTH sides: a fill target may be a
+            # left column (unmatched right row), whose dtype lives in lf
+            ref = rf if src in rf.columns else lf
+            merged[col] = merged[col].fillna(v).astype(ref[src].dtype)
         return merged
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

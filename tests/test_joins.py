@@ -258,6 +258,47 @@ def test_hash_join_left_int_fill(ray_session):
     pd.testing.assert_frame_equal(_sorted(out, cols), _sorted(expect, cols))
 
 
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_hash_join_outer_matches_pandas(ray_session, n_buckets):
+    # FULL OUTER: unmatched rows from BOTH sides survive exactly once;
+    # fills apply to left columns too (a NaN lv on an unmatched right
+    # row), and int64 dtypes hold in every bucket
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left, right = _join_frames()
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_cols=["rv"], how="outer",
+        fill_value={"lv": -1, "rv": -1}, n_buckets=n_buckets,
+    ).to_pandas()
+    assert out["lv"].dtype == np.int64 and out["rv"].dtype == np.int64
+    expect = pd.merge(left, right, on="k", how="outer").fillna(
+        {"lv": -1, "rv": -1}
+    ).astype({"lv": np.int64, "rv": np.int64})
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted(out, cols), _sorted(expect, cols))
+    # both-side unmatched keys really are present
+    assert 4 in set(out["k"]) and {3, 5} <= set(out["k"])
+
+
+def test_hash_join_outer_null_keys_dropped(ray_session):
+    # contract parity with every other mode: null-key rows join nothing
+    # and are excluded from the output entirely
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                         "lv": np.arange(3, dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "rv": np.array([10, 99], dtype=np.int64)})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_cols=["rv"], how="outer",
+        fill_value={"lv": -1, "rv": -1},
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 3]
+    assert 99 not in set(out["rv"])
+
+
 def test_hash_join_semi_anti_partition(ray_session):
     # semi ∪ anti == left, disjoint, and semi keys ⊆ right keys
     from ethereum_raw_data_crawler_ray.stages.joins import hash_join
