@@ -1837,6 +1837,23 @@ def q104_full_outer_join(sf_dir: str):
     )
 
 
+def q105_regression(sf_dir: str):
+    """Per-group simple linear regression (stages/sketches.
+    regression_grouped): extended price (cents) against quantity per
+    return flag — slope / intercept / r² from EXACT integer moment
+    partials (decimal128 transport), final stats a mirrored IEEE
+    expression → bit-equal to the oracle's explicit HUGEINT
+    arithmetic, no ROUND tolerance."""
+    from ..stages.sketches import regression_grouped
+
+    return regression_grouped(
+        _t(sf_dir, "lineitem",
+           ["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        x_scale=1, y_scale=100,
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2044,6 +2061,7 @@ QUERIES = {
     "q102_grouped_centroids": q102_grouped_centroids,
     "q103_grouped_corr": q103_grouped_corr,
     "q104_full_outer_join": q104_full_outer_join,
+    "q105_regression": q105_regression,
 }
 
 ORACLE_SQL = {
@@ -2749,6 +2767,58 @@ ORACLE_SQL = {
                COALESCE(n_open, 0) AS n_open,
                COALESCE(n_filled, 0) AS n_filled
         FROM o FULL OUTER JOIN f ON o.o_custkey = f.o_custkey
+    """,
+    "q105_regression": """
+        -- exact HUGEINT moment partials mirroring the engine's Python
+        -- big-int sums; the final stats are the SAME IEEE expression on
+        -- both sides.  num/denx/deny can exceed 2^53, so they convert
+        -- to DOUBLE via a hi*2^32+lo split (both halves exactly
+        -- representable -> the one IEEE add is correctly rounded,
+        -- bit-equal to Python float(int); a direct HUGEINT cast may
+        -- double-round).
+        WITH p AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+            FROM p GROUP BY l_returnflag
+        ),
+        e AS (
+            SELECT l_returnflag, n, sx, sy,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS denx,
+                   n * syy - sy * sy AS deny
+            FROM s
+        ),
+        f AS (
+            SELECT l_returnflag, n, sx, sy, denx, deny,
+                   CAST(num // 4294967296 AS DOUBLE) * 4294967296.0
+                     + CAST(num % 4294967296 AS DOUBLE) AS fnum,
+                   CAST(denx // 4294967296 AS DOUBLE) * 4294967296.0
+                     + CAST(denx % 4294967296 AS DOUBLE) AS fdenx,
+                   CAST(deny // 4294967296 AS DOUBLE) * 4294967296.0
+                     + CAST(deny % 4294967296 AS DOUBLE) AS fdeny
+            FROM e
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CASE WHEN denx > 0 THEN fnum / fdenx END AS slope,
+               CASE WHEN denx > 0 THEN
+                 (CAST(CAST(sy AS BIGINT) AS DOUBLE)
+                   - (fnum / fdenx) * CAST(CAST(sx AS BIGINT) AS DOUBLE))
+                 / CAST(CAST(n AS BIGINT) AS DOUBLE) END AS intercept,
+               CASE WHEN denx > 0 AND deny > 0 THEN
+                 (fnum / fdenx) * (fnum / fdeny) END AS r2
+        FROM f
     """,
 }
 

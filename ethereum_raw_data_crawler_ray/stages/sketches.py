@@ -1541,3 +1541,114 @@ def grouped_weighted_stats(ds: rd.Dataset, group: str, val: str,
             np.nan,
         )
     return out.sort_values(group).reset_index(drop=True)
+
+
+def regression_grouped(ds: rd.Dataset, group: str, x: str, y: str, *,
+                       x_scale: int = 1, y_scale: int = 100,
+                       chunk: int = 32768) -> pd.DataFrame:
+    """Per-group simple linear regression (slope, intercept, r²) with
+    EXACT integer moment partials — the q92 lesson taken all the way:
+    x and y are fixed-point-scaled to int64 in the map stage, the five
+    moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY (per-chunk
+    int64 numpy sums, chunk sized adaptively so no chunk can overflow;
+    chunks merge into Python big-ints), and each block emits ONE row
+    per group with the wide sums carried as Arrow decimal128(38,0) —
+    the HUGEINT analog, so partials stay exact across the merge.  The
+    final statistics are then a FIXED sequence of IEEE ops on exact
+    integers:
+
+        num  = n·Σxy − Σx·Σy        (exact int)
+        denx = n·Σx² − Σx²̂          (exact int)
+        slope     = float(num) / float(denx)
+        intercept = (float(Σy) − slope·float(Σx)) / float(n)
+        r²        = (float(num)/float(denx)) · (float(num)/float(deny))
+
+    mirrored verbatim by explicit HUGEINT arithmetic in the SQL oracle
+    (with a hi·2³²+lo split-cast for the >2⁵³ ints, which makes both
+    casts correctly-rounded) — bit-equal output, no ROUND() tolerance.
+    Exactness also makes the result PARTITION-INVARIANT: the same
+    input yields identical bits at any num_cpus / block layout.
+
+    Rows with NULL x or y are skipped (SQL aggregate semantics); a
+    group with zero x-variance (or n < 2) emits NaN slope/intercept/r²
+    like SQL's NULL.  Returns (group, n, slope, intercept, r2)
+    group-sorted.  Driver merge payload: one row per block×group, same
+    contract as corr_stats_grouped."""
+    dec = pa.decimal128(38, 0)
+    gtype, _ = _pinned_types(ds, group, x)
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t[group].to_pandas()
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(xv) | np.isnan(yv))
+        # half-away-from-zero rounding (DuckDB ROUND parity), each
+        # factor cast to int64 BEFORE any product
+        xi = (np.sign(xv[ok]) * np.floor(np.abs(xv[ok]) * x_scale + 0.5)
+              ).astype(np.int64)
+        yi = (np.sign(yv[ok]) * np.floor(np.abs(yv[ok]) * y_scale + 0.5)
+              ).astype(np.int64)
+        gk = g[ok].reset_index(drop=True)
+        acc: dict = {}
+        if len(xi):
+            # adaptive chunk bound: the largest per-row term times the
+            # chunk length must stay under 2^62, so per-chunk int64
+            # sums can NEVER wrap regardless of the data's magnitude
+            mx = int(np.max(np.abs(xi))) or 1
+            my = int(np.max(np.abs(yi))) or 1
+            worst = max(mx * mx, my * my, mx * my)
+            safe = max(1, min(chunk, (1 << 62) // worst))
+            for lo in range(0, len(xi), safe):
+                hi = lo + safe
+                cx, cy = xi[lo:hi], yi[lo:hi]
+                f = pd.DataFrame({group: gk.iloc[lo:hi].to_numpy(),
+                                  "sx": cx, "sy": cy, "sxy": cx * cy,
+                                  "sxx": cx * cx, "syy": cy * cy})
+                p = f.groupby(group, sort=False, dropna=False).agg(
+                    n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+                    sxy=("sxy", "sum"), sxx=("sxx", "sum"),
+                    syy=("syy", "sum"))
+                for key, row in p.iterrows():
+                    a = acc.setdefault(key, [0, 0, 0, 0, 0, 0])
+                    for i, c in enumerate(("n", "sx", "sy", "sxy",
+                                           "sxx", "syy")):
+                        a[i] += int(row[c])
+        keys = list(acc)
+        return pa.table(
+            {
+                group: pa.Array.from_pandas(pd.Series(keys, dtype=object),
+                                            type=gtype),
+                "n": pa.array([acc[k][0] for k in keys], type=pa.int64()),
+                "sx": pa.array([acc[k][1] for k in keys], type=dec),
+                "sy": pa.array([acc[k][2] for k in keys], type=dec),
+                "sxy": pa.array([acc[k][3] for k in keys], type=dec),
+                "sxx": pa.array([acc[k][4] for k in keys], type=dec),
+                "syy": pa.array([acc[k][5] for k in keys], type=dec),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    cols = ["n", "slope", "intercept", "r2"]
+    if not len(parts):
+        return pd.DataFrame({group: pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             **{c: pd.Series(dtype=np.float64)
+                                for c in cols[1:]}})
+    rows = []
+    for key, grp in parts.groupby(group, sort=True, dropna=False):
+        n = int(grp["n"].sum())
+        sx, sy, sxy, sxx, syy = (sum(int(v) for v in grp[c])
+                                 for c in ("sx", "sy", "sxy", "sxx", "syy"))
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        if denx > 0:
+            slope = float(num) / float(denx)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            r2 = ((float(num) / float(denx)) * (float(num) / float(deny))
+                  if deny > 0 else np.nan)
+        else:
+            slope = intercept = r2 = np.nan
+        rows.append((key, n, slope, intercept, r2))
+    return pd.DataFrame(rows, columns=[group, *cols]).astype(
+        {"n": np.int64}).reset_index(drop=True)

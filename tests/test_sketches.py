@@ -987,3 +987,117 @@ class TestGroupedCorr:
                                          "y": pd.Series(dtype=float)})),
             "g", "x", "y")
         assert empty.empty
+
+
+class TestRegressionGrouped:
+    def test_matches_numpy_per_group(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            regression_grouped,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], n),
+            "x": rng.integers(1, 51, n).astype(float),
+        })
+        df["y"] = np.round(30.0 * df["x"] + rng.normal(0, 40, n), 2)
+        out = regression_grouped(rd.from_pandas(df).repartition(5),
+                                 "g", "x", "y", x_scale=1,
+                                 y_scale=100).set_index("g")
+        for g, sub in df.groupby("g"):
+            # reference fit on the SAME fixed-point ints
+            xs = np.round(sub["x"]).astype(np.int64)
+            ys = np.round(sub["y"] * 100).astype(np.int64)
+            slope, intercept = np.polyfit(xs, ys, 1)
+            assert out.loc[g, "n"] == len(sub)
+            assert abs(out.loc[g, "slope"] - slope) < 1e-6 * abs(slope)
+            assert abs(out.loc[g, "intercept"] - intercept) \
+                < 1e-6 * abs(intercept)
+            r = np.corrcoef(xs, ys)[0, 1]
+            assert abs(out.loc[g, "r2"] - r * r) < 1e-9
+
+    def test_partition_invariant_bits(self, ray_session):
+        # the exactness claim: identical BITS at any block layout
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            regression_grouped,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 3000
+        df = pd.DataFrame({
+            "g": rng.choice(["p", "q", "r"], n),
+            "x": rng.integers(1, 51, n).astype(float),
+            "y": np.round(rng.uniform(900.0, 110_000.0, n), 2),
+        })
+        outs = [
+            regression_grouped(rd.from_pandas(df).repartition(k),
+                               "g", "x", "y")
+            for k in (1, 4, 13)
+        ]
+        for o in outs[1:]:
+            pd.testing.assert_frame_equal(o, outs[0])  # bit-exact floats
+
+    def test_nulls_degenerate_and_empty(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            regression_grouped,
+        )
+
+        df = pd.DataFrame({
+            "g": ["a", "a", "a", "zerovar", "zerovar", "one"],
+            "x": [1.0, 2.0, np.nan, 5.0, 5.0, 7.0],
+            "y": [10.0, 20.0, 99.0, 1.0, 2.0, 3.0],
+        })
+        out = regression_grouped(rd.from_pandas(df), "g", "x", "y",
+                                 y_scale=100).set_index("g")
+        assert out.loc["a", "n"] == 2           # NULL x row skipped
+        assert abs(out.loc["a", "slope"] - 1000.0) < 1e-9
+        assert np.isnan(out.loc["zerovar", "slope"])   # var(x)=0
+        assert np.isnan(out.loc["one", "slope"])       # n < 2
+        empty = regression_grouped(
+            rd.from_pandas(pd.DataFrame({"g": pd.Series(dtype=object),
+                                         "x": pd.Series(dtype=float),
+                                         "y": pd.Series(dtype=float)})),
+            "g", "x", "y")
+        assert empty.empty
+
+    def test_exact_past_2pow53(self, ray_session):
+        # y magnitudes whose squares force the adaptive chunk bound and
+        # whose float64 partial sums would drift: the exact path must
+        # agree with a Python big-int reference to the last bit
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            regression_grouped,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 2000
+        df = pd.DataFrame({
+            "g": ["big"] * n,
+            "x": rng.integers(1, 1_000_001, n).astype(float),
+            "y": (rng.integers(1, 2_000_000_001, n)).astype(float),
+        })
+        out = regression_grouped(rd.from_pandas(df).repartition(3),
+                                 "g", "x", "y", x_scale=1, y_scale=1)
+        xs = [int(v) for v in df["x"]]
+        ys = [int(v) for v in df["y"]]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num, denx = n * sxy - sx * sy, n * sxx - sx * sx
+        assert out.loc[0, "slope"] == float(num) / float(denx)
