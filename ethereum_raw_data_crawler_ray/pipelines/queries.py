@@ -1854,6 +1854,22 @@ def q105_regression(sf_dir: str):
     )
 
 
+def q106_ratio_to_report(sf_dir: str):
+    """RATIO_TO_REPORT window (stages/sketches.ratio_to_report): each
+    line item's share of its return flag's total quantity — per-batch
+    int64 combiner → broadcast exact totals → vectorized divide; zero
+    shuffle, rows stream.  Share is one IEEE division of exact
+    integers, bit-equal to the oracle."""
+    from ..stages.sketches import ratio_to_report
+
+    return ratio_to_report(
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]),
+        "l_returnflag", "l_quantity",
+        ["l_orderkey", "l_linenumber"], val_scale=1,
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2062,6 +2078,7 @@ QUERIES = {
     "q103_grouped_corr": q103_grouped_corr,
     "q104_full_outer_join": q104_full_outer_join,
     "q105_regression": q105_regression,
+    "q106_ratio_to_report": q106_ratio_to_report,
 }
 
 ORACLE_SQL = {
@@ -2819,6 +2836,20 @@ ORACLE_SQL = {
                CASE WHEN denx > 0 AND deny > 0 THEN
                  (fnum / fdenx) * (fnum / fdeny) END AS r2
         FROM f
+    """,
+    "q106_ratio_to_report": """
+        WITH p AS (
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS val_sc
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, l_returnflag, val_sc,
+               CAST(SUM(val_sc) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS group_total,
+               CAST(val_sc AS DOUBLE)
+                 / CAST(CAST(SUM(val_sc) OVER (PARTITION BY l_returnflag)
+                             AS BIGINT) AS DOUBLE) AS share
+        FROM p
     """,
 }
 

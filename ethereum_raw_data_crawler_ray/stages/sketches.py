@@ -1543,6 +1543,73 @@ def grouped_weighted_stats(ds: rd.Dataset, group: str, val: str,
     return out.sort_values(group).reset_index(drop=True)
 
 
+def ratio_to_report(ds: rd.Dataset, group: str, val: str,
+                    id_cols: list[str], *,
+                    val_scale: int = 1) -> rd.Dataset:
+    """RATIO_TO_REPORT — ``val / SUM(val) OVER (PARTITION BY group)``
+    per row — as two streaming passes and ZERO shuffle: pass 1 is a
+    per-batch (group → Σval) int64 combiner whose partials merge into
+    Python big-ints on the driver (#groups × #blocks rows, exact);
+    the totals broadcast once via ``ray.put`` and pass 2 divides each
+    row vectorized.  Output rows stream — the Dataset is never
+    materialized.
+
+    Exactness contract (the q105 discipline): ``val`` fixed-point
+    scales to int64, the group total is an exact integer, and the share
+    is ONE IEEE division of two correctly-rounded conversions — bit-
+    equal to the oracle's ``CAST(.. AS DOUBLE)/CAST(SUM(..) OVER ..
+    AS BIGINT → DOUBLE)``, partition-invariant.  NULL ``val`` rows fail
+    loud (cents-window family convention — the synthetic tables have
+    none); NULL group keys form one partition like SQL window
+    semantics.  Returns (id_cols…, group, val_sc, group_total, share).
+    """
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    def to_int(t: pa.Table) -> np.ndarray:
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(f"NULL {val} in ratio_to_report input")
+        return (np.sign(v) * np.floor(np.abs(v) * val_scale + 0.5)
+                ).astype(np.int64)
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group: t[group].to_pandas(), "__v": to_int(t)})
+        p = df.groupby(group, sort=False, dropna=False)["__v"].sum()
+        return pa.table({group: pa.Array.from_pandas(
+                             p.index.to_series().reset_index(drop=True)),
+                         "__sum": pa.array(p.to_numpy(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    totals: dict = {}
+    for k, s in zip(parts[group], parts["__sum"]):
+        totals[k] = totals.get(k, 0) + int(s)
+    # pre-round once: float(exact int) is the correctly-rounded value
+    # the SQL CAST produces; ship floats so pass 2 is a pure divide
+    ftotals = {k: (int(v), float(v)) for k, v in totals.items()}
+    ref = ray.put(ftotals)
+
+    def share(t: pa.Table) -> pa.Table:
+        ft = get_broadcast(ref)
+        g = t[group].to_pandas()
+        x = to_int(t)
+        pairs = g.map(ft)
+        tot = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+        ftot = np.fromiter((p[1] for p in pairs), np.float64, len(pairs))
+        return pa.table(
+            {
+                **{c: t[c] for c in id_cols},
+                group: t[group],
+                "val_sc": pa.array(x),
+                "group_total": pa.array(tot),
+                "share": pa.array(x.astype(np.float64) / ftot),
+            }
+        )
+
+    return ds.map_batches(share, batch_format="pyarrow")
+
+
 def regression_grouped(ds: rd.Dataset, group: str, x: str, y: str, *,
                        x_scale: int = 1, y_scale: int = 100,
                        chunk: int = 32768) -> pd.DataFrame:

@@ -1101,3 +1101,62 @@ class TestRegressionGrouped:
         sxx = sum(a * a for a in xs)
         num, denx = n * sxy - sx * sy, n * sxx - sx * sx
         assert out.loc[0, "slope"] == float(num) / float(denx)
+
+
+class TestRatioToReport:
+    def test_shares_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            ratio_to_report,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        df = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(1, 100, n).astype(float),
+        })
+        outs = [
+            ratio_to_report(rd.from_pandas(df).repartition(k),
+                            "g", "v", ["id"]).to_pandas()
+                 .sort_values("id").reset_index(drop=True)
+            for k in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-exact
+        out = outs[0]
+        ref = df.groupby("g")["v"].transform("sum")
+        assert np.allclose(out["share"], df["v"] / ref)
+        # per-group shares sum to ~1
+        s = out.groupby("g")["share"].sum()
+        assert np.allclose(s, 1.0)
+        assert out["val_sc"].dtype == np.int64
+        assert out["group_total"].dtype == np.int64
+
+    def test_null_group_is_one_partition_null_val_fails(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.sketches import (
+            ratio_to_report,
+        )
+
+        df = pd.DataFrame({
+            "id": [0, 1, 2, 3],
+            "g": ["a", None, None, "a"],
+            "v": [1.0, 2.0, 6.0, 3.0],
+        })
+        out = ratio_to_report(rd.from_pandas(df), "g", "v",
+                              ["id"]).to_pandas().set_index("id")
+        assert out.loc[1, "group_total"] == 8      # NULLs share a partition
+        assert out.loc[2, "share"] == 0.75
+        assert out.loc[0, "share"] == 0.25
+        bad = df.assign(v=[1.0, np.nan, 2.0, 3.0])
+        with pytest.raises(Exception):
+            ratio_to_report(rd.from_pandas(bad), "g", "v",
+                            ["id"]).to_pandas()
