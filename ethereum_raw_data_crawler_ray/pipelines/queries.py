@@ -1870,6 +1870,21 @@ def q106_ratio_to_report(sf_dir: str):
     )
 
 
+def q107_funnel(sf_dir: str):
+    """Ordered event funnel (stages/joins.funnel_stages): view → click
+    → purchase per user — each stage's time is the earliest event at or
+    after the previous stage's; one user-hash exchange, vectorized
+    per-bucket stage merges.  Times are exact int64 µs emitted as
+    float64 (< 2⁵³, exact), so parity is bit-equal."""
+    from ..stages.joins import funnel_stages
+
+    return funnel_stages(
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        user="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2079,6 +2094,7 @@ QUERIES = {
     "q104_full_outer_join": q104_full_outer_join,
     "q105_regression": q105_regression,
     "q106_ratio_to_report": q106_ratio_to_report,
+    "q107_funnel": q107_funnel,
 }
 
 ORACLE_SQL = {
@@ -2850,6 +2866,37 @@ ORACLE_SQL = {
                  / CAST(CAST(SUM(val_sc) OVER (PARTITION BY l_returnflag)
                              AS BIGINT) AS DOUBLE) AS share
         FROM p
+    """,
+    "q107_funnel": """
+        -- anchored funnel view -> click -> purchase; stage time = MIN
+        -- event ts at or after the previous stage's time (ties count).
+        -- Times emitted as DOUBLE: us epochs < 2^53 are exact, and it
+        -- keeps the dtype stable whether or not any user stalls.
+        WITH a AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        b AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+            FROM events e JOIN a ON e.user_id = a.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) >= a.t1
+            GROUP BY e.user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+            FROM events e JOIN b ON e.user_id = b.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= b.t2
+            GROUP BY e.user_id
+        )
+        SELECT a.user_id,
+               CAST(t1 AS DOUBLE) AS t1_us,
+               CAST(t2 AS DOUBLE) AS t2_us,
+               CAST(t3 AS DOUBLE) AS t3_us,
+               CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS depth
+        FROM a LEFT JOIN b ON a.user_id = b.user_id
+                LEFT JOIN c ON a.user_id = c.user_id
     """,
 }
 

@@ -421,6 +421,88 @@ def keyed_gaps(
     )
 
 
+def funnel_stages(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Ordered event FUNNEL anchored at ``stages[0]``: per user, t1 =
+    MIN ts of the first stage's events; each later stage's time is the
+    MIN ts of its events AT OR AFTER the previous stage's time
+    (``ts >= prev`` — same-microsecond progression counts).  Only users
+    who reached stage 1 appear; ``depth`` counts completed stages.
+
+    One hash-bucket exchange on the user key (buckets partition users,
+    so each user's funnel computes whole in one bucket), then a
+    vectorized per-bucket pass: filter → merge-on-user → mask → groupby
+    min per stage, no per-user apply.  Stage times are int64
+    microseconds compared exactly, emitted as float64 (µs epochs are
+    < 2⁵³ — exact; NaN = stage not reached, mirroring SQL NULL).
+    Assumes non-null ``user`` (the events corpus guarantees it; null
+    users would pair NaN==NaN in the merge, unlike SQL).
+
+    Returns (user, t1_us … tk_us, depth) streaming."""
+    if len(stages) < 2:
+        raise ValueError("need at least 2 funnel stages")
+    n_buckets = n_buckets or _default_buckets()
+    tcols = [f"t{i}_us" for i in range(1, len(stages) + 1)]
+    _EMPTY = {user: pd.Series(dtype=np.int64),
+              **{c: pd.Series(dtype=np.float64) for c in tcols},
+              "depth": pd.Series(dtype=np.int64)}
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                user: t[user],
+                type_col: t[type_col],
+                "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__bucket": pa.array(
+                    _bucket_of(_key_for_hash(t[user]), n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_EMPTY)
+        cur = (g[g[type_col] == stages[0]]
+               .groupby(user)["__ts_us"].min())
+        if not len(cur):
+            return pd.DataFrame(_EMPTY)
+        users = cur.index.to_numpy()
+        times = [cur]
+        for s in stages[1:]:
+            rows = g.loc[g[type_col] == s, [user, "__ts_us"]]
+            prev = (times[-1].rename("__prev").rename_axis("__u")
+                    .reset_index())
+            m = rows.merge(prev, left_on=user, right_on="__u")
+            m = m[m["__ts_us"] >= m["__prev"]]
+            times.append(m.groupby(user)["__ts_us"].min())
+        out = pd.DataFrame({user: users})
+        depth = np.ones(len(users), np.int64)
+        for col, tser in zip(tcols, times):
+            v = tser.reindex(users).to_numpy(np.float64)
+            out[col] = v
+            if col != tcols[0]:
+                depth += (~np.isnan(v)).astype(np.int64)
+        out["depth"] = depth
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # general hash equi-join
 # --------------------------------------------------------------------------

@@ -902,3 +902,68 @@ class TestLatestPerKey:
         out = latest_per_key(rd.from_pandas(df), by="k", ts_col="ts").to_pandas()
         assert len(out) == 2  # one null-key row (the newest) + key 1
         assert out[out["k"].isna()]["x"].tolist() == [30]
+
+
+class TestFunnelStages:
+    def _ds(self, rows):
+        import pandas as pd
+        import ray.data as rd
+
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        return rd.from_pandas(df)
+
+    def test_depths_stalls_and_order(self, ray_session):
+        import numpy as np
+
+        from ethereum_raw_data_crawler_ray.stages.joins import funnel_stages
+
+        rows = [
+            # u1: full funnel
+            (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+            # u2: clicks BEFORE the first view only -> stalls at depth 1
+            (2, 500, "click"), (2, 600, "view"), (2, 550, "click"),
+            # u3: view+click, purchase before click -> depth 2
+            (3, 100, "view"), (3, 400, "click"), (3, 200, "purchase"),
+            # u4: no view at all -> absent (anchored funnel)
+            (4, 100, "click"), (4, 200, "purchase"),
+            # u5: same-ts progression counts (ts >= prev)
+            (5, 700, "view"), (5, 700, "click"), (5, 700, "purchase"),
+            # u1 noise: later views don't move t1
+            (1, 50, "click"), (1, 1000, "view"),
+        ]
+        out = (funnel_stages(self._ds(rows), user="user_id", ts_col="ts",
+                             type_col="event_type",
+                             stages=["view", "click", "purchase"])
+               .to_pandas().set_index("user_id").sort_index())
+        assert sorted(out.index) == [1, 2, 3, 5]
+        assert out.loc[1, "depth"] == 3 and out.loc[1, "t1_us"] == 100
+        assert out.loc[1, "t2_us"] == 200 and out.loc[1, "t3_us"] == 300
+        assert out.loc[2, "depth"] == 1 and np.isnan(out.loc[2, "t2_us"])
+        assert out.loc[3, "depth"] == 2 and np.isnan(out.loc[3, "t3_us"])
+        assert out.loc[5, "depth"] == 3 and out.loc[5, "t3_us"] == 700
+
+    def test_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import funnel_stages
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 80, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="us"),
+            "event_type": rng.choice(["view", "click", "purchase"], n),
+        })
+        outs = [
+            funnel_stages(rd.from_pandas(df).repartition(k),
+                          user="user_id", ts_col="ts",
+                          type_col="event_type",
+                          stages=["view", "click", "purchase"],
+                          n_buckets=b)
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+            for k, b in ((1, 1), (9, 16))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
