@@ -1885,6 +1885,17 @@ def q107_funnel(sf_dir: str):
     )
 
 
+def q108_top_bigrams(sf_dir: str):
+    """Global top-50 word bigrams (stages/corpus.top_bigrams): per-
+    batch np.unique combiner → one bigram-hash exchange → per-bucket
+    sum + local top-k (sound: a bigram's whole count lives in one
+    bucket) → driver merge of k×buckets candidates.  Deterministic
+    (cnt DESC, bigram ASC) tie-break mirrored in the oracle."""
+    from ..stages.corpus import top_bigrams
+
+    return top_bigrams(_t(sf_dir, "documents", ["doc_id", "text"]), k=50)
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2095,6 +2106,7 @@ QUERIES = {
     "q105_regression": q105_regression,
     "q106_ratio_to_report": q106_ratio_to_report,
     "q107_funnel": q107_funnel,
+    "q108_top_bigrams": q108_top_bigrams,
 }
 
 ORACLE_SQL = {
@@ -2897,6 +2909,27 @@ ORACLE_SQL = {
                     AS BIGINT) AS depth
         FROM a LEFT JOIN b ON a.user_id = b.user_id
                 LEFT JOIN c ON a.user_id = c.user_id
+    """,
+    "q108_top_bigrams": """
+        -- same tokenization as the engine: split on ' ', drop empty
+        -- tokens, pair consecutive SURVIVING tokens within a document
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> x <> '') AS l
+            FROM documents
+        ),
+        t2 AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   generate_subscripts(l, 1) AS i
+            FROM toks
+        )
+        SELECT a.tok || ' ' || b.tok AS bigram,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1
+        ORDER BY cnt DESC, bigram ASC
+        LIMIT 50
     """,
 }
 

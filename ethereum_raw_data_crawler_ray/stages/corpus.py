@@ -364,6 +364,70 @@ def repetition_stats(ds: rd.Dataset, text_col: str = "text",
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def top_bigrams(ds: rd.Dataset, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 50,
+                n_buckets: int | None = None) -> pd.DataFrame:
+    """Global top-k word bigrams by count — the corpus phrase-statistics
+    primitive.  Tokenization: space split, empty tokens dropped (same
+    contract as :func:`_explode_tokens`), bigrams pair consecutive
+    surviving tokens within a document.
+
+    Scale shape: per-batch ``np.unique`` combiner collapses each
+    block's occurrences to (bigram, n) partials; ONE hash-bucket
+    exchange co-locates each bigram's partials (buckets partition the
+    bigram space); each bucket sums and keeps only its LOCAL top-k —
+    valid globally because a bigram's full count lives in exactly one
+    bucket — and the driver merges k×n_buckets candidate rows.  Ties
+    break deterministically by (count DESC, bigram ASC), mirrored in
+    the oracle's ORDER BY … LIMIT k.
+
+    Returns a k-row (bigram, cnt) DataFrame sorted count-desc."""
+    from ..functions.hashing import hash_strings
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        occ = _explode_tokens(t, text_col, id_col)
+        toks = occ["token"].to_numpy()
+        doc = occ["doc_id"].to_numpy()
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        same = doc[1:] == doc[:-1]
+        big = np.char.add(np.char.add(toks[:-1].astype(str), " "),
+                          toks[1:].astype(str))[same]
+        if not big.size:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        bg, bc = np.unique(big, return_counts=True)
+        return pa.table({"bigram": pa.array(bg, type=pa.string()),
+                         "cnt": pa.array(bc.astype(np.int64))})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash_strings(t["bigram"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("bigram", sort=False)["cnt"].sum().reset_index()
+        agg = agg.sort_values(["cnt", "bigram"],
+                              ascending=[False, True], kind="mergesort")
+        return agg.head(k).astype({"cnt": np.int64})
+
+    cands = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(cands):
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype=np.int64)})
+    return (cands.sort_values(["cnt", "bigram"],
+                              ascending=[False, True], kind="mergesort")
+            .head(k)[["bigram", "cnt"]].reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (inverted-gram join)
 # --------------------------------------------------------------------------

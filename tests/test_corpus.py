@@ -352,3 +352,57 @@ class TestPackSequences:
         assert sorted(out.index) == [1, 2, 3]  # exactly-once incl. null doc
         per_bin = out.groupby("bin_id")["n_tokens"].sum()
         assert (per_bin <= 4).all()
+
+
+class TestTopBigrams:
+    def test_counts_ties_and_empties(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import top_bigrams
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            # doc 0: "a b" x2 via overlap; double space must not mint
+            # '' tokens ("x  y" pairs as "x y")
+            "text": ["a b a b", "x  y", "b a b"],
+        })
+        out = top_bigrams(rd.from_pandas(df), k=3)
+        ref = {"a b": 3, "b a": 2, "x y": 1}
+        got = dict(zip(out["bigram"], out["cnt"]))
+        assert got == ref
+        # tie at the k boundary: deterministic (cnt DESC, bigram ASC)
+        out2 = top_bigrams(rd.from_pandas(df), k=2)
+        assert out2["bigram"].tolist() == ["a b", "b a"]
+        # bigrams never span documents
+        assert "b x" not in got and "y b" not in got
+
+    def test_bucket_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import top_bigrams
+
+        rng = np.random.default_rng(13)
+        words = np.array(["the", "cat", "sat", "on", "mat", "dog"])
+        docs = [" ".join(rng.choice(words, rng.integers(2, 40)))
+                for _ in range(300)]
+        df = pd.DataFrame({"doc_id": np.arange(300), "text": docs})
+        outs = [
+            top_bigrams(rd.from_pandas(df).repartition(p), k=10,
+                        n_buckets=b)
+            for p, b in ((1, 1), (7, 16))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_empty_corpus(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import top_bigrams
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["solo", ""]})
+        out = top_bigrams(rd.from_pandas(df), k=5)
+        assert out.empty
