@@ -1896,6 +1896,34 @@ def q108_top_bigrams(sf_dir: str):
     return top_bigrams(_t(sf_dir, "documents", ["doc_id", "text"]), k=50)
 
 
+def q109_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (stages/joins.cohort_retention): users
+    bucketed by first-event week, distinct-counted per (cohort, week
+    offset) — one user-hash exchange computes first events, offsets,
+    and locally-complete dedup; buckets hold disjoint users so partial
+    counts just sum.  Exact int64 week arithmetic mirrors SQL //."""
+    from ..stages.joins import cohort_retention
+
+    return cohort_retention(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        user="user_id", ts_col="ts",
+    )
+
+
+def q110_session_ids(sf_dir: str):
+    """Per-event session-id assignment (stages/joins.sessionize_ids):
+    30-minute-gap sessions numbered 1..k per user, stamped on every
+    event row — one user-hash exchange, one vectorized sort + diff +
+    rebased-cumsum pass per bucket.  Exact int64 µs; (ts, event_id)
+    tie order mirrored in the oracle's window ORDER BY."""
+    from ..stages.joins import sessionize_ids
+
+    return sessionize_ids(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        user="user_id", ts_col="ts", id_col="event_id",
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2107,6 +2135,8 @@ QUERIES = {
     "q106_ratio_to_report": q106_ratio_to_report,
     "q107_funnel": q107_funnel,
     "q108_top_bigrams": q108_top_bigrams,
+    "q109_cohort_retention": q109_cohort_retention,
+    "q110_session_ids": q110_session_ids,
 }
 
 ORACLE_SQL = {
@@ -2930,6 +2960,39 @@ ORACLE_SQL = {
         GROUP BY 1
         ORDER BY cnt DESC, bigram ASC
         LIMIT 50
+    """,
+    "q109_cohort_retention": """
+        WITH f AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS first_us
+            FROM events GROUP BY user_id
+        ),
+        e AS (
+            SELECT f.first_us // 604800000000 AS cohort,
+                   epoch_us(ev.ts) // 604800000000
+                     - f.first_us // 604800000000 AS week_off,
+                   ev.user_id
+            FROM events ev JOIN f ON ev.user_id = f.user_id
+        )
+        SELECT cohort, week_off,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM e GROUP BY cohort, week_off
+    """,
+    "q110_session_ids": """
+        WITH o AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) AS prev
+            FROM events
+        )
+        SELECT event_id, user_id, ts_us,
+               CAST(SUM(CASE WHEN prev IS NULL
+                               OR ts_us - prev > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS BIGINT)
+                 AS session_no
+        FROM o
     """,
 }
 

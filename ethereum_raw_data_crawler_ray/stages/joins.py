@@ -503,6 +503,146 @@ def funnel_stages(
     )
 
 
+def cohort_retention(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    ts_col: str,
+    bucket_us: int = 604_800_000_000,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by the time bucket of
+    their FIRST event (``cohort``, default week = epoch-µs // 7 days),
+    counted distinct per (cohort, bucket-offset of each later event).
+
+    ONE user-hash exchange does everything: a user's rows co-locate,
+    so the per-bucket pass computes the user's first event, the
+    (cohort, offset) pair of every event, dedups the (user, cohort,
+    offset) triples LOCALLY (globally valid — the triple only involves
+    bucket-local users), and emits per-bucket partial counts.
+    Different buckets hold disjoint users, so the driver's final merge
+    just sums #cells × #buckets tiny partials.  All arithmetic is
+    exact int64 (µs epochs, floor division — mirrors SQL ``//``).
+
+    Returns (cohort, week_off, n_users) sorted."""
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                user: t[user],
+                "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__bucket": pa.array(
+                    _bucket_of(_key_for_hash(t[user]), n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("cohort", "week_off", "n_users")})
+        wk = g["__ts_us"].to_numpy(np.int64) // bucket_us
+        first_wk = (pd.Series(wk).groupby(g[user].to_numpy(), sort=False)
+                    .transform("min").to_numpy(np.int64))
+        f = pd.DataFrame({"u": g[user].to_numpy(), "cohort": first_wk,
+                          "week_off": wk - first_wk})
+        cells = (f.drop_duplicates()
+                 .groupby(["cohort", "week_off"], sort=False)
+                 .size().rename("n_users").reset_index())
+        return cells.astype({c: np.int64
+                             for c in ("cohort", "week_off", "n_users")})
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return parts
+    return (parts.groupby(["cohort", "week_off"], sort=True)["n_users"]
+            .sum().astype(np.int64).reset_index())
+
+
+def sessionize_ids(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int = 1_800_000_000,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-EVENT session-id assignment (the enrichment complement of
+    the q32 per-user session COUNT): within each user's (ts, id)-ordered
+    events, a new session starts when the gap from the previous event
+    exceeds ``gap_us``; every event gets its user's 1-based running
+    session number — ``SUM(new_session) OVER (PARTITION BY user ORDER
+    BY ts, id)`` in SQL terms.
+
+    One user-hash exchange; per bucket a single mergesort + diff +
+    cumsum pass assigns ids for ALL users at once (per-user cumsum =
+    global cumsum rebased at each user's first row — no per-user
+    apply).  Exact int64 µs arithmetic; ties order by (ts, id)
+    deterministically on both sides.  Returns (id, user, ts_us,
+    session_no) streaming."""
+    n_buckets = n_buckets or _default_buckets()
+    _EMPTY = {id_col: pd.Series(dtype=np.int64),
+              user: pd.Series(dtype=np.int64),
+              "ts_us": pd.Series(dtype=np.int64),
+              "session_no": pd.Series(dtype=np.int64)}
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                user: t[user],
+                "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__bucket": pa.array(
+                    _bucket_of(_key_for_hash(t[user]), n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
+        uid = g[user].to_numpy()
+        us = g["__ts_us"].to_numpy(np.int64)
+        new_s = np.ones(len(us), dtype=np.int64)
+        if len(us) > 1:
+            same = uid[1:] == uid[:-1]
+            new_s[1:] = np.where(same & (np.diff(us) <= gap_us), 0, 1)
+        cum = np.cumsum(new_s)
+        first = _first_mask(uid)
+        starts = np.flatnonzero(first)
+        base = cum[starts][np.cumsum(first) - 1] - 1  # cum BEFORE user
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                user: uid,
+                "ts_us": us,
+                "session_no": cum - base,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # general hash equi-join
 # --------------------------------------------------------------------------

@@ -967,3 +967,106 @@ class TestFunnelStages:
             for k, b in ((1, 1), (9, 16))
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestCohortRetention:
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import (
+            cohort_retention,
+        )
+
+        rng = np.random.default_rng(21)
+        n = 4000
+        W = 604_800_000_000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 120, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 20 * W, n), unit="us"),
+        })
+        out = cohort_retention(rd.from_pandas(df).repartition(6),
+                               user="user_id", ts_col="ts")
+        us = df["ts"].astype("int64") // 1000 if df["ts"].dt.tz else \
+            df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        ref = pd.DataFrame({"u": df["user_id"], "wk": us // W})
+        ref["cohort"] = ref.groupby("u")["wk"].transform("min")
+        ref["week_off"] = ref["wk"] - ref["cohort"]
+        exp = (ref.drop_duplicates(["u", "cohort", "week_off"])
+               .groupby(["cohort", "week_off"]).size()
+               .rename("n_users").reset_index())
+        m = out.merge(exp, on=["cohort", "week_off"],
+                      suffixes=("", "_ref"), how="outer")
+        assert len(m) == len(out) == len(exp)
+        assert (m["n_users"] == m["n_users_ref"]).all()
+        # bucket invariance
+        out1 = cohort_retention(rd.from_pandas(df), user="user_id",
+                                ts_col="ts", n_buckets=1)
+        pd.testing.assert_frame_equal(out, out1)
+
+
+class TestSessionizeIds:
+    def test_ids_and_consistency_with_q32_counts(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import sessionize_ids
+
+        GAP = 1_800_000_000
+        rows = [
+            # u1: 3 events in one session, then a gap -> session 2
+            (10, 1, 0), (11, 1, GAP), (12, 1, 2 * GAP),
+            (13, 1, 4 * GAP + 1),
+            # u2: single event
+            (20, 2, 0),
+            # u3: tie timestamps order by event_id
+            (31, 3, 5), (30, 3, 5), (32, 3, 5 + GAP + 1),
+        ]
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "us"])
+        df["ts"] = pd.to_datetime(df["us"], unit="us")
+        out = (sessionize_ids(rd.from_pandas(df[["event_id", "user_id",
+                                                 "ts"]]),
+                              user="user_id", ts_col="ts",
+                              id_col="event_id")
+               .to_pandas().set_index("event_id").sort_index())
+        # u1: gaps of exactly GAP do NOT split (> means strictly over)
+        assert out.loc[[10, 11, 12], "session_no"].tolist() == [1, 1, 1]
+        assert out.loc[13, "session_no"] == 2
+        assert out.loc[20, "session_no"] == 1
+        assert out.loc[[30, 31], "session_no"].tolist() == [1, 1]
+        assert out.loc[32, "session_no"] == 2
+
+    def test_partition_invariance_and_counts(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.joins import sessionize_ids
+
+        rng = np.random.default_rng(33)
+        n = 3000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**13, n), unit="us"),
+        })
+        outs = [
+            sessionize_ids(rd.from_pandas(df).repartition(k),
+                           user="user_id", ts_col="ts",
+                           id_col="event_id", n_buckets=b)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+            for k, b in ((1, 1), (8, 16))
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # max session_no per user == brute-force session count
+        us = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        ref = df.assign(us=us).sort_values(["user_id", "us", "event_id"])
+        cnt = {}
+        for u, grp in ref.groupby("user_id"):
+            d = np.diff(grp["us"].to_numpy())
+            cnt[u] = 1 + int((d > 1_800_000_000).sum())
+        got = outs[0].groupby("user_id")["session_no"].max().to_dict()
+        assert got == cnt
