@@ -1924,6 +1924,38 @@ def q110_session_ids(sf_dir: str):
     )
 
 
+def q111_json_field_agg(sf_dir: str):
+    """JSON property extraction + grouped aggregate: pull the numeric
+    ``k`` field out of the events' flat JSON ``props`` with pyarrow's
+    RE2 kernel (zero Python per row — the q74 family), then exact-int
+    per-batch combiner partials per event type; the mean is one IEEE
+    division of exact integers (bit-equal, no ROUND).  Rows whose
+    props lack the field don't count (SQL COUNT(expr) semantics)."""
+    ev = _t(sf_dir, "events", ["event_type", "props"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+        v = pc.struct_field(m, "v").to_pandas()
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()})
+        df["__n"] = v.notna().astype(np.int64)
+        df["__k"] = pd.to_numeric(v, errors="coerce").fillna(0).astype(
+            np.int64)
+        p = df.groupby("event_type", sort=False).agg(
+            n=("__n", "sum"), sum_k=("__k", "sum")).reset_index()
+        return pa.Table.from_pandas(
+            p.astype({"n": np.int64, "sum_k": np.int64}),
+            preserve_index=False)
+
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    rows = []
+    for key, grp in parts.groupby("event_type", sort=True, dropna=False):
+        n, s = int(grp["n"].sum()), int(grp["sum_k"].sum())
+        rows.append((key, n, s, float(s) / float(n) if n else np.nan))
+    return pd.DataFrame(rows,
+                        columns=["event_type", "n", "sum_k", "avg_k"]
+                        ).astype({"n": np.int64, "sum_k": np.int64})
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2137,6 +2169,7 @@ QUERIES = {
     "q108_top_bigrams": q108_top_bigrams,
     "q109_cohort_retention": q109_cohort_retention,
     "q110_session_ids": q110_session_ids,
+    "q111_json_field_agg": q111_json_field_agg,
 }
 
 ORACLE_SQL = {
@@ -2993,6 +3026,19 @@ ORACLE_SQL = {
                           ORDER BY ts_us, event_id) AS BIGINT)
                  AS session_no
         FROM o
+    """,
+    "q111_json_field_agg": """
+        WITH p AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(k) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(COUNT(k) AS BIGINT) AS DOUBLE) AS avg_k
+        FROM p GROUP BY event_type
     """,
 }
 
