@@ -1956,6 +1956,47 @@ def q111_json_field_agg(sf_dir: str):
                         ).astype({"n": np.int64, "sum_k": np.int64})
 
 
+def q112_transition_matrix(sf_dir: str):
+    """Event-type transition counts (stages/joins.transition_counts):
+    each user's (ts, event_id)-ordered sequence contributes its
+    consecutive type pairs — the Markov transition matrix; one
+    user-hash exchange, shift-pair + tiny pair-count partials."""
+    from ..stages.joins import transition_counts
+
+    return transition_counts(
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]),
+        user="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type",
+    )
+
+
+def q113_type_overlap(sf_dir: str):
+    """Distinct-user overlap per unordered event-type pair
+    (stages/joins.type_overlap_counts): per-bucket (user, type) dedup +
+    per-user triangle self-merge; disjoint-user buckets sum."""
+    from ..stages.joins import type_overlap_counts
+
+    return type_overlap_counts(
+        _t(sf_dir, "events", ["user_id", "event_type"]),
+        user="user_id", type_col="event_type",
+    )
+
+
+def q114_chi2_contingency(sf_dir: str):
+    """Contingency χ² cells (stages/sketches.chi2_contingency): event
+    type × value bucket observed/expected counts and per-cell χ²
+    contributions via the exact-integer rearrangement
+    (obs·n − rt·ct)²/(n·rt·ct) — every intermediate an exact int,
+    one IEEE division per output, bit-equal to the split-cast HUGEINT
+    oracle."""
+    from ..stages.sketches import chi2_contingency
+
+    return chi2_contingency(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", bucket_width=100.0,
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2170,6 +2211,9 @@ QUERIES = {
     "q109_cohort_retention": q109_cohort_retention,
     "q110_session_ids": q110_session_ids,
     "q111_json_field_agg": q111_json_field_agg,
+    "q112_transition_matrix": q112_transition_matrix,
+    "q113_type_overlap": q113_type_overlap,
+    "q114_chi2_contingency": q114_chi2_contingency,
 }
 
 ORACLE_SQL = {
@@ -2995,20 +3039,29 @@ ORACLE_SQL = {
         LIMIT 50
     """,
     "q109_cohort_retention": """
+        -- FLOOR week division spelled out: SQL's integer // truncates
+        -- toward zero, diverging from the engine's (calendar-correct)
+        -- floor for negative epochs — subtract 1 on inexact negative
+        -- quotients
         WITH f AS (
             SELECT user_id, MIN(epoch_us(ts)) AS first_us
             FROM events GROUP BY user_id
         ),
         e AS (
-            SELECT f.first_us // 604800000000 AS cohort,
-                   epoch_us(ev.ts) // 604800000000
-                     - f.first_us // 604800000000 AS week_off,
+            SELECT (f.first_us // 604800000000
+                    - CASE WHEN f.first_us % 604800000000 <> 0
+                                AND f.first_us < 0
+                           THEN 1 ELSE 0 END) AS cohort,
+                   (epoch_us(ev.ts) // 604800000000
+                    - CASE WHEN epoch_us(ev.ts) % 604800000000 <> 0
+                                AND epoch_us(ev.ts) < 0
+                           THEN 1 ELSE 0 END) AS ts_wk,
                    ev.user_id
             FROM events ev JOIN f ON ev.user_id = f.user_id
         )
-        SELECT cohort, week_off,
+        SELECT cohort, ts_wk - cohort AS week_off,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        FROM e GROUP BY cohort, week_off
+        FROM e GROUP BY cohort, ts_wk
     """,
     "q110_session_ids": """
         WITH o AS (
@@ -3028,9 +3081,15 @@ ORACLE_SQL = {
         FROM o
     """,
     "q111_json_field_agg": """
+        -- SAME RE2 extraction as the engine (not json_extract: a JSON
+        -- parser diverges on non-plain-int k — '1.5' CASTs to 2 while
+        -- the regex reads '1', and a quoted "12" parses vs no regex
+        -- match).  Identical pattern on both sides by construction.
         WITH p AS (
             SELECT event_type,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   TRY_CAST(NULLIF(regexp_extract(
+                       props, '"k"\\s*:\\s*(-?\\d+)', 1), '')
+                     AS BIGINT) AS k
             FROM events
         )
         SELECT event_type,
@@ -3039,6 +3098,65 @@ ORACLE_SQL = {
                CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE)
                  / CAST(CAST(COUNT(k) AS BIGINT) AS DOUBLE) AS avg_k
         FROM p GROUP BY event_type
+    """,
+    "q112_transition_matrix": """
+        WITH o AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER
+                     (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+    "q113_type_overlap": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    """,
+    "q114_chi2_contingency": """
+        -- exact-integer chi-squared cells: (obs*n - rt*ct)^2 /
+        -- (n*rt*ct), every intermediate an exact HUGEINT; >2^53 ints
+        -- convert to DOUBLE via the hi*2^32+lo split (correctly
+        -- rounded, bit-equal to Python float(int) — q105 note)
+        WITH p AS (
+            SELECT event_type,
+                   CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket
+            FROM events WHERE value IS NOT NULL
+        ),
+        c AS (
+            SELECT event_type, bucket, CAST(COUNT(*) AS HUGEINT) AS obs
+            FROM p GROUP BY event_type, bucket
+        ),
+        m AS (
+            SELECT event_type, bucket, obs,
+                   SUM(obs) OVER (PARTITION BY event_type) AS rt,
+                   SUM(obs) OVER (PARTITION BY bucket) AS ct,
+                   SUM(obs) OVER () AS n
+            FROM c
+        ),
+        e AS (
+            SELECT event_type, bucket, obs, n,
+                   rt * ct AS rc,
+                   (obs * n - rt * ct) * (obs * n - rt * ct) AS num2,
+                   n * rt * ct AS den
+            FROM m
+        )
+        SELECT event_type, bucket, CAST(obs AS BIGINT) AS obs,
+               (CAST(rc // 4294967296 AS DOUBLE) * 4294967296.0
+                  + CAST(rc % 4294967296 AS DOUBLE))
+                 / CAST(CAST(n AS BIGINT) AS DOUBLE) AS expected,
+               (CAST(num2 // 4294967296 AS DOUBLE) * 4294967296.0
+                  + CAST(num2 % 4294967296 AS DOUBLE))
+                 / (CAST(den // 4294967296 AS DOUBLE) * 4294967296.0
+                      + CAST(den % 4294967296 AS DOUBLE)) AS chi2_cell
+        FROM e
     """,
 }
 

@@ -522,7 +522,9 @@ def cohort_retention(
     bucket-local users), and emits per-bucket partial counts.
     Different buckets hold disjoint users, so the driver's final merge
     just sums #cells × #buckets tiny partials.  All arithmetic is
-    exact int64 (µs epochs, floor division — mirrors SQL ``//``).
+    exact int64 µs with FLOOR division (calendar-correct for pre-1970
+    timestamps too; note SQL's integer ``//`` TRUNCATES toward zero —
+    an oracle must spell floor out explicitly for negative epochs).
 
     Returns (cohort, week_off, n_users) sorted."""
     n_buckets = n_buckets or _default_buckets()
@@ -643,6 +645,123 @@ def sessionize_ids(
     )
 
 
+def transition_counts(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """First-order transition (Markov bigram) counts over each user's
+    (ts, id)-ordered event-type sequence: how often ``from_type`` is
+    immediately followed by ``to_type``, summed over all users — the
+    behavioral-analytics transition matrix.
+
+    One user-hash exchange; per bucket a mergesort + shift pass pairs
+    consecutive same-user events and a pandas groupby sizes the pairs
+    (≤ |types|² rows per bucket), so the driver merge is tiny.  Exact
+    int64 counts.  Returns (from_type, to_type, n) sorted."""
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                user: t[user],
+                id_col: t[id_col],
+                type_col: t[type_col],
+                "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__bucket": pa.array(
+                    _bucket_of(_key_for_hash(t[user]), n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
+        uid = g[user].to_numpy()
+        typ = g[type_col].to_numpy()
+        same = uid[1:] == uid[:-1]
+        f = pd.DataFrame({"from_type": typ[:-1][same],
+                          "to_type": typ[1:][same]})
+        c = (f.groupby(["from_type", "to_type"], sort=False)
+             .size().rename("n").reset_index())
+        return c.astype({"n": np.int64})
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return parts
+    return (parts.groupby(["from_type", "to_type"], sort=True)["n"]
+            .sum().astype(np.int64).reset_index())
+
+
+def type_overlap_counts(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    type_col: str,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Distinct-user overlap between event types: for every unordered
+    type pair (a < b), how many users emitted BOTH — the co-occurrence
+    matrix behind audience-overlap and feature-adoption reports.
+
+    One user-hash exchange; a user's rows co-locate, so the per-bucket
+    pass dedups (user, type), self-merges per user with the a < b
+    triangle filter (each user contributes ≤ C(|types|,2) pairs), and
+    emits pair partials; disjoint-user buckets make the driver merge a
+    plain sum.  Returns (type_a, type_b, n_users) sorted."""
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user: t[user],
+                type_col: t[type_col],
+                "__bucket": pa.array(
+                    _bucket_of(_key_for_hash(t[user]), n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"type_a": pd.Series(dtype=object),
+                                 "type_b": pd.Series(dtype=object),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        d = g[[user, type_col]].drop_duplicates()
+        m = d.merge(d, on=user, suffixes=("_a", "_b"))
+        m = m[m[type_col + "_a"] < m[type_col + "_b"]]
+        c = (m.groupby([type_col + "_a", type_col + "_b"], sort=False)
+             .size().rename("n_users").reset_index())
+        c.columns = ["type_a", "type_b", "n_users"]
+        return c.astype({"n_users": np.int64})
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return parts
+    return (parts.groupby(["type_a", "type_b"], sort=True)["n_users"]
+            .sum().astype(np.int64).reset_index())
+
+
 # --------------------------------------------------------------------------
 # general hash equi-join
 # --------------------------------------------------------------------------
@@ -663,11 +782,13 @@ def hash_join(
 ) -> rd.Dataset:
     """Distributed hash equi-join on ``on`` (same column name both
     sides — rename upstream with ``rename_columns`` if they differ):
-    ``how`` ∈ inner / left / semi / anti.  Same recipe and partitioning
-    contract as :func:`asof_join`: hash-bucket both sides (the ONE
-    exchange any non-broadcast equi-join needs), union under a unified
-    schema, and run a vectorized ``pd.merge`` (or an ``isin`` mask for
-    semi/anti) per BUCKET of keys.
+    ``how`` ∈ inner / left / outer / semi / anti (outer = FULL OUTER —
+    unmatched rows of BOTH sides survive exactly once, since buckets
+    partition keys).  Same recipe and partitioning contract as
+    :func:`asof_join`: hash-bucket both sides (the ONE exchange any
+    non-broadcast equi-join needs), union under a unified schema, and
+    run a vectorized ``pd.merge`` (or an ``isin`` mask for semi/anti)
+    per BUCKET of keys.
 
     This is the fact×fact path; for a dimension-sized right side prefer
     the broadcast-lookup pattern (functions/broadcast.py, q10/q19) —
@@ -675,7 +796,9 @@ def hash_join(
     inner-join output for it is |L_k|×|R_k| (inherent to the join, salt
     upstream if both sides are hot).  ``fill_value`` fills unmatched
     right columns for ``how="left"`` — required for integer columns so
-    all-matched and partly-matched buckets emit the same dtype.
+    all-matched and partly-matched buckets emit the same dtype.  For
+    ``how="outer"`` the LEFT integer columns need fills too (an
+    unmatched right row leaves them NaN); pass fills for BOTH sides.
 
     ``bloom_prefilter=True`` (inner/semi only) is the selective-join
     scale path: build a Bloom filter of the RIGHT keys (per-block
@@ -700,12 +823,30 @@ def hash_join(
     lfields = left_fields or _arrow_fields(left)
     lcols = [f.name for f in lfields]
     rkeep = list(dict.fromkeys([on, *right_cols]))
-    rename = {c: (c + suffix if c in lcols else c) for c in right_cols if c != on}
     fill = fill_value or {}
     rfields = [f for f in (right_fields or _arrow_fields(right)) if f.name in rkeep]
     if bloom_prefilter:
         left = _bloom_filter_left(left, right, on, bloom_bits)
-    u = _tagged_union(left, right.select_columns(rkeep), on, n_buckets, lfields, rfields)
+    # suffix-rename colliding right columns BEFORE the tagged union: the
+    # union unifies same-named fields to ONE type, so a left int64 'v'
+    # next to a right float64 'v' would otherwise fail (or silently
+    # coerce) in the tag cast.  After this, every column name is an
+    # OUTPUT name.
+    collide = {c: c + suffix for c in right_cols
+               if c != on and c in lcols}
+    right = right.select_columns(rkeep)
+    if collide:
+        # explicit pyarrow rename: Dataset.rename_columns trips over
+        # pandas-backed blocks (from_pandas inputs) in this Ray version
+        def _rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [collide.get(c, c) for c in t.column_names])
+
+        right = right.map_batches(_rename, batch_format="pyarrow")
+        rkeep = [collide.get(c, c) for c in rkeep]
+        rfields = [pa.field(collide.get(f.name, f.name), f.type)
+                   for f in rfields]
+    u = _tagged_union(left, right, on, n_buckets, lfields, rfields)
 
     l_ints = _int_cols(lfields, lcols)
     r_ints = _int_cols(rfields, rkeep)
@@ -727,13 +868,15 @@ def hash_join(
         if out_is_left_only:
             mask = lf[on].isin(rf[on].unique())
             return lf[mask] if how == "semi" else lf[~mask]
-        merged = pd.merge(lf, rf.rename(columns=rename), on=on, how=how)
+        merged = pd.merge(lf, rf, on=on, how=how)
         for col, v in fill.items():
-            src = {v: k for k, v in rename.items()}.get(col, col)
-            # outer joins leave NaN on BOTH sides: a fill target may be a
-            # left column (unmatched right row), whose dtype lives in lf
-            ref = rf if src in rf.columns else lf
-            merged[col] = merged[col].fillna(v).astype(ref[src].dtype)
+            # outer joins leave NaN on BOTH sides, so a fill target may
+            # be a left column (unmatched right row).  Columns are
+            # already output-named: anything in the (renamed) right
+            # keep-list that isn't a left column fills from the right
+            # frame's dtype, everything else from the left's.
+            ref = rf if (col in rkeep and col not in lcols) else lf
+            merged[col] = merged[col].fillna(v).astype(ref[col].dtype)
         return merged
 
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -1543,6 +1543,60 @@ def grouped_weighted_stats(ds: rd.Dataset, group: str, val: str,
     return out.sort_values(group).reset_index(drop=True)
 
 
+def chi2_contingency(ds: rd.Dataset, row: str, val: str, *,
+                     bucket_width: float = 100.0) -> pd.DataFrame:
+    """Contingency table + per-cell χ² contributions for ``row`` ×
+    ``floor(val / bucket_width)``: observed counts, expected counts,
+    and ``(obs·n − rowtot·coltot)² / (n·rowtot·coltot)`` — the exact-
+    integer rearrangement of ``(obs−exp)²/exp`` (multiply through by
+    n², so every intermediate is an EXACT integer and the cell value
+    is one IEEE division of two correctly-rounded conversions; the
+    q105 discipline).  NULL values are excluded on both sides.
+
+    Per-batch (row, bucket) count partials merge on the driver (cells
+    × blocks rows — tiny); the marginals and χ² derive from the merged
+    exact counts.  Returns (row, bucket, obs, expected, chi2_cell)
+    sorted."""
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = t[row].to_pandas()
+        ok = ~np.isnan(v)
+        b = np.floor(v[ok] / bucket_width).astype(np.int64)
+        df = pd.DataFrame({row: r[ok].to_numpy(), "__b": b})
+        p = (df.groupby([row, "__b"], sort=False, dropna=False)
+             .size().rename("obs").reset_index())
+        return pa.Table.from_pandas(p.astype({"obs": np.int64}),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({row: pd.Series(dtype=object),
+                             "bucket": pd.Series(dtype=np.int64),
+                             "obs": pd.Series(dtype=np.int64),
+                             "expected": pd.Series(dtype=np.float64),
+                             "chi2_cell": pd.Series(dtype=np.float64)})
+    cells = (parts.groupby([row, "__b"], sort=True, dropna=False)["obs"]
+             .sum().reset_index())
+    rowt = {k: int(v) for k, v in
+            cells.groupby(row, dropna=False)["obs"].sum().items()}
+    colt = {k: int(v) for k, v in
+            cells.groupby("__b")["obs"].sum().items()}
+    n = int(cells["obs"].sum())
+    out_rows = []
+    for _, rec in cells.iterrows():
+        obs = int(rec["obs"])
+        rt, ct = rowt[rec[row]], colt[rec["__b"]]
+        num = obs * n - rt * ct
+        expected = float(rt * ct) / float(n)
+        chi2 = float(num * num) / float(n * rt * ct)
+        out_rows.append((rec[row], int(rec["__b"]), obs, expected, chi2))
+    return pd.DataFrame(out_rows,
+                        columns=[row, "bucket", "obs", "expected",
+                                 "chi2_cell"]).astype(
+        {"bucket": np.int64, "obs": np.int64})
+
+
 def ratio_to_report(ds: rd.Dataset, group: str, val: str,
                     id_cols: list[str], *,
                     val_scale: int = 1) -> rd.Dataset:
@@ -1567,6 +1621,8 @@ def ratio_to_report(ds: rd.Dataset, group: str, val: str,
 
     from ..functions.broadcast import get_broadcast
 
+    gtype, _ = _pinned_types(ds, group, val)
+
     def to_int(t: pa.Table) -> np.ndarray:
         v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
         if np.isnan(v).any():
@@ -1578,12 +1634,18 @@ def ratio_to_report(ds: rd.Dataset, group: str, val: str,
         df = pd.DataFrame({group: t[group].to_pandas(), "__v": to_int(t)})
         p = df.groupby(group, sort=False, dropna=False)["__v"].sum()
         return pa.table({group: pa.Array.from_pandas(
-                             p.index.to_series().reset_index(drop=True)),
+                             p.index.to_series().reset_index(drop=True),
+                             type=gtype),
                          "__sum": pa.array(p.to_numpy(np.int64))})
 
     parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     totals: dict = {}
     for k, s in zip(parts[group], parts["__sum"]):
+        # canonicalize null keys: a nullable NUMERIC group renders NaN,
+        # and distinct NaN objects never dict-merge — fold them (and
+        # None) into the single key None so SQL's one-NULL-partition
+        # semantics hold across blocks
+        k = None if pd.isna(k) else k
         totals[k] = totals.get(k, 0) + int(s)
     # pre-round once: float(exact int) is the correctly-rounded value
     # the SQL CAST produces; ship floats so pass 2 is a pure divide
@@ -1594,7 +1656,15 @@ def ratio_to_report(ds: rd.Dataset, group: str, val: str,
         ft = get_broadcast(ref)
         g = t[group].to_pandas()
         x = to_int(t)
-        pairs = g.map(ft)
+        pairs = g.map(ft).to_numpy(dtype=object)
+        if None in ft:
+            # Series.map skips NaN elements — patch them in (an object
+            # fill array sidesteps numpy's tuple-broadcast pitfall)
+            na = g.isna().to_numpy()
+            if na.any():
+                fill = np.empty(int(na.sum()), dtype=object)
+                fill[:] = [ft[None]] * int(na.sum())
+                pairs[na] = fill
         tot = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
         ftot = np.fromiter((p[1] for p in pairs), np.float64, len(pairs))
         return pa.table(
@@ -1660,14 +1730,21 @@ def regression_grouped(ds: rd.Dataset, group: str, x: str, y: str, *,
         if len(xi):
             # adaptive chunk bound: the largest per-row term times the
             # chunk length must stay under 2^62, so per-chunk int64
-            # sums can NEVER wrap regardless of the data's magnitude
+            # sums can NEVER wrap regardless of the data's magnitude.
+            # When even a SINGLE row's product can reach 2^62, int64 is
+            # unusable at any chunk size — fall back to object arrays
+            # (Python big-ints, exact, slow path for extreme scales)
             mx = int(np.max(np.abs(xi))) or 1
             my = int(np.max(np.abs(yi))) or 1
             worst = max(mx * mx, my * my, mx * my)
-            safe = max(1, min(chunk, (1 << 62) // worst))
+            use_obj = worst >= (1 << 62)
+            safe = chunk if use_obj else max(
+                1, min(chunk, (1 << 62) // worst))
             for lo in range(0, len(xi), safe):
                 hi = lo + safe
                 cx, cy = xi[lo:hi], yi[lo:hi]
+                if use_obj:
+                    cx, cy = cx.astype(object), cy.astype(object)
                 f = pd.DataFrame({group: gk.iloc[lo:hi].to_numpy(),
                                   "sx": cx, "sy": cy, "sxy": cx * cy,
                                   "sxx": cx * cx, "syy": cy * cy})

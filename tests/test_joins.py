@@ -1070,3 +1070,115 @@ class TestSessionizeIds:
             cnt[u] = 1 + int((d > 1_800_000_000).sum())
         got = outs[0].groupby("user_id")["session_no"].max().to_dict()
         assert got == cnt
+
+
+def test_hash_join_outer_fill_collision_keeps_left_dtype(ray_session):
+    # fill target is a LEFT int column whose NAME also exists on the
+    # right (renamed away with the suffix): the dtype source must be
+    # the left frame, not the right's float column
+    from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "lv": np.array([10, 20], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 3], dtype=np.int64),
+                          "lv": np.array([0.5, 0.7], dtype=np.float64)})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_cols=["lv"], how="outer",
+        fill_value={"lv": -1, "lv_r": -1.0},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["lv"].dtype == np.int64          # left dtype preserved
+    assert out["lv_r"].dtype == np.float64
+    assert out.loc[out["k"] == 3, "lv"].iloc[0] == -1
+    assert out.loc[out["k"] == 1, "lv_r"].iloc[0] == -1.0
+
+
+def test_cohort_retention_negative_epochs_floor(ray_session):
+    # pre-1970 timestamps: week bucketing must FLOOR (calendar weeks),
+    # matching the brute-force python floor reference
+    from ethereum_raw_data_crawler_ray.stages.joins import cohort_retention
+
+    W = 604_800_000_000
+    rows = [
+        (1, -3 * W - 5),   # floor -> week -4
+        (1, -5),           # floor -> week -1
+        (1, 5),            # week 0
+        (2, -W),           # exact multiple -> week -1
+        (2, 0),            # week 0
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "us"])
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    out = cohort_retention(rd.from_pandas(df[["user_id", "ts"]]),
+                           user="user_id", ts_col="ts")
+    ref = df.assign(wk=df["us"] // W)
+    ref["cohort"] = ref.groupby("user_id")["wk"].transform("min")
+    ref["week_off"] = ref["wk"] - ref["cohort"]
+    exp = (ref.drop_duplicates(["user_id", "cohort", "week_off"])
+           .groupby(["cohort", "week_off"]).size()
+           .rename("n_users").reset_index())
+    m = out.merge(exp, on=["cohort", "week_off"], suffixes=("", "_r"),
+                  how="outer")
+    assert len(m) == len(out) == len(exp)
+    assert (m["n_users"] == m["n_users_r"]).all()
+    assert out["cohort"].min() == -4
+
+
+class TestTransitionAndOverlap:
+    def test_transition_counts_bruteforce(self, ray_session):
+        from ethereum_raw_data_crawler_ray.stages.joins import (
+            transition_counts,
+        )
+
+        rng = np.random.default_rng(27)
+        n = 2500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 50, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**12, n), unit="us"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        })
+        out = transition_counts(rd.from_pandas(df).repartition(5),
+                                user="user_id", ts_col="ts",
+                                id_col="event_id", type_col="event_type")
+        us = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        ref = df.assign(us=us).sort_values(["user_id", "us", "event_id"])
+        uid = ref["user_id"].to_numpy()
+        typ = ref["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        exp = (pd.DataFrame({"from_type": typ[:-1][same],
+                             "to_type": typ[1:][same]})
+               .groupby(["from_type", "to_type"]).size()
+               .rename("n").reset_index())
+        m = out.merge(exp, on=["from_type", "to_type"],
+                      suffixes=("", "_r"), how="outer")
+        assert len(m) == len(out) == len(exp)
+        assert (m["n"] == m["n_r"]).all()
+        # invariance across bucket counts
+        out1 = transition_counts(rd.from_pandas(df), user="user_id",
+                                 ts_col="ts", id_col="event_id",
+                                 type_col="event_type", n_buckets=1)
+        pd.testing.assert_frame_equal(out, out1)
+
+    def test_type_overlap_bruteforce(self, ray_session):
+        from ethereum_raw_data_crawler_ray.stages.joins import (
+            type_overlap_counts,
+        )
+
+        rng = np.random.default_rng(29)
+        n = 2000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 70, n),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        })
+        out = type_overlap_counts(rd.from_pandas(df).repartition(4),
+                                  user="user_id", type_col="event_type")
+        d = df.drop_duplicates()
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        exp = (m.groupby(["event_type_a", "event_type_b"]).size()
+               .rename("n_users").reset_index())
+        exp.columns = ["type_a", "type_b", "n_users"]
+        mm = out.merge(exp, on=["type_a", "type_b"],
+                       suffixes=("", "_r"), how="outer")
+        assert len(mm) == len(out) == len(exp)
+        assert (mm["n_users"] == mm["n_users_r"]).all()

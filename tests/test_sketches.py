@@ -1160,3 +1160,88 @@ class TestRatioToReport:
         with pytest.raises(Exception):
             ratio_to_report(rd.from_pandas(bad), "g", "v",
                             ["id"]).to_pandas()
+
+
+def test_regression_grouped_per_row_product_past_int64(ray_session):
+    # a single row's y^2 exceeds 2^63: the int64 fast path is unusable
+    # at ANY chunk size — the object fallback must stay exact
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import (
+        regression_grouped,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame({
+        "g": ["huge"] * n,
+        "x": rng.integers(1, 1_000_001, n).astype(float),
+        "y": rng.integers(3_100_000_000, 4_000_000_000, n).astype(float),
+    })
+    out = regression_grouped(rd.from_pandas(df).repartition(3),
+                             "g", "x", "y", x_scale=1, y_scale=1)
+    xs = [int(v) for v in df["x"]]
+    ys = [int(v) for v in df["y"]]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num, denx = n * sxy - sx * sy, n * sxx - sx * sx
+    assert out.loc[0, "slope"] == float(num) / float(denx)
+
+
+def test_ratio_to_report_nullable_int_group_across_blocks(ray_session):
+    # nullable NUMERIC group: every block renders its own NaN object —
+    # the totals merge must fold them into ONE null partition
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import (
+        ratio_to_report,
+    )
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "g": pd.array([1, None, None, 1, None, None], dtype="Int64"),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0],
+    })
+    out = (ratio_to_report(rd.from_pandas(df).repartition(3), "g", "v",
+                           ["id"]).to_pandas().set_index("id"))
+    assert out.loc[1, "group_total"] == 20     # one NULL partition
+    assert out.loc[5, "share"] == 0.5
+    assert out.loc[0, "group_total"] == 5
+
+
+def test_chi2_contingency_bruteforce_and_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import (
+        chi2_contingency,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    df = pd.DataFrame({
+        "r": rng.choice(["x", "y", "z"], n),
+        "v": rng.uniform(0, 500, n),
+    })
+    outs = [chi2_contingency(rd.from_pandas(df).repartition(k),
+                             "r", "v", bucket_width=100.0)
+            for k in (1, 6)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-exact
+    out = outs[0]
+    # reference via pandas crosstab
+    b = np.floor(df["v"] / 100.0).astype(np.int64)
+    ct = pd.crosstab(df["r"], b)
+    rt, co, tot = ct.sum(1), ct.sum(0), ct.values.sum()
+    for _, rec in out.iterrows():
+        obs = ct.loc[rec["r"], rec["bucket"]]
+        exp = rt[rec["r"]] * co[rec["bucket"]] / tot
+        assert rec["obs"] == obs
+        assert abs(rec["expected"] - exp) < 1e-9
+        assert abs(rec["chi2_cell"] - (obs - exp) ** 2 / exp) < 1e-9
+    assert len(out) == (ct.values > 0).sum()
