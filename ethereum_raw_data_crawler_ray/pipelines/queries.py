@@ -1997,6 +1997,20 @@ def q114_chi2_contingency(sf_dir: str):
     )
 
 
+def q115_rolling_active_users(sf_dir: str):
+    """Rolling 7-day active users (stages/joins.rolling_active_users):
+    distinct users with ≥ 1 event in the trailing week of each active
+    day — one user-hash exchange over deduped (user, day) pairs,
+    vectorized window explode + locally-complete dedup, disjoint-user
+    partial counts."""
+    from ..stages.joins import rolling_active_users
+
+    return rolling_active_users(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        user="user_id", ts_col="ts", window_days=7,
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2214,6 +2228,7 @@ QUERIES = {
     "q112_transition_matrix": q112_transition_matrix,
     "q113_type_overlap": q113_type_overlap,
     "q114_chi2_contingency": q114_chi2_contingency,
+    "q115_rolling_active_users": q115_rolling_active_users,
 }
 
 ORACLE_SQL = {
@@ -3157,6 +3172,23 @@ ORACLE_SQL = {
                  / (CAST(den // 4294967296 AS DOUBLE) * 4294967296.0
                       + CAST(den % 4294967296 AS DOUBLE)) AS chi2_cell
         FROM e
+    """,
+    "q115_rolling_active_users": """
+        -- FLOOR day bucketing spelled out (q109 note: SQL // truncates
+        -- toward zero for negative epochs)
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 86400000000
+                    - CASE WHEN epoch_us(ts) % 86400000000 <> 0
+                                AND epoch_us(ts) < 0
+                           THEN 1 ELSE 0 END) AS day
+            FROM events
+        ),
+        spine AS (SELECT DISTINCT day FROM d)
+        SELECT s.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT)
+                 AS n_active
+        FROM spine s JOIN d ON d.day BETWEEN s.day - 6 AND s.day
+        GROUP BY s.day
     """,
 }
 

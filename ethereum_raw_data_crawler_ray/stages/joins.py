@@ -762,6 +762,87 @@ def type_overlap_counts(
             .sum().astype(np.int64).reset_index())
 
 
+def rolling_active_users(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    ts_col: str,
+    window_days: int = 7,
+    day_us: int = 86_400_000_000,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Rolling N-day active users (the DAU/WAU primitive): for every
+    ACTIVE day d, how many distinct users had ≥ 1 event in
+    ``[d − (N−1), d]``.  The report spine is the set of active days
+    (days with any event), matching the SQL oracle's
+    ``spine JOIN … BETWEEN`` shape.
+
+    One user-hash exchange: a user's rows co-locate, so each bucket
+    dedups (user, activity-day), explodes every activity day into the
+    ≤ N report days it covers (vectorized repeat+tile), dedups the
+    (user, report-day) pairs LOCALLY (globally valid — bucket-local
+    users), intersects the broadcast spine, and emits per-day partial
+    counts; disjoint-user buckets sum on the driver.  Exchange volume
+    is the deduped (user, day) pairs — N× smaller than the events.
+    FLOOR day bucketing (the q109 negative-epoch discipline).
+
+    Returns (day, n_active) sorted."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        day = np.asarray(pc.cast(ts, pa.int64())) // day_us
+        df = pd.DataFrame({user: t[user].to_pandas(),
+                           "__day": day}).drop_duplicates()
+        return pa.table(
+            {
+                user: pa.Array.from_pandas(df[user]),
+                "__day": pa.array(df["__day"].to_numpy(np.int64)),
+                "__bucket": pa.array(_bucket_of(
+                    _key_for_hash(pa.array(df[user])), n_buckets)),
+            }
+        )
+
+    pairs = ds.map_batches(tag, batch_format="pyarrow")
+    # spine: distinct active days — tiny (calendar-bounded); built from
+    # the already-thin pair stream
+    spine = set()
+    for b in pairs.select_columns(["__day"]).iter_batches(
+            batch_format="pyarrow"):
+        spine.update(np.unique(np.asarray(b["__day"])).tolist())
+    spine_ref = ray.put(np.array(sorted(spine), dtype=np.int64))
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "n_active": pd.Series(dtype=np.int64)})
+        sp = get_broadcast(spine_ref)
+        d = g[[user, "__day"]].drop_duplicates()
+        u = np.repeat(d[user].to_numpy(), window_days)
+        cov = (np.repeat(d["__day"].to_numpy(np.int64), window_days)
+               + np.tile(np.arange(window_days, dtype=np.int64), len(d)))
+        f = pd.DataFrame({user: u, "day": cov}).drop_duplicates()
+        f = f[np.isin(f["day"].to_numpy(np.int64), sp)]
+        c = f.groupby("day", sort=False).size().rename("n_active")
+        return c.reset_index().astype({"day": np.int64,
+                                       "n_active": np.int64})
+
+    parts = (pairs.groupby("__bucket")
+             .map_groups(run_bucket, batch_format="pandas").to_pandas())
+    if not len(parts):
+        return parts
+    return (parts.groupby("day", sort=True)["n_active"].sum()
+            .astype(np.int64).reset_index())
+
+
 # --------------------------------------------------------------------------
 # general hash equi-join
 # --------------------------------------------------------------------------

@@ -1182,3 +1182,36 @@ class TestTransitionAndOverlap:
                        suffixes=("", "_r"), how="outer")
         assert len(mm) == len(out) == len(exp)
         assert (mm["n_users"] == mm["n_users_r"]).all()
+
+
+def test_rolling_active_users_bruteforce(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import (
+        rolling_active_users,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    D = 86_400_000_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        # sparse over ~60 days so some spine days have gaps
+        "ts": pd.to_datetime(rng.integers(0, 60 * D, n), unit="us"),
+    })
+    out = rolling_active_users(rd.from_pandas(df).repartition(5),
+                               user="user_id", ts_col="ts",
+                               window_days=7)
+    us = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+    d = pd.DataFrame({"u": df["user_id"], "day": us // D}).drop_duplicates()
+    spine = sorted(d["day"].unique())
+    exp = []
+    for s in spine:
+        w = d[(d["day"] >= s - 6) & (d["day"] <= s)]
+        exp.append((s, w["u"].nunique()))
+    exp = pd.DataFrame(exp, columns=["day", "n_active"])
+    m = out.merge(exp, on="day", suffixes=("", "_r"), how="outer")
+    assert len(m) == len(out) == len(exp)
+    assert (m["n_active"] == m["n_active_r"]).all()
+    # invariance across bucket counts
+    out1 = rolling_active_users(rd.from_pandas(df), user="user_id",
+                                ts_col="ts", window_days=7, n_buckets=1)
+    pd.testing.assert_frame_equal(out, out1)
