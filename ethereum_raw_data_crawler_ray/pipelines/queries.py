@@ -3182,7 +3182,7 @@ ORACLE_SQL = {
                     - CASE WHEN epoch_us(ts) % 86400000000 <> 0
                                 AND epoch_us(ts) < 0
                            THEN 1 ELSE 0 END) AS day
-            FROM events
+            FROM events WHERE user_id IS NOT NULL
         ),
         spine AS (SELECT DISTINCT day FROM d)
         SELECT s.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT)

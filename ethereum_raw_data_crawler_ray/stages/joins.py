@@ -690,7 +690,11 @@ def transition_counts(
         g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
         uid = g[user].to_numpy()
         typ = g[type_col].to_numpy()
-        same = uid[1:] == uid[:-1]
+        # _first_mask treats ALL nulls as one key — matching the
+        # oracle's LEAD OVER (PARTITION BY user), where NULL users form
+        # one partition (a raw uid[1:]==uid[:-1] would be dtype-
+        # dependent: NaN != NaN but None == None)
+        same = ~_first_mask(uid)[1:]
         f = pd.DataFrame({"from_type": typ[:-1][same],
                           "to_type": typ[1:][same]})
         c = (f.groupby(["from_type", "to_type"], sort=False)
@@ -742,7 +746,9 @@ def type_overlap_counts(
             return pd.DataFrame({"type_a": pd.Series(dtype=object),
                                  "type_b": pd.Series(dtype=object),
                                  "n_users": pd.Series(dtype=np.int64)})
-        d = g[[user, type_col]].drop_duplicates()
+        # NULL users pair nothing (SQL join semantics — pandas merge
+        # would chain NaN==NaN and collapse every null user into one)
+        d = g.loc[g[user].notna(), [user, type_col]].drop_duplicates()
         m = d.merge(d, on=user, suffixes=("_a", "_b"))
         m = m[m[type_col + "_a"] < m[type_col + "_b"]]
         c = (m.groupby([type_col + "_a", type_col + "_b"], sort=False)
@@ -773,9 +779,11 @@ def rolling_active_users(
 ) -> pd.DataFrame:
     """Rolling N-day active users (the DAU/WAU primitive): for every
     ACTIVE day d, how many distinct users had ≥ 1 event in
-    ``[d − (N−1), d]``.  The report spine is the set of active days
-    (days with any event), matching the SQL oracle's
-    ``spine JOIN … BETWEEN`` shape.
+    ``[d − (N−1), d]``.  The report spine is the set of active days —
+    days with ≥ 1 NON-NULL-user event (null users never count nor
+    anchor a spine day, COUNT(DISTINCT) semantics) — matching the SQL
+    oracle's ``spine JOIN … BETWEEN`` shape over the null-filtered
+    pair set.
 
     One user-hash exchange: a user's rows co-locate, so each bucket
     dedups (user, activity-day), explodes every activity day into the
@@ -792,6 +800,13 @@ def rolling_active_users(
     from ..functions.broadcast import get_broadcast
 
     n_buckets = n_buckets or _default_buckets()
+    # pin the user column's unified arrow type ONCE: the per-batch
+    # pandas round-trip below floats a nullable int column only in
+    # blocks that contain a null, and a dtype-flapping key would hash
+    # down different _key_for_hash paths per block (splitting one user
+    # across buckets and breaking the locally-complete dedup)
+    ufield = next(f for f in _arrow_fields(ds) if f.name == user)
+    utype = pa.string() if pa.types.is_null(ufield.type) else ufield.type
 
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -800,18 +815,23 @@ def rolling_active_users(
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         day = np.asarray(pc.cast(ts, pa.int64())) // day_us
-        df = pd.DataFrame({user: t[user].to_pandas(),
-                           "__day": day}).drop_duplicates()
+        df = pd.DataFrame({user: t[user].to_pandas(), "__day": day})
+        # NULL users never count (COUNT(DISTINCT user) SQL semantics)
+        df = df[df[user].notna()].drop_duplicates()
+        ua = pa.Array.from_pandas(df[user], type=utype)
         return pa.table(
             {
-                user: pa.Array.from_pandas(df[user]),
+                user: ua,
                 "__day": pa.array(df["__day"].to_numpy(np.int64)),
                 "__bucket": pa.array(_bucket_of(
-                    _key_for_hash(pa.array(df[user])), n_buckets)),
+                    _key_for_hash(ua), n_buckets)),
             }
         )
 
-    pairs = ds.map_batches(tag, batch_format="pyarrow")
+    # materialize: the pair stream is consumed twice (spine scan +
+    # groupby) and is N× thinner than the input — the repo's convention
+    # for twice-consumed datasets
+    pairs = ds.map_batches(tag, batch_format="pyarrow").materialize()
     # spine: distinct active days — tiny (calendar-bounded); built from
     # the already-thin pair stream
     spine = set()
@@ -915,6 +935,13 @@ def hash_join(
     # OUTPUT name.
     collide = {c: c + suffix for c in right_cols
                if c != on and c in lcols}
+    for tgt in collide.values():
+        # a renamed target clashing with an existing column would be
+        # silently unified/auto-suffixed downstream — fail loud
+        if tgt in lcols or tgt in rkeep:
+            raise ValueError(
+                f"suffix-renamed right column {tgt!r} collides with an "
+                "existing column; pick a different suffix")
     right = right.select_columns(rkeep)
     if collide:
         # explicit pyarrow rename: Dataset.rename_columns trips over

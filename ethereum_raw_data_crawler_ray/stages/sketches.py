@@ -1578,15 +1578,19 @@ def chi2_contingency(ds: rd.Dataset, row: str, val: str, *,
                              "chi2_cell": pd.Series(dtype=np.float64)})
     cells = (parts.groupby([row, "__b"], sort=True, dropna=False)["obs"]
              .sum().reset_index())
-    rowt = {k: int(v) for k, v in
-            cells.groupby(row, dropna=False)["obs"].sum().items()}
+    # fold NaN row keys to None: distinct NaN objects never dict-merge
+    # (the ratio_to_report lesson) — one NULL row-category like SQL
+    rowt: dict = {}
+    for k, v in cells.groupby(row, dropna=False)["obs"].sum().items():
+        rowt[None if pd.isna(k) else k] = int(v)
     colt = {k: int(v) for k, v in
             cells.groupby("__b")["obs"].sum().items()}
     n = int(cells["obs"].sum())
     out_rows = []
     for _, rec in cells.iterrows():
         obs = int(rec["obs"])
-        rt, ct = rowt[rec[row]], colt[rec["__b"]]
+        rkey = None if pd.isna(rec[row]) else rec[row]
+        rt, ct = rowt[rkey], colt[rec["__b"]]
         num = obs * n - rt * ct
         expected = float(rt * ct) / float(n)
         chi2 = float(num * num) / float(n * rt * ct)
@@ -1758,6 +1762,15 @@ def regression_grouped(ds: rd.Dataset, group: str, x: str, y: str, *,
                                            "sxx", "syy")):
                         a[i] += int(row[c])
         keys = list(acc)
+        # decimal128(38,0) carries the partials exactly up to 10^38 —
+        # past that (object-fallback inputs ~1e19 scaled), fail loud
+        # rather than emit a wrong sum
+        lim = 10 ** 38
+        for k in keys:
+            if any(abs(s) >= lim for s in acc[k][1:]):
+                raise ValueError(
+                    "regression_grouped partial sums exceed "
+                    "decimal128(38,0) capacity — reduce x_scale/y_scale")
         return pa.table(
             {
                 group: pa.Array.from_pandas(pd.Series(keys, dtype=object),

@@ -1215,3 +1215,112 @@ def test_rolling_active_users_bruteforce(ray_session):
     out1 = rolling_active_users(rd.from_pandas(df), user="user_id",
                                 ts_col="ts", window_days=7, n_buckets=1)
     pd.testing.assert_frame_equal(out, out1)
+
+
+class TestNullUserContracts:
+    """Second-review-pass pins: null-user semantics across the new
+    event operators match their SQL oracles."""
+
+    def _df(self):
+        rng = np.random.default_rng(41)
+        n = 400
+        df = pd.DataFrame({
+            "user_id": pd.array(
+                [None if i % 7 == 0 else int(v) for i, v in
+                 enumerate(rng.integers(0, 12, n))], dtype="Int64"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**13, n), unit="us"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        })
+        return df
+
+    def test_rolling_active_users_excludes_nulls_stable_buckets(
+            self, ray_session):
+        import duckdb
+
+        from ethereum_raw_data_crawler_ray.stages.joins import (
+            rolling_active_users,
+        )
+
+        df = self._df()
+        outs = [rolling_active_users(
+                    rd.from_pandas(df[["user_id", "ts"]]).repartition(k),
+                    user="user_id", ts_col="ts", window_days=7,
+                    n_buckets=b)
+                for k, b in ((1, 1), (6, 16))]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        sql = duckdb.sql("""
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM df WHERE user_id IS NOT NULL),
+            spine AS (SELECT DISTINCT day FROM d)
+            SELECT s.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT)
+                     AS n_active
+            FROM spine s JOIN d ON d.day BETWEEN s.day - 6 AND s.day
+            GROUP BY s.day ORDER BY s.day
+        """).fetchdf()
+        m = outs[0].merge(sql, on="day", suffixes=("", "_r"), how="outer")
+        assert len(m) == len(outs[0]) == len(sql)
+        assert (m["n_active"] == m["n_active_r"]).all()
+
+    def test_type_overlap_null_users_pair_nothing(self, ray_session):
+        import duckdb
+
+        from ethereum_raw_data_crawler_ray.stages.joins import (
+            type_overlap_counts,
+        )
+
+        df = self._df()
+        out = type_overlap_counts(
+            rd.from_pandas(df[["user_id", "event_type"]]).repartition(4),
+            user="user_id", type_col="event_type")
+        sql = duckdb.sql("""
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM df)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """).fetchdf()
+        m = out.merge(sql, on=["type_a", "type_b"], suffixes=("", "_r"),
+                      how="outer")
+        assert len(m) == len(out) == len(sql)
+        assert (m["n_users"] == m["n_users_r"]).all()
+
+    def test_transition_null_users_one_partition(self, ray_session):
+        import duckdb
+
+        from ethereum_raw_data_crawler_ray.stages.joins import (
+            transition_counts,
+        )
+
+        df = self._df()
+        out = transition_counts(
+            rd.from_pandas(df).repartition(3),
+            user="user_id", ts_col="ts", id_col="event_id",
+            type_col="event_type")
+        sql = duckdb.sql("""
+            WITH o AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER
+                         (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS next_type
+                FROM df)
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """).fetchdf()
+        m = out.merge(sql, on=["from_type", "to_type"],
+                      suffixes=("", "_r"), how="outer")
+        assert len(m) == len(out) == len(sql)
+        assert (m["n"] == m["n_r"]).all()
+
+    def test_hash_join_rename_collision_fails_loud(self, ray_session):
+        from ethereum_raw_data_crawler_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1], "v": [1], "v_r": [2]})
+        right = pd.DataFrame({"k": [1], "v": [3.0]})
+        with pytest.raises(ValueError, match="collides"):
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_cols=["v"])

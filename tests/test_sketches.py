@@ -1245,3 +1245,38 @@ def test_chi2_contingency_bruteforce_and_invariance(ray_session):
         assert abs(rec["expected"] - exp) < 1e-9
         assert abs(rec["chi2_cell"] - (obs - exp) ** 2 / exp) < 1e-9
     assert len(out) == (ct.values > 0).sum()
+
+
+def test_chi2_null_row_category_and_regression_decimal_cap(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import (
+        chi2_contingency,
+        regression_grouped,
+    )
+
+    # NULL row categories across multiple blocks: one NULL group, no
+    # KeyError (the distinct-NaN-objects dict trap)
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "r": pd.array([None if i % 5 == 0 else float(v) for i, v in
+                       enumerate(rng.integers(0, 3, 600))],
+                      dtype="float64"),
+        "v": rng.uniform(0, 300, 600),
+    })
+    out = chi2_contingency(rd.from_pandas(df).repartition(4), "r", "v")
+    na = out[out["r"].isna()]
+    assert len(na) > 0 and na["obs"].sum() == 120
+    assert np.isfinite(out["chi2_cell"]).all()
+    # regression: partials past decimal128(38,0) fail loud, not wrong
+    big = pd.DataFrame({
+        "g": ["x"] * 4,
+        "x": [1.0, 2.0, 3.0, 4.0],
+        "y": [9.2e18, 9.1e18, 9.0e18, 8.9e18],
+    })
+    with pytest.raises(Exception, match="decimal128"):
+        regression_grouped(rd.from_pandas(big), "g", "x", "y",
+                           x_scale=1, y_scale=1)
