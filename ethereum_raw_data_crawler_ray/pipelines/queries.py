@@ -2011,6 +2011,17 @@ def q115_rolling_active_users(sf_dir: str):
     )
 
 
+def q116_clean_corpus(sf_dir: str):
+    """Quality-filter → exact-dedup → emit composition
+    (stages/corpus.clean_corpus): ≥ 20 words, ≥ 30 % distinct tokens,
+    top token ≤ 10 % of mass, then keep the minimum doc_id per exact
+    text — the actual filter+dedup pass a pretraining pipeline runs.
+    Integer-only gates, no float boundary."""
+    from ..stages.corpus import clean_corpus
+
+    return clean_corpus(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2229,6 +2240,7 @@ QUERIES = {
     "q113_type_overlap": q113_type_overlap,
     "q114_chi2_contingency": q114_chi2_contingency,
     "q115_rolling_active_users": q115_rolling_active_users,
+    "q116_clean_corpus": q116_clean_corpus,
 }
 
 ORACLE_SQL = {
@@ -3189,6 +3201,37 @@ ORACLE_SQL = {
                  AS n_active
         FROM spine s JOIN d ON d.day BETWEEN s.day - 6 AND s.day
         GROUP BY s.day
+    """,
+    "q116_clean_corpus": """
+        -- integer-only quality gates (no float boundary): >=20 words,
+        -- 10*n_distinct >= 3*n_words, 10*top_c <= n_words; duplicate
+        -- texts share stats so filter+dedup commute
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, tok
+        ),
+        st AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS top_c
+            FROM cnt GROUP BY doc_id
+        ),
+        q AS (
+            SELECT d.doc_id, d.text, st.n_words
+            FROM documents d JOIN st ON d.doc_id = st.doc_id
+            WHERE st.n_words >= 20
+              AND 10 * st.n_distinct >= 3 * st.n_words
+              AND 10 * st.top_c <= st.n_words
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(MIN(n_words) AS BIGINT) AS n_words
+        FROM q GROUP BY text
     """,
 }
 

@@ -428,6 +428,60 @@ def top_bigrams(ds: rd.Dataset, text_col: str = "text",
             .head(k)[["bigram", "cnt"]].reset_index(drop=True))
 
 
+def clean_corpus(ds: rd.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 min_words: int = 20,
+                 min_distinct_pct10: int = 3,
+                 max_top_pct10: int = 1) -> rd.Dataset:
+    """The pretraining-pipeline composition: Gopher-style quality
+    filter → exact dedup → clean-corpus emit, all streaming.  Quality
+    gates use INTEGER comparisons (``10·n_distinct ≥ pct10·n_words``,
+    ``10·top_c ≤ pct10·n_words``) so there is no float boundary to
+    drift against the SQL oracle.  Duplicate texts have identical
+    stats, so filter-then-dedup equals dedup-then-filter; the dedup is
+    the q20 shape (content-hash groupby, keep the minimum id — and the
+    survivors' shared ``n_words`` rides along as a second Min).
+
+    Returns a (doc_id, n_words) Dataset of kept documents."""
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import hash_strings
+
+    def flt(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = t[text_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pandas(), dtype=np.int64)
+        keep_h, keep_id, keep_n = [], [], []
+        h = hash_strings(t[text_col]).view(np.int64)
+        for i, x in enumerate(texts):
+            c = Counter(tok for tok in x.split(" ") if tok)
+            n = sum(c.values())
+            if (n >= min_words
+                    and 10 * len(c) >= min_distinct_pct10 * n
+                    and 10 * max(c.values(), default=0)
+                        <= max_top_pct10 * n):
+                keep_h.append(int(h[i]))
+                keep_id.append(int(ids[i]))
+                keep_n.append(n)
+        return pa.table(
+            {
+                "content_hash": pa.array(keep_h, type=pa.int64()),
+                id_col: pa.array(keep_id, type=pa.int64()),
+                "n_words": pa.array(keep_n, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col + "_keep"),
+                   Min("n_words", alias_name="n_words"))
+        .select_columns([id_col + "_keep", "n_words"])
+        .rename_columns({id_col + "_keep": id_col})
+    )
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (inverted-gram join)
 # --------------------------------------------------------------------------

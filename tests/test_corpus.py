@@ -406,3 +406,43 @@ class TestTopBigrams:
         df = pd.DataFrame({"doc_id": [0, 1], "text": ["solo", ""]})
         out = top_bigrams(rd.from_pandas(df), k=5)
         assert out.empty
+
+
+class TestCleanCorpus:
+    def test_gates_and_dedup(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import clean_corpus
+
+        good = " ".join(f"w{i}" for i in range(30))          # passes
+        shorty = "a b c"                                     # < 20 words
+        repet = " ".join(["spam"] * 30)                      # top 100%
+        lowdiv = " ".join(["a"] * 5 + ["b"] * 5 + ["c"] * 20)  # 3/30 distinct
+        df = pd.DataFrame({
+            "doc_id": [5, 1, 2, 3, 4],
+            "text": [good, good, shorty, repet, lowdiv],
+        })
+        out = (clean_corpus(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # only the good text survives, deduped to the min id
+        assert out["doc_id"].tolist() == [1]
+        assert out["n_words"].tolist() == [30]
+
+    def test_double_space_and_boundaries(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import clean_corpus
+
+        # exactly at the gates: 20 words, exactly 30% distinct (6/20),
+        # top exactly 10% (2/20)
+        words = ([f"u{i}" for i in range(4)] * 4  # 4 distinct x4 = 16
+                 + ["x", "x", "y", "z"])          # + 4 more, x twice
+        txt = "  ".join(words)                    # double spaces: no '' tokens
+        df = pd.DataFrame({"doc_id": [9], "text": [txt]})
+        out = clean_corpus(rd.from_pandas(df)).to_pandas()
+        # n=20, distinct=7 (u0..u3,x,y,z) -> 70>=60 ok; top=5 ('u0'..=4? )
+        # recompute: u0..u3 each 4x -> top=4; 10*4=40 <= 20? NO -> dropped
+        assert len(out) == 0
