@@ -2022,6 +2022,17 @@ def q116_clean_corpus(sf_dir: str):
     return clean_corpus(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q117_gram_novelty(sf_dir: str):
+    """Per-document 3-gram novelty (stages/corpus.gram_novelty): the
+    share of a doc's distinct word-3-grams found in no other document
+    — inverted-gram postings bucketed by gram hash (full posting per
+    bucket ⇒ local df is global), thin per-doc partial sums, one IEEE
+    division.  Documents never shuffle."""
+    from ..stages.corpus import gram_novelty
+
+    return gram_novelty(_t(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2241,6 +2252,7 @@ QUERIES = {
     "q114_chi2_contingency": q114_chi2_contingency,
     "q115_rolling_active_users": q115_rolling_active_users,
     "q116_clean_corpus": q116_clean_corpus,
+    "q117_gram_novelty": q117_gram_novelty,
 }
 
 ORACLE_SQL = {
@@ -3232,6 +3244,33 @@ ORACLE_SQL = {
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                CAST(MIN(n_words) AS BIGINT) AS n_words
         FROM q GROUP BY text
+    """,
+    "q117_gram_novelty": """
+        -- same literal 3-gram construction as the q55 oracle (the
+        -- engine's hashed grams are collision-free on this corpus,
+        -- pinned by the q55 kernel-parity test)
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                   ))) AS gram
+            FROM d WHERE len(w) >= 3
+        ),
+        df AS (
+            SELECT gram, COUNT(*) AS dfc FROM g GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (df.dfc = 1) AS BIGINT) AS n_unique,
+               CAST(CAST(COUNT(*) FILTER (df.dfc = 1) AS BIGINT)
+                    AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS novelty
+        FROM g JOIN df ON g.gram = df.gram
+        GROUP BY g.doc_id
     """,
 }
 

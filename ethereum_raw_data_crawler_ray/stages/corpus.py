@@ -482,6 +482,75 @@ def clean_corpus(ds: rd.Dataset, text_col: str = "text",
     )
 
 
+def gram_novelty(ds: rd.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3,
+                 n_buckets: int | None = None) -> rd.Dataset:
+    """Per-document k-gram NOVELTY: the share of a document's distinct
+    word-k-grams that appear in NO other document — high novelty marks
+    fresh content, low novelty marks boilerplate / near-copies (a
+    standard curation signal next to dedup).
+
+    Scale shape: the :func:`_gram_rows` inverted-gram stream (distinct
+    hashed grams per doc — documents never shuffle) buckets by gram
+    hash; a gram's FULL posting list lives in one bucket, so per-bucket
+    document frequency is global, and each bucket emits per-doc
+    (n_part, unique_part) partials; a thin doc-keyed Sum aggregate
+    merges them (Σ n_part = the doc's distinct-gram count).  The
+    novelty is one IEEE division of exact int64 counts — bit-equal to
+    the oracle's CAST arithmetic.  Documents with < k tokens are
+    excluded (no k-gram exists), mirroring the oracle's len filter.
+    Returns (doc_id, n_grams, n_unique, novelty) streaming."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = n_buckets or _default_buckets()
+
+    def rows(t: pa.Table) -> pa.Table:
+        return _gram_rows(t, text_col, id_col, k)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["gram"]).view(np.uint64)
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n_part": pd.Series(dtype=np.int64),
+                                 "u_part": pd.Series(dtype=np.int64)})
+        df_cnt = g.groupby("gram")["doc_id"].transform("size")
+        p = (g.assign(__u=(df_cnt == 1).astype(np.int64))
+             .groupby("doc_id", sort=False)
+             .agg(n_part=("__u", "size"), u_part=("__u", "sum"))
+             .reset_index())
+        return p.astype({"doc_id": np.int64, "n_part": np.int64,
+                         "u_part": np.int64})
+
+    agg = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_part", alias_name="n_grams"),
+                   Sum("u_part", alias_name="n_unique"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_grams"], dtype=np.int64)
+        u = np.asarray(t["n_unique"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n),
+                "n_unique": pa.array(u),
+                "novelty": pa.array(u.astype(np.float64)
+                                    / n.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (inverted-gram join)
 # --------------------------------------------------------------------------

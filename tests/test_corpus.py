@@ -446,3 +446,32 @@ class TestCleanCorpus:
         # n=20, distinct=7 (u0..u3,x,y,z) -> 70>=60 ok; top=5 ('u0'..=4? )
         # recompute: u0..u3 each 4x -> top=4; 10*4=40 <= 20? NO -> dropped
         assert len(out) == 0
+
+
+class TestGramNovelty:
+    def test_bruteforce_and_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ethereum_raw_data_crawler_ray.stages.corpus import gram_novelty
+
+        docs = {
+            0: "a b c d e",        # grams abc bcd cde
+            1: "a b c x y",        # shares abc with 0
+            2: "p q r s",          # all unique
+            3: "a b",              # < 3 tokens -> excluded
+        }
+        df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        out = (gram_novelty(rd.from_pandas(df).repartition(2), k=3)
+               .to_pandas().set_index("doc_id").sort_index())
+        assert 3 not in out.index
+        # doc 0: 3 grams, 'a b c' shared -> 2 unique
+        assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_unique"] == 2
+        assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_unique"] == 2
+        assert out.loc[2, "n_grams"] == 2 and out.loc[2, "novelty"] == 1.0
+        assert abs(out.loc[0, "novelty"] - 2 / 3) < 1e-15
+        # bucket invariance
+        out1 = (gram_novelty(rd.from_pandas(df), k=3, n_buckets=1)
+                .to_pandas().set_index("doc_id").sort_index())
+        pd.testing.assert_frame_equal(out, out1)
