@@ -2033,6 +2033,17 @@ def q117_gram_novelty(sf_dir: str):
     return gram_novelty(_t(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+def q118_mad(sf_dir: str):
+    """Median absolute deviation of event values (stages/sketches.
+    mad_exact): two exact order-statistic passes (sparse histogram +
+    target-bucket fetch, never a global sort), all integer until two
+    mirrored final divisions — bit-equal to the explicit ROW_NUMBER
+    order-stat oracle, the q92 discipline applied twice."""
+    from ..stages.sketches import mad_exact
+
+    return mad_exact(_t(sf_dir, "events", ["value"]), "value", scale=100)
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2253,6 +2264,7 @@ QUERIES = {
     "q115_rolling_active_users": q115_rolling_active_users,
     "q116_clean_corpus": q116_clean_corpus,
     "q117_gram_novelty": q117_gram_novelty,
+    "q118_mad": q118_mad,
 }
 
 ORACLE_SQL = {
@@ -3271,6 +3283,33 @@ ORACLE_SQL = {
                  / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS novelty
         FROM g JOIN df ON g.gram = df.gram
         GROUP BY g.doc_id
+    """,
+    "q118_mad": """
+        -- doubled-fixed-point medians: 2*(lo + (hi-lo)/2) = lo + hi is
+        -- EXACT integer arithmetic even when interpolation lands on .5
+        -- (q92 lesson applied twice); each float output is one division
+        WITH p AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk FROM p),
+        med AS (
+            SELECT (SELECT x FROM r, nn WHERE rk = (n - 1) // 2 + 1)
+                 + (SELECT x FROM r, nn WHERE rk = n // 2 + 1) AS med2
+        ),
+        d AS (SELECT ABS(2 * p.x - med.med2) AS d2 FROM p, med),
+        r2 AS (SELECT d2, ROW_NUMBER() OVER (ORDER BY d2) AS rk FROM d),
+        mad AS (
+            SELECT (SELECT d2 FROM r2, nn WHERE rk = (n - 1) // 2 + 1)
+                 + (SELECT d2 FROM r2, nn WHERE rk = n // 2 + 1) AS mad4
+        )
+        SELECT nn.n,
+               CAST(med.med2 AS BIGINT) AS med_sc2,
+               CAST(mad.mad4 AS BIGINT) AS mad_sc4,
+               CAST(med.med2 AS DOUBLE) / 200.0 AS median,
+               CAST(mad.mad4 AS DOUBLE) / 400.0 AS mad
+        FROM nn, med, mad
     """,
 }
 

@@ -1543,6 +1543,86 @@ def grouped_weighted_stats(ds: rd.Dataset, group: str, val: str,
     return out.sort_values(group).reset_index(drop=True)
 
 
+def _order_stats_cents(ds: rd.Dataset, col: str, scale: int,
+                       rank_fn, n_hist: int = 1 << 16,
+                       max_fetch: int = 50_000_000,
+                       driver_merge_rows: int = 5_000_000):
+    """Exact fixed-point order statistics: run the two-pass sparse-
+    histogram plan and return ({0-based rank: exact scaled int}, n)
+    for the ranks ``rank_fn(n)`` requests.  Shared by the MAD composite
+    (which needs order stats of a DERIVED column, where the float
+    descaling of exact_quantiles_cont would lose the exact-int
+    contract)."""
+    h, cum, n, lo_c, width = _sparse_histogram(
+        ds, col, scale, n_hist, driver_merge_rows)
+    if n == 0:
+        return {}, 0
+    ranks = sorted(set(rank_fn(n)))
+    buckets = h["bucket"].to_numpy()
+    need = {}
+    for k in ranks:
+        bi = int(np.searchsorted(cum, k + 1))
+        need[k] = (int(buckets[bi]), int(cum[bi - 1]) if bi > 0 else 0)
+    if width == 1:
+        return {k: lo_c + b for k, (b, _) in need.items()}, n
+    targets = np.array(sorted({b for b, _ in need.values()}),
+                       dtype=np.int64)
+    fetch = int(h.set_index("bucket")["n"].loc[targets].sum())
+    if fetch > max_fetch:
+        raise ValueError(
+            f"order-stat refinement would pull {fetch} rows; raise "
+            "n_hist or scale")
+    rows = _fetch_buckets(ds, col, scale, lo_c, width, targets)
+    by_bucket = {
+        int(b): np.sort(np.round(g[col].to_numpy(np.float64) * scale
+                                 ).astype(np.int64))
+        for b, g in rows.groupby("bucket")
+    }
+    return {k: int(by_bucket[b][k - before])
+            for k, (b, before) in need.items()}, n
+
+
+def mad_exact(ds: rd.Dataset, col: str, *, scale: int = 100,
+              n_hist: int = 1 << 16) -> pd.DataFrame:
+    """Median absolute deviation — ``median(|x − median(x)|)`` with
+    CONTINUOUS (interpolated) medians — as a composition of two exact
+    order-statistic passes, all integer until the final mirrored
+    divisions: the median in doubled fixed-point is ``lo + hi`` of the
+    two middle order stats (2·(lo + (hi−lo)/2) — EXACT even when the
+    interpolation lands on .5), the deviations ``|2·x_sc − med2|`` are
+    again exact ints, and their doubled median is ``lo₂ + hi₂``.  The
+    float outputs are each ONE IEEE division of an exact int —
+    bit-equal to the oracle's explicit ROW_NUMBER order-stat SQL (the
+    q92 lesson, applied twice).  NULLs ignored; empty input → NaN row.
+
+    Returns one row: (n, med_sc2, mad_sc4, median, mad) where
+    ``med_sc2 = 2·scale·median`` and ``mad_sc4 = 4·scale·mad``."""
+    med_ranks = lambda n: [(n - 1) // 2, n // 2]
+    st, n = _order_stats_cents(ds, col, scale, med_ranks, n_hist=n_hist)
+    cols = ["n", "med_sc2", "mad_sc4", "median", "mad"]
+    if n == 0:
+        return pd.DataFrame([[0, 0, 0, np.nan, np.nan]], columns=cols
+                            ).astype({"n": np.int64, "med_sc2": np.int64,
+                                      "mad_sc4": np.int64})
+    med2 = st[(n - 1) // 2] + st[n // 2]
+
+    def deviations(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        cents = np.round(v * scale).astype(np.int64)
+        return pa.table({"d2": pa.array(np.abs(2 * cents - med2)
+                                        .astype(np.float64))})
+
+    dds = ds.map_batches(deviations, batch_format="pyarrow")
+    st2, n2 = _order_stats_cents(dds, "d2", 1, med_ranks, n_hist=n_hist)
+    mad4 = st2[(n2 - 1) // 2] + st2[n2 // 2]
+    return pd.DataFrame(
+        [[n, med2, mad4,
+          float(med2) / (2.0 * scale), float(mad4) / (4.0 * scale)]],
+        columns=cols).astype({"n": np.int64, "med_sc2": np.int64,
+                              "mad_sc4": np.int64})
+
+
 def chi2_contingency(ds: rd.Dataset, row: str, val: str, *,
                      bucket_width: float = 100.0) -> pd.DataFrame:
     """Contingency table + per-cell χ² contributions for ``row`` ×

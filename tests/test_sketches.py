@@ -1280,3 +1280,29 @@ def test_chi2_null_row_category_and_regression_decimal_cap(ray_session):
     with pytest.raises(Exception, match="decimal128"):
         regression_grouped(rd.from_pandas(big), "g", "x", "y",
                            x_scale=1, y_scale=1)
+
+
+def test_mad_exact_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import mad_exact
+
+    rng = np.random.default_rng(47)
+    for n in (999, 1000):  # odd (no interpolation) and even (.5 frac)
+        v = np.round(rng.uniform(0, 100, n), 2)
+        out = mad_exact(rd.from_pandas(pd.DataFrame({"v": v}))
+                        .repartition(4), "v", scale=100)
+        cents = np.round(v * 100).astype(np.int64)
+        med = np.median(cents)          # numpy median == cont median
+        d = np.abs(cents - med)
+        mad = np.median(d)
+        assert out.loc[0, "n"] == n
+        assert out.loc[0, "med_sc2"] == int(2 * med)
+        assert abs(out.loc[0, "median"] - med / 100.0) < 1e-12
+        assert abs(out.loc[0, "mad"] - mad / 100.0) < 1e-12
+    # empty input
+    empty = mad_exact(rd.from_pandas(pd.DataFrame({"v": pd.Series(
+        dtype=float)})), "v")
+    assert empty.loc[0, "n"] == 0 and np.isnan(empty.loc[0, "mad"])
