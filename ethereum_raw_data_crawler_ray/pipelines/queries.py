@@ -2044,6 +2044,19 @@ def q118_mad(sf_dir: str):
     return mad_exact(_t(sf_dir, "events", ["value"]), "value", scale=100)
 
 
+def q119_session_stats(sf_dir: str):
+    """Per-session summaries (stages/joins.session_stats): event count,
+    start/end/duration and exact value-cents sum per 30-minute-gap
+    session — the aggregation layer over q110's numbering; one
+    user-hash exchange, per-bucket vectorized numbering + groupby."""
+    from ..stages.joins import session_stats
+
+    return session_stats(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        user="user_id", ts_col="ts", id_col="event_id", val_col="value",
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2265,6 +2278,7 @@ QUERIES = {
     "q116_clean_corpus": q116_clean_corpus,
     "q117_gram_novelty": q117_gram_novelty,
     "q118_mad": q118_mad,
+    "q119_session_stats": q119_session_stats,
 }
 
 ORACLE_SQL = {
@@ -3310,6 +3324,33 @@ ORACLE_SQL = {
                CAST(med.med2 AS DOUBLE) / 200.0 AS median,
                CAST(mad.mad4 AS DOUBLE) / 400.0 AS mad
         FROM nn, med, mad
+    """,
+    "q119_session_stats": """
+        WITH o AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                   LAG(epoch_us(ts)) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
+        ),
+        s AS (
+            SELECT user_id, ts_us, vc,
+                   CAST(SUM(CASE WHEN prev IS NULL
+                                   OR ts_us - prev > 1800000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS BIGINT)
+                     AS session_no
+            FROM o
+        )
+        SELECT user_id, session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(ts_us) AS BIGINT) AS t_start_us,
+               CAST(MAX(ts_us) AS BIGINT) AS t_end_us,
+               CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+               CAST(SUM(vc) AS BIGINT) AS sum_value_cents
+        FROM s GROUP BY user_id, session_no
     """,
 }
 

@@ -623,7 +623,9 @@ def sessionize_ids(
         us = g["__ts_us"].to_numpy(np.int64)
         new_s = np.ones(len(us), dtype=np.int64)
         if len(us) > 1:
-            same = uid[1:] == uid[:-1]
+            # _first_mask folds ALL nulls into one key run (SQL
+            # PARTITION BY groups NULL users together)
+            same = ~_first_mask(uid)[1:]
             new_s[1:] = np.where(same & (np.diff(us) <= gap_us), 0, 1)
         cum = np.cumsum(new_s)
         first = _first_mask(uid)
@@ -637,6 +639,82 @@ def sessionize_ids(
                 "session_no": cum - base,
             }
         )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+def session_stats(
+    ds: rd.Dataset,
+    *,
+    user: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    gap_us: int = 1_800_000_000,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-SESSION summary rows — the aggregation layer over
+    :func:`sessionize_ids`' per-event numbering: each (user,
+    session_no) gets its event count, start/end/duration (exact int64
+    µs) and exact value cents sum.  Same single user-hash exchange and
+    rebased-cumsum numbering; the per-session groupby happens inside
+    the bucket (a user's whole session is bucket-local).  NULL values
+    fail loud (cents-family convention).  Returns (user, session_no,
+    n_events, t_start_us, t_end_us, duration_us, sum_value_cents)
+    streaming."""
+    n_buckets = n_buckets or _default_buckets()
+    _OUT = [user, "session_no", "n_events", "t_start_us", "t_end_us",
+            "duration_us", "sum_value_cents"]
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(f"NULL {val_col} in session_stats input")
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                 ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                user: t[user],
+                "__ts_us": pc.cast(ts, pa.int64()).combine_chunks(),
+                "__cents": pa.array(cents),
+                "__bucket": pa.array(
+                    _bucket_of(_key_for_hash(t[user]), n_buckets)),
+            }
+        )
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in _OUT})
+        g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
+        uid = g[user].to_numpy()
+        us = g["__ts_us"].to_numpy(np.int64)
+        new_s = np.ones(len(us), dtype=np.int64)
+        if len(us) > 1:
+            same = ~_first_mask(uid)[1:]
+            new_s[1:] = np.where(same & (np.diff(us) <= gap_us), 0, 1)
+        cum = np.cumsum(new_s)
+        first = _first_mask(uid)
+        starts = np.flatnonzero(first)
+        base = cum[starts][np.cumsum(first) - 1] - 1
+        f = pd.DataFrame({user: uid, "session_no": cum - base,
+                          "ts": us, "vc": g["__cents"].to_numpy(np.int64)})
+        agg = (f.groupby([user, "session_no"], sort=False, dropna=False)
+               .agg(n_events=("ts", "size"), t_start_us=("ts", "min"),
+                    t_end_us=("ts", "max"), sum_value_cents=("vc", "sum"))
+               .reset_index())
+        agg["duration_us"] = agg["t_end_us"] - agg["t_start_us"]
+        return agg[_OUT].astype({c: np.int64 for c in _OUT[1:]})
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")

@@ -1324,3 +1324,47 @@ class TestNullUserContracts:
         with pytest.raises(ValueError, match="collides"):
             hash_join(rd.from_pandas(left), rd.from_pandas(right),
                       on="k", right_cols=["v"])
+
+
+def test_session_stats_consistent_with_ids(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import (
+        session_stats,
+        sessionize_ids,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**13, n), unit="us"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    stats = (session_stats(rd.from_pandas(df).repartition(4),
+                           user="user_id", ts_col="ts",
+                           id_col="event_id", val_col="value")
+             .to_pandas())
+    ids = (sessionize_ids(rd.from_pandas(df[["event_id", "user_id",
+                                             "ts"]]),
+                          user="user_id", ts_col="ts", id_col="event_id")
+           .to_pandas())
+    # session populations agree between the two operators
+    ref = (ids.groupby(["user_id", "session_no"]).size()
+           .rename("n_events").reset_index())
+    m = stats.merge(ref, on=["user_id", "session_no"],
+                    suffixes=("", "_r"), how="outer")
+    assert len(m) == len(stats) == len(ref)
+    assert (m["n_events"] == m["n_events_r"]).all()
+    # exact cents sums and sane durations
+    cents = np.round(df["value"] * 100).astype(np.int64)
+    assert stats["sum_value_cents"].sum() == cents.sum()
+    assert (stats["duration_us"] >= 0).all()
+    assert (stats["t_end_us"] >= stats["t_start_us"]).all()
+    # partition invariance
+    stats1 = (session_stats(rd.from_pandas(df), user="user_id",
+                            ts_col="ts", id_col="event_id",
+                            val_col="value", n_buckets=1)
+              .to_pandas())
+    a = stats.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    b = stats1.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
