@@ -2057,6 +2057,18 @@ def q119_session_stats(sf_dir: str):
     )
 
 
+def q120_retention_curve(sf_dir: str):
+    """Normalized cohort retention curve (q109 + cohort-size share):
+    each cell's distinct users divided by its cohort's week-0 size —
+    one IEEE division of exact counts."""
+    from ..stages.joins import cohort_retention
+
+    return cohort_retention(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        user="user_id", ts_col="ts", normalize=True,
+    )
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2279,6 +2291,7 @@ QUERIES = {
     "q117_gram_novelty": q117_gram_novelty,
     "q118_mad": q118_mad,
     "q119_session_stats": q119_session_stats,
+    "q120_retention_curve": q120_retention_curve,
 }
 
 ORACLE_SQL = {
@@ -3351,6 +3364,37 @@ ORACLE_SQL = {
                CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
                CAST(SUM(vc) AS BIGINT) AS sum_value_cents
         FROM s GROUP BY user_id, session_no
+    """,
+    "q120_retention_curve": """
+        WITH f AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS first_us
+            FROM events GROUP BY user_id
+        ),
+        e AS (
+            SELECT (f.first_us // 604800000000
+                    - CASE WHEN f.first_us % 604800000000 <> 0
+                                AND f.first_us < 0
+                           THEN 1 ELSE 0 END) AS cohort,
+                   (epoch_us(ev.ts) // 604800000000
+                    - CASE WHEN epoch_us(ev.ts) % 604800000000 <> 0
+                                AND epoch_us(ev.ts) < 0
+                           THEN 1 ELSE 0 END) AS ts_wk,
+                   ev.user_id
+            FROM events ev JOIN f ON ev.user_id = f.user_id
+        ),
+        m AS (
+            SELECT cohort, ts_wk - cohort AS week_off,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM e GROUP BY cohort, ts_wk
+        )
+        SELECT cohort, week_off, n_users,
+               CAST(MAX(CASE WHEN week_off = 0 THEN n_users END)
+                    OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+               CAST(n_users AS DOUBLE)
+                 / CAST(CAST(MAX(CASE WHEN week_off = 0 THEN n_users END)
+                             OVER (PARTITION BY cohort) AS BIGINT)
+                        AS DOUBLE) AS retention
+        FROM m
     """,
 }
 

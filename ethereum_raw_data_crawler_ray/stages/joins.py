@@ -510,6 +510,7 @@ def cohort_retention(
     ts_col: str,
     bucket_us: int = 604_800_000_000,
     n_buckets: int | None = None,
+    normalize: bool = False,
 ) -> pd.DataFrame:
     """Cohort retention matrix: users grouped by the time bucket of
     their FIRST event (``cohort``, default week = epoch-µs // 7 days),
@@ -526,7 +527,10 @@ def cohort_retention(
     timestamps too; note SQL's integer ``//`` TRUNCATES toward zero —
     an oracle must spell floor out explicitly for negative epochs).
 
-    Returns (cohort, week_off, n_users) sorted."""
+    Returns (cohort, week_off, n_users) sorted; with
+    ``normalize=True`` adds ``cohort_size`` (the week-0 cell — every
+    cohort member has one by construction) and ``retention`` (one IEEE
+    division of the two exact counts)."""
     n_buckets = n_buckets or _default_buckets()
 
     def tag(t: pa.Table) -> pa.Table:
@@ -567,8 +571,16 @@ def cohort_retention(
     )
     if not len(parts):
         return parts
-    return (parts.groupby(["cohort", "week_off"], sort=True)["n_users"]
-            .sum().astype(np.int64).reset_index())
+    out = (parts.groupby(["cohort", "week_off"], sort=True)["n_users"]
+           .sum().astype(np.int64).reset_index())
+    if normalize:
+        size = {int(c): int(v) for c, v in
+                out.loc[out["week_off"] == 0]
+                .set_index("cohort")["n_users"].items()}
+        out["cohort_size"] = out["cohort"].map(size).astype(np.int64)
+        out["retention"] = (out["n_users"].to_numpy(np.float64)
+                            / out["cohort_size"].to_numpy(np.float64))
+    return out
 
 
 def sessionize_ids(

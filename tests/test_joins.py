@@ -1368,3 +1368,27 @@ def test_session_stats_consistent_with_ids(ray_session):
     a = stats.sort_values(["user_id", "session_no"]).reset_index(drop=True)
     b = stats1.sort_values(["user_id", "session_no"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cohort_retention_normalized(ray_session):
+    from ethereum_raw_data_crawler_ray.stages.joins import cohort_retention
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    W = 604_800_000_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "ts": pd.to_datetime(rng.integers(0, 15 * W, n), unit="us"),
+    })
+    out = cohort_retention(rd.from_pandas(df).repartition(4),
+                           user="user_id", ts_col="ts", normalize=True)
+    # week-0 rows are the cohort sizes with retention exactly 1.0
+    z = out[out["week_off"] == 0]
+    assert (z["n_users"] == z["cohort_size"]).all()
+    assert (z["retention"] == 1.0).all()
+    # every cell bounded by its cohort size; division is exact n/size
+    assert (out["n_users"] <= out["cohort_size"]).all()
+    assert np.array_equal(
+        out["retention"].to_numpy(),
+        out["n_users"].to_numpy(np.float64)
+        / out["cohort_size"].to_numpy(np.float64))
