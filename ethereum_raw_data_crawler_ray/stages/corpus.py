@@ -455,6 +455,8 @@ def clean_corpus(ds: rd.Dataset, text_col: str = "text",
         keep_h, keep_id, keep_n = [], [], []
         h = hash_strings(t[text_col]).view(np.int64)
         for i, x in enumerate(texts):
+            if x is None:  # NULL text: the oracle's unnest emits no rows
+                continue
             c = Counter(tok for tok in x.split(" ") if tok)
             n = sum(c.values())
             if (n >= min_words

@@ -570,7 +570,12 @@ def cohort_retention(
         .to_pandas()
     )
     if not len(parts):
-        return parts
+        cols = {c: pd.Series(dtype=np.int64)
+                for c in ("cohort", "week_off", "n_users")}
+        if normalize:
+            cols["cohort_size"] = pd.Series(dtype=np.int64)
+            cols["retention"] = pd.Series(dtype=np.float64)
+        return pd.DataFrame(cols)
     out = (parts.groupby(["cohort", "week_off"], sort=True)["n_users"]
            .sum().astype(np.int64).reset_index())
     if normalize:
@@ -581,6 +586,29 @@ def cohort_retention(
         out["retention"] = (out["n_users"].to_numpy(np.float64)
                             / out["cohort_size"].to_numpy(np.float64))
     return out
+
+
+def _session_numbers(g: pd.DataFrame, user: str, id_col: str,
+                     gap_us: int):
+    """Shared session-numbering kernel for :func:`sessionize_ids` and
+    :func:`session_stats` (one implementation so a gap/ordering/null
+    fix can never desynchronize q110 and q119): sort by (user, ts,
+    id), flag session starts (gap > ``gap_us``; _first_mask folds ALL
+    nulls into one key run — SQL PARTITION BY semantics), and rebase
+    the global cumsum at each user's first row for 1-based per-user
+    numbers.  Returns (sorted frame, uid array, ts array, session_no
+    array)."""
+    g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
+    uid = g[user].to_numpy()
+    us = g["__ts_us"].to_numpy(np.int64)
+    first = _first_mask(uid)
+    new_s = np.ones(len(us), dtype=np.int64)
+    if len(us) > 1:
+        new_s[1:] = np.where(~first[1:] & (np.diff(us) <= gap_us), 0, 1)
+    cum = np.cumsum(new_s)
+    starts = np.flatnonzero(first)
+    base = cum[starts][np.cumsum(first) - 1] - 1  # cum BEFORE user
+    return g, uid, us, cum - base
 
 
 def sessionize_ids(
@@ -630,25 +658,13 @@ def sessionize_ids(
     def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame(_EMPTY)
-        g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
-        uid = g[user].to_numpy()
-        us = g["__ts_us"].to_numpy(np.int64)
-        new_s = np.ones(len(us), dtype=np.int64)
-        if len(us) > 1:
-            # _first_mask folds ALL nulls into one key run (SQL
-            # PARTITION BY groups NULL users together)
-            same = ~_first_mask(uid)[1:]
-            new_s[1:] = np.where(same & (np.diff(us) <= gap_us), 0, 1)
-        cum = np.cumsum(new_s)
-        first = _first_mask(uid)
-        starts = np.flatnonzero(first)
-        base = cum[starts][np.cumsum(first) - 1] - 1  # cum BEFORE user
+        g, uid, us, sno = _session_numbers(g, user, id_col, gap_us)
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
                 user: uid,
                 "ts_us": us,
-                "session_no": cum - base,
+                "session_no": sno,
             }
         )
 
@@ -708,18 +724,8 @@ def session_stats(
         if not len(g):
             return pd.DataFrame({c: pd.Series(dtype=np.int64)
                                  for c in _OUT})
-        g = g.sort_values([user, "__ts_us", id_col], kind="mergesort")
-        uid = g[user].to_numpy()
-        us = g["__ts_us"].to_numpy(np.int64)
-        new_s = np.ones(len(us), dtype=np.int64)
-        if len(us) > 1:
-            same = ~_first_mask(uid)[1:]
-            new_s[1:] = np.where(same & (np.diff(us) <= gap_us), 0, 1)
-        cum = np.cumsum(new_s)
-        first = _first_mask(uid)
-        starts = np.flatnonzero(first)
-        base = cum[starts][np.cumsum(first) - 1] - 1
-        f = pd.DataFrame({user: uid, "session_no": cum - base,
+        g, uid, us, sno = _session_numbers(g, user, id_col, gap_us)
+        f = pd.DataFrame({user: uid, "session_no": sno,
                           "ts": us, "vc": g["__cents"].to_numpy(np.int64)})
         agg = (f.groupby([user, "session_no"], sort=False, dropna=False)
                .agg(n_events=("ts", "size"), t_start_us=("ts", "min"),

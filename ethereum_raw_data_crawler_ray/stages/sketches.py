@@ -1552,7 +1552,10 @@ def _order_stats_cents(ds: rd.Dataset, col: str, scale: int,
     for the ranks ``rank_fn(n)`` requests.  Shared by the MAD composite
     (which needs order stats of a DERIVED column, where the float
     descaling of exact_quantiles_cont would lose the exact-int
-    contract)."""
+    contract).  NOTE: the shared histogram rounds with np.round
+    (half-to-even); for DuckDB ROUND parity feed pre-rounded INTEGRAL
+    floats at scale=1 (np.round is exact on integers) — mad_exact
+    does."""
     h, cum, n, lo_c, width = _sparse_histogram(
         ds, col, scale, n_hist, driver_merge_rows)
     if n == 0:
@@ -1596,20 +1599,34 @@ def mad_exact(ds: rd.Dataset, col: str, *, scale: int = 100,
     q92 lesson, applied twice).  NULLs ignored; empty input → NaN row.
 
     Returns one row: (n, med_sc2, mad_sc4, median, mad) where
-    ``med_sc2 = 2·scale·median`` and ``mad_sc4 = 4·scale·mad``."""
+    ``med_sc2 = 2·scale·median`` and ``mad_sc4 = 4·scale·mad``; an
+    empty/all-null column mirrors the oracle's scalar-subquery NULLs
+    (n=0, every other column NaN)."""
     med_ranks = lambda n: [(n - 1) // 2, n // 2]
-    st, n = _order_stats_cents(ds, col, scale, med_ranks, n_hist=n_hist)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # half-AWAY-from-zero (DuckDB ROUND parity; np.round's half-to-
+        # even would diverge on exact .5 cases), then integral floats —
+        # the shared histogram's np.round is exact on integers
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        c = np.sign(v) * np.floor(np.abs(v) * scale + 0.5)
+        return pa.table({"c": pa.array(c)})
+
+    cds = ds.map_batches(to_cents, batch_format="pyarrow")
+    st, n = _order_stats_cents(cds, "c", 1, med_ranks, n_hist=n_hist)
     cols = ["n", "med_sc2", "mad_sc4", "median", "mad"]
     if n == 0:
-        return pd.DataFrame([[0, 0, 0, np.nan, np.nan]], columns=cols
-                            ).astype({"n": np.int64, "med_sc2": np.int64,
-                                      "mad_sc4": np.int64})
+        return pd.DataFrame(
+            [[0, np.nan, np.nan, np.nan, np.nan]], columns=cols
+        ).astype({"n": np.int64})
     med2 = st[(n - 1) // 2] + st[n // 2]
 
     def deviations(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
-        cents = np.round(v * scale).astype(np.int64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)
+                 ).astype(np.int64)
         return pa.table({"d2": pa.array(np.abs(2 * cents - med2)
                                         .astype(np.float64))})
 

@@ -1306,3 +1306,22 @@ def test_mad_exact_bruteforce(ray_session):
     empty = mad_exact(rd.from_pandas(pd.DataFrame({"v": pd.Series(
         dtype=float)})), "v")
     assert empty.loc[0, "n"] == 0 and np.isnan(empty.loc[0, "mad"])
+
+
+def test_mad_exact_half_away_rounding(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ethereum_raw_data_crawler_ray.stages.sketches import mad_exact
+
+    # 1.25 at scale=10 lands on 12.5: DuckDB ROUND gives 13 (half-away),
+    # np.round would give 12 (half-even) — parity pins half-away
+    out = mad_exact(rd.from_pandas(pd.DataFrame({"v": [1.25]})),
+                    "v", scale=10)
+    assert out.loc[0, "med_sc2"] == 26
+    # empty input mirrors the oracle's NULL scalar subqueries
+    empty = mad_exact(rd.from_pandas(pd.DataFrame({"v": pd.Series(
+        dtype=float)})), "v")
+    assert empty.loc[0, "n"] == 0
+    assert np.isnan(empty.loc[0, "med_sc2"])
