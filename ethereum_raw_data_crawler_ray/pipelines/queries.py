@@ -2069,6 +2069,68 @@ def q120_retention_curve(sf_dir: str):
     )
 
 
+def q121_vector_norms(sf_dir: str):
+    """Per-vector exact L2 norms (stages/ann.vector_norms): fixed-point
+    int64 squared-norm sums + one mirrored sqrt/divide — bit-equal to
+    the unnest-and-sum oracle; shuffle-free map over the embeddings."""
+    from ..stages.ann import vector_norms
+
+    return vector_norms(
+        _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"]))
+
+
+def q122_region_supplier_stats(sf_dir: str):
+    """Two-hop snowflake rollup (supplier → nation → region): the
+    nation and region dims COMPOSE on the driver into one dense
+    nationkey→region-name lookup (multi-hop dim chains collapse to a
+    single broadcast — no per-hop join), then a per-batch combiner
+    emits exact (region, n, cents) partials; the mean is one IEEE
+    division of exact integers."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    nation = _t(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    r2name = dict(zip(region["r_regionkey"].astype(int),
+                      region["r_name"]))
+    nk2rname = np.full(int(nation["n_nationkey"].max()) + 1, None,
+                       dtype=object)
+    for nk, rk in zip(nation["n_nationkey"].astype(int),
+                      nation["n_regionkey"].astype(int)):
+        nk2rname[nk] = r2name[rk]
+    ref = ray.put(nk2rname)
+
+    def part(t: pa.Table) -> pa.Table:
+        look = get_broadcast(ref)
+        nk = np.asarray(t["s_nationkey"].to_pandas(), dtype=np.int64)
+        v = t["s_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                 ).astype(np.int64)
+        df = pd.DataFrame({"r_name": look[nk], "__c": cents})
+        p = df.groupby("r_name", sort=False).agg(
+            n_suppliers=("__c", "size"),
+            sum_acctbal_cents=("__c", "sum")).reset_index()
+        return pa.Table.from_pandas(
+            p.astype({"n_suppliers": np.int64,
+                      "sum_acctbal_cents": np.int64}),
+            preserve_index=False)
+
+    parts = (_t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    rows = []
+    for key, grp in parts.groupby("r_name", sort=True):
+        n = int(grp["n_suppliers"].sum())
+        s = int(grp["sum_acctbal_cents"].sum())
+        rows.append((key, n, s, float(s) / float(n)))
+    return pd.DataFrame(rows, columns=["r_name", "n_suppliers",
+                                       "sum_acctbal_cents",
+                                       "avg_acctbal_cents"]).astype(
+        {"n_suppliers": np.int64, "sum_acctbal_cents": np.int64})
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2292,6 +2354,8 @@ QUERIES = {
     "q118_mad": q118_mad,
     "q119_session_stats": q119_session_stats,
     "q120_retention_curve": q120_retention_curve,
+    "q121_vector_norms": q121_vector_norms,
+    "q122_region_supplier_stats": q122_region_supplier_stats,
 }
 
 ORACLE_SQL = {
@@ -3395,6 +3459,34 @@ ORACLE_SQL = {
                              OVER (PARTITION BY cohort) AS BIGINT)
                         AS DOUBLE) AS retention
         FROM m
+    """,
+    "q121_vector_norms": """
+        WITH e AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT)
+                     AS v_sc
+            FROM (SELECT vec_id, label, unnest(embedding) AS val
+                  FROM embeddings WHERE embedding IS NOT NULL)
+        )
+        SELECT vec_id, label,
+               CAST(SUM(v_sc * v_sc) AS BIGINT) AS norm2_sc,
+               SQRT(CAST(CAST(SUM(v_sc * v_sc) AS BIGINT) AS DOUBLE))
+                 / 1000000.0 AS norm
+        FROM e GROUP BY vec_id, label
+    """,
+    "q122_region_supplier_stats": """
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS sum_acctbal_cents,
+               CAST(CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                 AS avg_acctbal_cents
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
 }
 

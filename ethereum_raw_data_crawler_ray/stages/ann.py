@@ -661,3 +661,51 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def vector_norms(
+    ds: "rd.Dataset",
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> "rd.Dataset":
+    """Per-vector EXACT L2 norm — the embedding-hygiene primitive
+    (zero/degenerate-vector screens, normalization audits).  Each
+    coordinate scales to int64 fixed-point (×``scale``, half-away —
+    DuckDB ROUND parity), the squared-norm accumulates as an exact
+    int64 row sum (a per-batch magnitude check fails loud before any
+    wrap), and the norm is ``sqrt(float(n2)) / scale`` — sqrt is
+    correctly rounded by IEEE on both engines, so the mirrored
+    expression is bit-equal to the SQL oracle.  Shuffle-free map;
+    NULL vectors are dropped (the oracle's unnest emits no rows).
+    Returns (id, label, norm2_sc, norm) streaming."""
+    import pyarrow.compute as pc
+
+    def stage(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[vec_col]))
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             label_col: pa.array([], pa.int64()),
+                             "norm2_sc": pa.array([], pa.int64()),
+                             "norm": pa.array([], pa.float64())})
+        m = _vec_matrix(t, vec_col).astype(np.float64) * scale
+        sc = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        peak = int(np.abs(sc).max(initial=0))
+        if peak * peak * sc.shape[1] >= (1 << 62):
+            raise ValueError(
+                "vector_norms row sum could overflow int64 — reduce "
+                "scale")
+        n2 = (sc * sc).sum(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                label_col: pc.cast(t[label_col], pa.int64()),
+                "norm2_sc": pa.array(n2),
+                "norm": pa.array(np.sqrt(n2.astype(np.float64))
+                                 / float(scale)),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
