@@ -2131,6 +2131,63 @@ def q122_region_supplier_stats(sf_dir: str):
         {"n_suppliers": np.int64, "sum_acctbal_cents": np.int64})
 
 
+def q123_ship_latency(sf_dir: str):
+    """Order→ship latency per order priority: the fact×fact enrichment
+    join (lineitem ⋈ orders on orderkey via stages/joins.hash_join —
+    one bucket exchange) followed by exact integer day arithmetic
+    (floor µs-diff division, negative-safe) and a per-batch combiner;
+    the mean is one IEEE division of exact integers."""
+    from ..stages.joins import hash_join
+
+    DAY = 86_400_000_000
+
+    def to_us(col: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t[col], pa.timestamp("us")), pa.int64())
+            names = [c for c in t.column_names if c != col]
+            return pa.table({**{c: t[c] for c in names}, out: us})
+        return f
+
+    li = (_t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(to_us("l_shipdate", "ship_us"),
+                       batch_format="pyarrow")
+          .rename_columns({"l_orderkey": "o_orderkey"}))
+    orders = (_t(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(to_us("o_orderdate", "order_us"),
+                           batch_format="pyarrow"))
+    j = hash_join(
+        li, orders, on="o_orderkey",
+        right_cols=["order_us", "o_orderpriority"], how="inner",
+        left_fields=[pa.field("o_orderkey", pa.int64()),
+                     pa.field("ship_us", pa.int64())],
+        right_fields=[pa.field("o_orderkey", pa.int64()),
+                      pa.field("order_us", pa.int64()),
+                      pa.field("o_orderpriority", pa.string())],
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        diff = (df["ship_us"].to_numpy(np.int64)
+                - df["order_us"].to_numpy(np.int64))
+        days = diff // DAY  # numpy floor division (negative-safe)
+        p = (pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                           "__d": days})
+             .groupby("o_orderpriority", sort=False)
+             .agg(n=("__d", "size"), sum_delay_days=("__d", "sum"))
+             .reset_index())
+        return p.astype({"n": np.int64, "sum_delay_days": np.int64})
+
+    parts = j.map_batches(part, batch_format="pandas").to_pandas()
+    rows = []
+    for key, grp in parts.groupby("o_orderpriority", sort=True):
+        n, s = int(grp["n"].sum()), int(grp["sum_delay_days"].sum())
+        rows.append((key, n, s, float(s) / float(n)))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "n",
+                                       "sum_delay_days",
+                                       "avg_delay_days"]).astype(
+        {"n": np.int64, "sum_delay_days": np.int64})
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2356,6 +2413,7 @@ QUERIES = {
     "q120_retention_curve": q120_retention_curve,
     "q121_vector_norms": q121_vector_norms,
     "q122_region_supplier_stats": q122_region_supplier_stats,
+    "q123_ship_latency": q123_ship_latency,
 }
 
 ORACLE_SQL = {
@@ -3487,6 +3545,30 @@ ORACLE_SQL = {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "q123_ship_latency": """
+        -- FLOOR day division spelled out (q109 note)
+        WITH j AS (
+            SELECT o.o_orderpriority,
+                   epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                     AS diff
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+        ),
+        d AS (
+            SELECT o_orderpriority,
+                   (diff // 86400000000
+                    - CASE WHEN diff % 86400000000 <> 0 AND diff < 0
+                           THEN 1 ELSE 0 END) AS days
+            FROM j
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(days) AS BIGINT) AS sum_delay_days,
+               CAST(CAST(SUM(days) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                 AS avg_delay_days
+        FROM d GROUP BY o_orderpriority
     """,
 }
 
