@@ -2188,6 +2188,51 @@ def q123_ship_latency(sf_dir: str):
         {"n": np.int64, "sum_delay_days": np.int64})
 
 
+def q124_revenue_by_brand(sf_dir: str):
+    """Discounted revenue per part brand: the q10 dense-broadcast dim
+    shape over the (previously untouched) part table — partkey→brand
+    rides one object-array ``ray.put``; per-batch exact cents partials
+    (mirrored ep·(1−d)·100 rounding) merge on the driver; one IEEE
+    division for the mean."""
+    import ray
+
+    from ..functions.broadcast import get_broadcast
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    look = np.full(int(part["p_partkey"].max()) + 1, None, dtype=object)
+    look[part["p_partkey"].to_numpy(np.int64)] = \
+        part["p_brand"].to_numpy()
+    ref = ray.put(look)
+
+    def stage(t: pa.Table) -> pa.Table:
+        lk = get_broadcast(ref)
+        pk = np.asarray(t["l_partkey"].to_pandas(), dtype=np.int64)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        d = t["l_discount"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = ep * (1.0 - d) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        p = (pd.DataFrame({"p_brand": lk[pk], "__c": cents})
+             .groupby("p_brand", sort=False)
+             .agg(n=("__c", "size"), revenue_cents=("__c", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(
+            p.astype({"n": np.int64, "revenue_cents": np.int64}),
+            preserve_index=False)
+
+    parts = (_t(sf_dir, "lineitem",
+                ["l_partkey", "l_extendedprice", "l_discount"])
+             .map_batches(stage, batch_format="pyarrow").to_pandas())
+    rows = []
+    for key, grp in parts.groupby("p_brand", sort=True):
+        n, s = int(grp["n"].sum()), int(grp["revenue_cents"].sum())
+        rows.append((key, n, s, float(s) / float(n)))
+    return pd.DataFrame(rows, columns=["p_brand", "n", "revenue_cents",
+                                       "avg_line_cents"]).astype(
+        {"n": np.int64, "revenue_cents": np.int64})
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2414,6 +2459,7 @@ QUERIES = {
     "q121_vector_norms": q121_vector_norms,
     "q122_region_supplier_stats": q122_region_supplier_stats,
     "q123_ship_latency": q123_ship_latency,
+    "q124_revenue_by_brand": q124_revenue_by_brand,
 }
 
 ORACLE_SQL = {
@@ -3569,6 +3615,21 @@ ORACLE_SQL = {
                  / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
                  AS avg_delay_days
         FROM d GROUP BY o_orderpriority
+    """,
+    "q124_revenue_by_brand": """
+        WITH p AS (
+            SELECT pt.p_brand,
+                   CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT) AS cents
+            FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+        )
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                 AS avg_line_cents
+        FROM p GROUP BY p_brand
     """,
 }
 
