@@ -111,6 +111,20 @@ def _attach_dim(fact, fact_key: str, dim, dim_key: str, val_col: str,
     )
 
 
+def _merge_avg_partials(parts: pd.DataFrame, key: str, n_col: str,
+                        sum_col: str, avg_col: str) -> pd.DataFrame:
+    """Merge per-batch (key, n, sum) combiner partials into exact
+    totals (Python-int sums, partition-invariant) plus a mean that is
+    ONE IEEE division — the shared driver tail of the exact-aggregate
+    queries (q111/q122/q123/q124)."""
+    rows = []
+    for k, grp in parts.groupby(key, sort=True, dropna=False):
+        n, s = int(grp[n_col].sum()), int(grp[sum_col].sum())
+        rows.append((k, n, s, float(s) / float(n) if n else np.nan))
+    return pd.DataFrame(rows, columns=[key, n_col, sum_col, avg_col]
+                        ).astype({n_col: np.int64, sum_col: np.int64})
+
+
 # ==========================================================================
 # relational core (SURVEY.md §2.3, §2.5-2.7 mappings)
 # ==========================================================================
@@ -1947,13 +1961,8 @@ def q111_json_field_agg(sf_dir: str):
             preserve_index=False)
 
     parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
-    rows = []
-    for key, grp in parts.groupby("event_type", sort=True, dropna=False):
-        n, s = int(grp["n"].sum()), int(grp["sum_k"].sum())
-        rows.append((key, n, s, float(s) / float(n) if n else np.nan))
-    return pd.DataFrame(rows,
-                        columns=["event_type", "n", "sum_k", "avg_k"]
-                        ).astype({"n": np.int64, "sum_k": np.int64})
+    return _merge_avg_partials(parts, "event_type", "n", "sum_k",
+                               "avg_k")
 
 
 def q112_transition_matrix(sf_dir: str):
@@ -2120,15 +2129,8 @@ def q122_region_supplier_stats(sf_dir: str):
 
     parts = (_t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
              .map_batches(part, batch_format="pyarrow").to_pandas())
-    rows = []
-    for key, grp in parts.groupby("r_name", sort=True):
-        n = int(grp["n_suppliers"].sum())
-        s = int(grp["sum_acctbal_cents"].sum())
-        rows.append((key, n, s, float(s) / float(n)))
-    return pd.DataFrame(rows, columns=["r_name", "n_suppliers",
-                                       "sum_acctbal_cents",
-                                       "avg_acctbal_cents"]).astype(
-        {"n_suppliers": np.int64, "sum_acctbal_cents": np.int64})
+    return _merge_avg_partials(parts, "r_name", "n_suppliers",
+                               "sum_acctbal_cents", "avg_acctbal_cents")
 
 
 def q123_ship_latency(sf_dir: str):
@@ -2178,59 +2180,73 @@ def q123_ship_latency(sf_dir: str):
         return p.astype({"n": np.int64, "sum_delay_days": np.int64})
 
     parts = j.map_batches(part, batch_format="pandas").to_pandas()
-    rows = []
-    for key, grp in parts.groupby("o_orderpriority", sort=True):
-        n, s = int(grp["n"].sum()), int(grp["sum_delay_days"].sum())
-        rows.append((key, n, s, float(s) / float(n)))
-    return pd.DataFrame(rows, columns=["o_orderpriority", "n",
-                                       "sum_delay_days",
-                                       "avg_delay_days"]).astype(
-        {"n": np.int64, "sum_delay_days": np.int64})
+    return _merge_avg_partials(parts, "o_orderpriority", "n",
+                               "sum_delay_days", "avg_delay_days")
 
 
 def q124_revenue_by_brand(sf_dir: str):
-    """Discounted revenue per part brand: the q10 dense-broadcast dim
-    shape over the (previously untouched) part table — partkey→brand
-    rides one object-array ``ray.put``; per-batch exact cents partials
-    (mirrored ep·(1−d)·100 rounding) merge on the driver; one IEEE
-    division for the mean."""
+    """Discounted revenue per part brand.  The part table is FACT-
+    sized at scale (200 k × SF rows), so the join key rides through
+    :func:`_attach_dim` — dense int broadcast under MAX_DIM_BROADCAST,
+    bucketed hash_join above it — carrying a small integer BRAND CODE
+    (brands are a tiny fixed vocabulary, gathered distributed via
+    ``unique``); the names decode on the driver after the combiner.
+    Exact cents partials with the ep·(1−d)·100 rounding mirrored in
+    the oracle; the mean is one IEEE division."""
     import ray
 
     from ..functions.broadcast import get_broadcast
 
-    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    look = np.full(int(part["p_partkey"].max()) + 1, None, dtype=object)
-    look[part["p_partkey"].to_numpy(np.int64)] = \
-        part["p_brand"].to_numpy()
-    ref = ray.put(look)
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+    brands = sorted(part.unique("p_brand"))  # tiny fixed vocabulary
+    code = {b: i for i, b in enumerate(brands)}
+    code_ref = ray.put(code)
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = get_broadcast(code_ref)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "brand_code": pa.array(
+                    t["p_brand"].to_pandas().map(c).to_numpy(np.int64)),
+            }
+        )
+
+    enriched = _attach_dim(
+        _t(sf_dir, "lineitem",
+           ["l_partkey", "l_extendedprice", "l_discount"]),
+        "l_partkey",
+        part.map_batches(encode, batch_format="pyarrow"),
+        "p_partkey", "brand_code",
+        fact_fields=[pa.field("l_partkey", pa.int64()),
+                     pa.field("l_extendedprice", pa.float64()),
+                     pa.field("l_discount", pa.float64())],
+    )
 
     def stage(t: pa.Table) -> pa.Table:
-        lk = get_broadcast(ref)
-        pk = np.asarray(t["l_partkey"].to_pandas(), dtype=np.int64)
         ep = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
             np.float64)
         d = t["l_discount"].to_numpy(zero_copy_only=False).astype(
             np.float64)
         v = ep * (1.0 - d) * 100.0
         cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-        p = (pd.DataFrame({"p_brand": lk[pk], "__c": cents})
-             .groupby("p_brand", sort=False)
+        p = (pd.DataFrame({"brand_code": np.asarray(
+                t["brand_code"].to_pandas(), dtype=np.int64),
+                "__c": cents})
+             .groupby("brand_code", sort=False)
              .agg(n=("__c", "size"), revenue_cents=("__c", "sum"))
              .reset_index())
         return pa.Table.from_pandas(
-            p.astype({"n": np.int64, "revenue_cents": np.int64}),
+            p.astype({"brand_code": np.int64, "n": np.int64,
+                      "revenue_cents": np.int64}),
             preserve_index=False)
 
-    parts = (_t(sf_dir, "lineitem",
-                ["l_partkey", "l_extendedprice", "l_discount"])
-             .map_batches(stage, batch_format="pyarrow").to_pandas())
-    rows = []
-    for key, grp in parts.groupby("p_brand", sort=True):
-        n, s = int(grp["n"].sum()), int(grp["revenue_cents"].sum())
-        rows.append((key, n, s, float(s) / float(n)))
-    return pd.DataFrame(rows, columns=["p_brand", "n", "revenue_cents",
-                                       "avg_line_cents"]).astype(
-        {"n": np.int64, "revenue_cents": np.int64})
+    parts = enriched.map_batches(stage, batch_format="pyarrow").to_pandas()
+    out = _merge_avg_partials(parts, "brand_code", "n",
+                              "revenue_cents", "avg_line_cents")
+    out.insert(0, "p_brand", out.pop("brand_code").map(
+        dict(enumerate(brands))))
+    return out
 
 
 def q81_decontaminated_corpus(sf_dir: str):

@@ -476,8 +476,13 @@ def _vec_matrix(t: pa.Table, vec_col: str, dim: int | None = None) -> np.ndarray
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
         return flat.reshape(len(t), -1)
     # Ray's ArrowTensorArray (from_pandas ndarray cells) and other
-    # extension arrays: to_numpy gives the (n, dim) matrix directly
-    return np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.float32)
+    # extension arrays: to_numpy gives the (n, dim) matrix directly —
+    # except variable-shape tensor columns, which come back as an
+    # object array of row ndarrays and need an explicit stack
+    arr = col.to_numpy(zero_copy_only=False)
+    if getattr(arr, "dtype", None) == object:
+        return np.stack([np.asarray(v, dtype=np.float32) for v in arr])
+    return np.asarray(arr).astype(np.float32)
 
 
 def grouped_centroids(
@@ -685,18 +690,42 @@ def vector_norms(
 
     def stage(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[vec_col]))
+        _EMPTY = pa.table({id_col: pa.array([], pa.int64()),
+                           label_col: pa.array([], pa.int64()),
+                           "norm2_sc": pa.array([], pa.int64()),
+                           "norm": pa.array([], pa.float64())})
         if len(t) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             label_col: pa.array([], pa.int64()),
-                             "norm2_sc": pa.array([], pa.int64()),
-                             "norm": pa.array([], pa.float64())})
+            return _EMPTY
+        col = t[vec_col].combine_chunks()
+        try:
+            lens = np.asarray(pc.list_value_length(col))
+        except pa.ArrowNotImplementedError:
+            # Ray tensor-extension column (from_pandas inputs) — no
+            # list kernels; per-row probe is fine on this cold path
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in col.to_pylist()),
+                np.int64, len(col))
+        # empty lists: the oracle's unnest emits no rows → omit the id
+        keep = lens != 0
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            lens = lens[keep]
+        if len(t) == 0:
+            return _EMPTY
+        if np.unique(lens).size > 1:  # fixed-dim matrix contract
+            raise ValueError("ragged embeddings unsupported")
         m = _vec_matrix(t, vec_col).astype(np.float64) * scale
-        sc = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
-        peak = int(np.abs(sc).max(initial=0))
-        if peak * peak * sc.shape[1] >= (1 << 62):
+        if np.isnan(m).any():
+            raise ValueError("NULL embedding element")
+        # guard on the FLOAT magnitudes BEFORE the int64 cast: a value
+        # past 2^63 would wrap in the cast itself and dodge any
+        # post-cast check (np.abs(INT64_MIN) stays negative)
+        peak = float(np.abs(m).max()) + 1.0
+        if peak * peak * m.shape[1] >= float(1 << 62):
             raise ValueError(
                 "vector_norms row sum could overflow int64 — reduce "
                 "scale")
+        sc = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
         n2 = (sc * sc).sum(axis=1)
         return pa.table(
             {

@@ -257,7 +257,8 @@ def test_dim_attach_join_fallback_matches_oracle(sf_dir, ray_session,
     # hash_join — same oracle answers, same dtypes, either plan
     from ethereum_raw_data_crawler_ray.pipelines import queries as q
 
-    names = ["q10_revenue_by_nation", "q19_region_rollup"]
+    names = ["q10_revenue_by_nation", "q19_region_rollup",
+             "q124_revenue_by_brand"]
     assert not any(check_all(sf_dir, only=names, strict_dtypes=True).values())
     monkeypatch.setattr(q, "MAX_DIM_BROADCAST", 0)
     assert not any(check_all(sf_dir, only=names, strict_dtypes=True).values())
