@@ -2249,6 +2249,35 @@ def q124_revenue_by_brand(sf_dir: str):
     return out
 
 
+def q125_monthly_orders(sf_dir: str):
+    """Calendar-month order seasonality: numpy's datetime64[M]
+    truncation is calendar-correct and matches the oracle's
+    (YEAR−1970)·12 + MONTH−1 integer month index exactly — the
+    calendar-bucketing companion to the epoch-µs window family
+    (q31/q97).  Exact cents partials, one IEEE division."""
+    def part(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["o_orderdate"],
+                                        pa.timestamp("us")), pa.int64()))
+        month = (us.astype("datetime64[us]").astype("datetime64[M]")
+                 .astype(np.int64))
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        p = (pd.DataFrame({"month_idx": month, "__c": cents})
+             .groupby("month_idx", sort=False)
+             .agg(n_orders=("__c", "size"), revenue_cents=("__c", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(
+            p.astype({"month_idx": np.int64, "n_orders": np.int64,
+                      "revenue_cents": np.int64}),
+            preserve_index=False)
+
+    parts = (_t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    return _merge_avg_partials(parts, "month_idx", "n_orders",
+                               "revenue_cents", "avg_order_cents")
+
+
 def q81_decontaminated_corpus(sf_dir: str):
     """The decontamination COMPOSITION: q77's flag list anti-joined back
     against the corpus — the actual clean-corpus emit a training
@@ -2476,6 +2505,7 @@ QUERIES = {
     "q122_region_supplier_stats": q122_region_supplier_stats,
     "q123_ship_latency": q123_ship_latency,
     "q124_revenue_by_brand": q124_revenue_by_brand,
+    "q125_monthly_orders": q125_monthly_orders,
 }
 
 ORACLE_SQL = {
@@ -3646,6 +3676,23 @@ ORACLE_SQL = {
                  / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
                  AS avg_line_cents
         FROM p GROUP BY p_brand
+    """,
+    "q125_monthly_orders": """
+        WITH p AS (
+            SELECT (CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                    - 1970) * 12
+                   + CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+                   - 1 AS month_idx,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT month_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                 AS avg_order_cents
+        FROM p GROUP BY month_idx
     """,
 }
 
